@@ -1,0 +1,17 @@
+"""LaPha-TPU: TPU-native framework for Latent Poincaré Shaping for Agentic RL.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+fudan-generative-vision/LaPha (AlphaZero-style LLM agent training with
+hyperbolic latent reward shaping), built TPU-first:
+
+- ``lapha_tpu.ops``       — hyperbolic geometry core + Pallas kernels
+- ``lapha_tpu.models``    — Qwen2-family decoder in JAX + linear value head
+- ``lapha_tpu.parallel``  — device mesh / GSPMD sharding rules
+- ``lapha_tpu.engine``    — TPU-native batched generation engine (vLLM replacement)
+- ``lapha_tpu.search``    — host-side MCTS with device-resident latent bank
+- ``lapha_tpu.train``     — GRPO + value-MSE trainer on a pjit mesh
+- ``lapha_tpu.tools``     — sandboxed python tool executor + HTTP RPC
+- ``lapha_tpu.evalsuite`` — graders, rollout CLI, scorer (reference-compatible)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,213 @@
+"""HF checkpoint ⇄ lapha_tpu parameter pytree conversion.
+
+Loads public Qwen2-family safetensors checkpoints directly onto a TPU mesh
+(so public Qwen2.5 / LaPHA-Math policy checkpoints work unchanged) and
+exports back to HF layout — covering the reference's
+`helpers/split_valuehead.py` policy/value-head split convention
+(/root/reference/helpers/split_valuehead.py:42-59, 126-143): the value head
+is a separate tiny artifact {weight (1,H) or (H,), bias (1,)}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .qwen2 import Qwen2Config
+
+# base_lm-prefix tolerance mirrors split_valuehead's auto-detection so
+# wrapper checkpoints (base_lm.model.layers...) also load.
+_PREFIXES = ("", "model.", "base_lm.model.", "base_lm.")
+
+
+def _open_safetensors(model_dir: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    tensors: dict[str, Any] = {}
+    files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_dir}")
+    for fname in files:
+        f = safe_open(os.path.join(model_dir, fname), framework="numpy")
+        for key in f.keys():
+            tensors[key] = (f, key)
+    return tensors
+
+
+def _get(tensors: dict, name: str) -> np.ndarray:
+    for pref in _PREFIXES:
+        k = pref + name
+        if k in tensors:
+            f, key = tensors[k]
+            t = f.get_tensor(key)
+            if t.dtype == np.dtype("void") or str(t.dtype) == "bfloat16":
+                t = t.view(np.uint16)
+            return t
+    raise KeyError(f"{name} not found (tried prefixes {_PREFIXES})")
+
+
+def _has(tensors: dict, name: str) -> bool:
+    return any(pref + name in tensors for pref in _PREFIXES)
+
+
+def _to_jax(arr: np.ndarray, dtype) -> jax.Array:
+    if arr.dtype == np.uint16:  # bf16 stored raw
+        return jax.lax.bitcast_convert_type(jnp.asarray(arr), jnp.bfloat16).astype(dtype)
+    return jnp.asarray(arr).astype(dtype)
+
+
+def load_config(model_dir: str) -> Qwen2Config:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    mt = cfg.get("model_type", "qwen2")
+    if mt not in ("qwen2", "qwen2_5", "qwen2_moe"):
+        raise ValueError(f"unsupported model_type {mt!r} (qwen2 family only for now)")
+    return Qwen2Config.from_hf(cfg)
+
+
+def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat16) -> tuple[dict, Qwen2Config]:
+    """Load an HF Qwen2 checkpoint directory into the stacked pytree."""
+    if cfg is None:
+        cfg = load_config(model_dir)
+    cfg = Qwen2Config(**{**cfg.__dict__, "dtype": dtype})
+    tensors = _open_safetensors(model_dir)
+    L = cfg.num_hidden_layers
+
+    def stack(fmt: str, transpose: bool = False) -> jax.Array:
+        mats = []
+        for i in range(L):
+            a = _get(tensors, fmt.format(i=i))
+            mats.append(a)
+        out = np.stack(mats, axis=0)
+        arr = _to_jax(out, dtype)
+        if transpose:  # HF Linear stores (out, in); we want (in, out)
+            arr = jnp.swapaxes(arr, -1, -2)
+        return arr
+
+    params: dict[str, Any] = {
+        "embed": {"weight": _to_jax(_get(tensors, "embed_tokens.weight"), dtype)},
+        "layers": {
+            "input_layernorm": {"scale": stack("layers.{i}.input_layernorm.weight")},
+            "post_attention_layernorm": {"scale": stack("layers.{i}.post_attention_layernorm.weight")},
+            "attn": {
+                "q_proj": {"w": stack("layers.{i}.self_attn.q_proj.weight", transpose=True),
+                           "b": stack("layers.{i}.self_attn.q_proj.bias")},
+                "k_proj": {"w": stack("layers.{i}.self_attn.k_proj.weight", transpose=True),
+                           "b": stack("layers.{i}.self_attn.k_proj.bias")},
+                "v_proj": {"w": stack("layers.{i}.self_attn.v_proj.weight", transpose=True),
+                           "b": stack("layers.{i}.self_attn.v_proj.bias")},
+                "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
+            },
+            "mlp": {
+                "gate_proj": {"w": stack("layers.{i}.mlp.gate_proj.weight", transpose=True)},
+                "up_proj": {"w": stack("layers.{i}.mlp.up_proj.weight", transpose=True)},
+                "down_proj": {"w": stack("layers.{i}.mlp.down_proj.weight", transpose=True)},
+            },
+        },
+        "norm": {"scale": _to_jax(_get(tensors, "norm.weight"), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        if _has(tensors, "lm_head.weight"):
+            params["lm_head"] = {"weight": _to_jax(_get(tensors, "lm_head.weight"), dtype)}
+        else:  # tying fallback, mirrors split_valuehead.py:347-357
+            cfg = Qwen2Config(**{**cfg.__dict__, "tie_word_embeddings": True})
+    return params, cfg
+
+
+def load_value_head(path: str, hidden_size: int) -> dict:
+    """Load a value-head artifact.
+
+    Accepts the reference's formats (rollout_jsonl.py:869-914): a torch-saved
+    state dict with `weight`/`bias` (optionally `value_head.`- or
+    `module.`-prefixed, or a full wrapper ckpt), a .npz, or a safetensors
+    file. Returns {"w": (H,), "b": ()} float32.
+    """
+    if path.endswith(".npz"):
+        z = np.load(path)
+        w, b = z["weight"], z.get("bias", np.zeros(1))
+    elif path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+        w, b = _pick_head_keys(sd)
+    else:  # torch .pt/.bin — torch CPU is available in the image
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+        w, b = _pick_head_keys(sd)
+    w = np.asarray(w, np.float32).reshape(-1)
+    if w.size != hidden_size:
+        raise ValueError(f"value head size {w.size} != hidden {hidden_size}")
+    return {"w": jnp.asarray(w), "b": jnp.asarray(np.asarray(b, np.float32).reshape(()))}
+
+
+def _pick_head_keys(sd: dict) -> tuple[np.ndarray, np.ndarray]:
+    for wk in ("weight", "value_head.weight", "module.value_head.weight", "module.weight"):
+        if wk in sd:
+            bk = wk.replace("weight", "bias")
+            return sd[wk], sd.get(bk, np.zeros(1))
+    # full wrapper state dict: find any *value_head.weight
+    for k in sd:
+        if re.search(r"value_head\.weight$", k):
+            return sd[k], sd.get(k.replace("weight", "bias"), np.zeros(1))
+    raise KeyError(f"no value-head weight in keys {list(sd)[:8]}...")
+
+
+def save_value_head(path: str, head: dict) -> None:
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             weight=np.asarray(head["w"], np.float32).reshape(1, -1),
+             bias=np.asarray(head["b"], np.float32).reshape(1))
+
+
+def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str | None = None) -> None:
+    """Write params back to an HF-layout safetensors dir (policy only).
+
+    The analogue of split_valuehead.py's policy export: the result loads in
+    vanilla `transformers` (architectures kept at Qwen2ForCausalLM).
+    """
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name: str, arr: jax.Array, transpose=False):
+        a = np.asarray(jax.device_get(arr.astype(jnp.float32)), np.float32)
+        if transpose:
+            a = np.swapaxes(a, -1, -2)
+        # astype(order='K') keeps F-order on transposed views and
+        # safetensors writes the raw buffer — force C-contiguity.
+        sd[name] = np.ascontiguousarray(a, dtype=np.float32)
+
+    put("model.embed_tokens.weight", params["embed"]["weight"])
+    lp = params["layers"]
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        put(pre + "input_layernorm.weight", lp["input_layernorm"]["scale"][i])
+        put(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
+        for proj in ("q", "k", "v"):
+            put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
+            put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
+        put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
+        for proj in ("gate", "up", "down"):
+            put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)
+    put("model.norm.weight", params["norm"]["scale"])
+    if not cfg.tie_word_embeddings and "lm_head" in params:
+        put("lm_head.weight", params["lm_head"]["weight"])
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+
+    if src_config_dir:
+        for fname in ("config.json", "tokenizer.json", "tokenizer_config.json",
+                      "vocab.json", "merges.txt", "generation_config.json"):
+            src = os.path.join(src_config_dir, fname)
+            if os.path.exists(src):
+                with open(src, "rb") as fi, open(os.path.join(out_dir, fname), "wb") as fo:
+                    fo.write(fi.read())

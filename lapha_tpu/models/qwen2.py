@@ -1,0 +1,301 @@
+"""Qwen2-family decoder in functional JAX (TPU-first design).
+
+Replaces the reference's HF-transformers policy backbone
+(/root/reference/trainer/mtpo_trainer.py:643-663 loads Qwen2.5 via
+AutoModelForCausalLM + flash-attention-2). This is NOT a port: the model is
+a pure function over a stacked-parameter pytree, with
+
+- ``lax.scan`` over stacked layer params (one compile of one layer body —
+  fast XLA compiles at any depth),
+- bf16 matmuls with f32 accumulation (``preferred_element_type``) on the MXU,
+- GQA with K/V head broadcast done inside the einsum (no materialized repeat),
+- a KV cache laid out (layers, B, max_len, n_kv, head_dim) updated with
+  ``lax.dynamic_update_slice`` for the decode loop,
+- sharding-friendly layouts: all 2D weights are (in, out); stacked layer
+  weights carry a leading layer axis (see parallel/mesh.py PARAM_RULES).
+
+Supported HF checkpoints: Qwen2 / Qwen2.5 (incl. -Math, -Instruct) — loader
+in models/loader.py maps safetensors names onto this pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 2
+    head_dim: int | None = None
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    attention_bias: bool = True  # qwen2 uses bias on q/k/v only
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
+        """Build from an HF config.json dict (model_type qwen2)."""
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def tiny(cls, **kw) -> "Qwen2Config":
+        """A toy config for tests (runs on CPU in <1s)."""
+        base = dict(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=256,
+            rope_theta=10000.0,
+            tie_word_embeddings=True,
+            dtype=jnp.float32,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+# ----------------------------------------------------------------------------
+# Parameter init
+# ----------------------------------------------------------------------------
+
+def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
+    """Random-init a stacked-parameter pytree (mostly for tests)."""
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    I = cfg.intermediate_size
+    ks = jax.random.split(key, 10)
+
+    def init(k, shape, scale=None):
+        scale = scale if scale is not None else 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params = {
+        "embed": {"weight": init(ks[0], (cfg.vocab_size, H), 0.02)},
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((L, H), cfg.dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((L, H), cfg.dtype)},
+            "attn": {
+                "q_proj": {"w": init(ks[1], (L, H, nh * dh)), "b": jnp.zeros((L, nh * dh), cfg.dtype)},
+                "k_proj": {"w": init(ks[2], (L, H, nkv * dh)), "b": jnp.zeros((L, nkv * dh), cfg.dtype)},
+                "v_proj": {"w": init(ks[3], (L, H, nkv * dh)), "b": jnp.zeros((L, nkv * dh), cfg.dtype)},
+                "o_proj": {"w": init(ks[4], (L, nh * dh, H))},
+            },
+            "mlp": {
+                "gate_proj": {"w": init(ks[5], (L, H, I))},
+                "up_proj": {"w": init(ks[6], (L, H, I))},
+                "down_proj": {"w": init(ks[7], (L, I, H))},
+            },
+        },
+        "norm": {"scale": jnp.ones((H,), cfg.dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": init(ks[8], (cfg.vocab_size, H), 0.02)}
+    return params
+
+
+# ----------------------------------------------------------------------------
+# Building blocks
+# ----------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_freqs(positions: jax.Array, dh: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables (…, dh/2) for integer positions (…,)."""
+    inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    ang = positions.astype(jnp.float32)[..., None] * inv  # (..., dh/2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE; x is (B, T, n, dh), cos/sin are (B, T, dh/2)."""
+    dh = x.shape[-1]
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2 :]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
+
+
+def _attend(q, k, v, mask, cfg):
+    """Grouped-query attention core. q:(B,T,nh,dh) k,v:(B,S,nkv,dh) mask:(B,T,S)."""
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    group = nh // nkv
+    B, T = q.shape[0], q.shape[1]
+    S = k.shape[1]
+    dh = q.shape[-1]
+    qg = q.reshape(B, T, nkv, group, dh)
+    # f32 logits on the MXU
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.reshape(B, T, nh, dh).astype(q.dtype)
+
+
+def _layer_body(cfg: Qwen2Config, carry, layer_params):
+    """One decoder layer; scanned over the stacked layer axis."""
+    x, cos, sin, mask, cache_k, cache_v, cache_pos = carry
+    p = layer_params
+    B, T, H = x.shape
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+    q = (jnp.einsum("bth,hd->btd", h, p["attn"]["q_proj"]["w"], preferred_element_type=jnp.float32)
+         + p["attn"]["q_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nh, dh)
+    k = (jnp.einsum("bth,hd->btd", h, p["attn"]["k_proj"]["w"], preferred_element_type=jnp.float32)
+         + p["attn"]["k_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
+    v = (jnp.einsum("bth,hd->btd", h, p["attn"]["v_proj"]["w"], preferred_element_type=jnp.float32)
+         + p["attn"]["v_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        # decode path: write new K/V at cache_pos, attend over the full cache
+        new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, cache_pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, cache_pos, 0, 0))
+        att = _attend(q, new_k, new_v, mask, cfg)
+    else:
+        new_k = new_v = None
+        att = _attend(q, k, v, mask, cfg)
+
+    att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), p["attn"]["o_proj"]["w"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + att
+
+    h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    gate = jnp.einsum("bth,hi->bti", h, p["mlp"]["gate_proj"]["w"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("bth,hi->bti", h, p["mlp"]["up_proj"]["w"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    down = jnp.einsum("bti,ih->bth", act, p["mlp"]["down_proj"]["w"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + down
+    return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
+
+
+def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False):
+    """Scan the stacked layer params. Returns (hidden, new_kv) where new_kv is
+    the per-layer (k, v) stack when a cache is threaded, else None."""
+    layer_params = params["layers"]
+
+    if kv_cache is None:
+        def body(x, p):
+            (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p)
+            return x2, None
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, layer_params)
+        return x, None
+
+    ck, cv = kv_cache  # (L, B, S, nkv, dh)
+
+    def body(x, inputs):
+        p, ck_l, cv_l = inputs
+        (x2, *_), (nk, nv) = _layer_body(cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p)
+        return x2, (nk, nv)
+
+    x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv))
+    return x, (nk, nv)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen2Config,
+    input_ids: jax.Array,
+    attention_mask: jax.Array | None = None,
+    positions: jax.Array | None = None,
+    kv_cache: tuple[jax.Array, jax.Array] | None = None,
+    cache_pos: int | jax.Array = 0,
+    kv_valid: jax.Array | None = None,
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Full forward pass.
+
+    Two modes:
+      * prefill/training — ``kv_cache=None``: causal attention over input_ids
+        (B,T) with optional padding ``attention_mask`` (B,T).
+      * decode — ``kv_cache=(k,v)`` of shape (L,B,S,nkv,dh): the T new tokens
+        are written at ``cache_pos`` and attend over positions where
+        ``kv_valid`` (B,S) is true (plus themselves, causally).
+
+    Returns (logits, last_hidden | None, new_kv_cache | None).
+    """
+    B, T = input_ids.shape
+    x = params["embed"]["weight"][input_ids].astype(cfg.dtype)
+
+    if positions is None:
+        if attention_mask is not None:
+            # left-padding friendly: position = cumsum(mask)-1, clamped at 0
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta)
+
+    if kv_cache is None:
+        causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
+        if attention_mask is not None:
+            mask = causal & (attention_mask[:, None, :] > 0)
+        else:
+            mask = jnp.broadcast_to(causal, (B, T, T))
+        x, _ = _scan_layers(cfg, params, x, cos, sin, mask, remat=remat)
+        new_cache = None
+    else:
+        S = kv_cache[0].shape[2]
+        kpos = jnp.arange(S)[None, None, :]  # (1,1,S)
+        valid = kv_valid[:, None, :] if kv_valid is not None else (kpos < (cache_pos + T))
+        # new tokens at slots [cache_pos, cache_pos+T): causal among themselves
+        qpos = cache_pos + jnp.arange(T)[None, :, None]  # (1,T,1)
+        mask = valid & (kpos <= qpos)
+        x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache, cache_pos)
+        new_cache = (nk, nv)
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
+    logits = jnp.einsum("bth,vh->btv", x, head_w, preferred_element_type=jnp.float32)
+    return logits, (x if return_hidden else None), new_cache
+
+
+def init_kv_cache(cfg: Qwen2Config, batch: int, max_len: int) -> tuple[jax.Array, jax.Array]:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)

@@ -1,0 +1,77 @@
+"""Device mesh construction and GSPMD sharding rules.
+
+Replaces the reference's entire distributed substrate (DeepSpeed ZeRO-3 +
+NCCL scatter protocol + PyNccl weight plane, SURVEY.md §2.3): one mesh with
+axes ``("data", "model")``; parameters are sharded FSDP-style over ``data``
+and tensor-parallel over ``model``; XLA inserts all collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_model
+    assert n_data * n_model == devices.size, (n_data, n_model, devices.size)
+    return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
+
+
+# Parameter sharding rules: (path regex, PartitionSpec). First match wins.
+# Layout convention (see models/qwen2.py): stacked layer params have a
+# leading layer axis which is never sharded. 2D weights are (in, out).
+#
+# TP sharding: qkv/gate/up shard the output (head/ffn) dim; o/down shard the
+# input dim, producing a psum XLA resolves over ``model``. FSDP: embedding
+# and lm_head shard vocab over ``data`` so optimizer state spreads out.
+PARAM_RULES: list[tuple[str, P]] = [
+    (r"embed/weight$", P(DATA_AXIS, MODEL_AXIS)),
+    (r"lm_head/weight$", P(MODEL_AXIS, DATA_AXIS)),
+    (r"layers/attn/(q|k|v)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/attn/(q|k|v)_proj/b$", P(None, MODEL_AXIS)),
+    (r"layers/attn/o_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"layers/mlp/(gate|up)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/mlp/down_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"(layers/)?(input_layernorm|post_attention_layernorm|norm)/scale$", P()),
+    (r"value_head/(w|b)$", P()),
+]
+
+
+def param_pspec(path: str) -> P:
+    for pat, spec in PARAM_RULES:
+        if re.search(pat, path):
+            return spec
+    return P()
+
+
+def _tree_paths(tree: Any, prefix: str = "") -> Any:
+    if isinstance(tree, dict):
+        return {k: _tree_paths(v, f"{prefix}/{k}" if prefix else k) for k, v in tree.items()}
+    return prefix
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put every param according to PARAM_RULES on the mesh."""
+    paths = _tree_paths(params)
+    return jax.tree.map(
+        lambda p, path: jax.device_put(p, NamedSharding(mesh, param_pspec(path))),
+        params,
+        paths,
+    )
+
+
+def params_pspec_tree(params: Any) -> Any:
+    """PartitionSpec pytree matching ``params`` (for pjit in/out specs)."""
+    paths = _tree_paths(params)
+    return jax.tree.map(lambda _, path: param_pspec(path), params, paths)

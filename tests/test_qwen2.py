@@ -1,0 +1,196 @@
+"""Qwen2 JAX model: parity vs HF transformers (torch CPU) + cache semantics."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapha_tpu.models import Qwen2Config, loader, qwen2
+
+rng = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_dir(tmp_path_factory):
+    """Create and save a tiny random HF Qwen2 model."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFQwen2Config, Qwen2ForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_qwen2")
+    hf_cfg = HFQwen2Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tiny_hf_dir):
+    params, cfg = loader.load_params(tiny_hf_dir, dtype=jnp.float32)
+    return params, cfg
+
+
+def test_config_from_hf(tiny_hf_dir):
+    cfg = loader.load_config(tiny_hf_dir)
+    assert cfg.hidden_size == 64
+    assert cfg.num_hidden_layers == 2
+    assert cfg.num_key_value_heads == 2
+    assert cfg.tie_word_embeddings
+
+
+def test_logits_match_hf(tiny_hf_dir, tiny_model):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2ForCausalLM
+
+    params, cfg = tiny_model
+    ids = rng.integers(0, 512, size=(2, 17))
+    hf = Qwen2ForCausalLM.from_pretrained(tiny_hf_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_logits_match_hf_with_left_padding(tiny_hf_dir, tiny_model):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2ForCausalLM
+
+    params, cfg = tiny_model
+    ids = rng.integers(0, 512, size=(1, 12))
+    pad = np.zeros((1, 5), dtype=ids.dtype)
+    padded = np.concatenate([pad, ids], axis=1)
+    mask = np.concatenate([np.zeros((1, 5), np.int64), np.ones((1, 12), np.int64)], axis=1)
+
+    hf = Qwen2ForCausalLM.from_pretrained(tiny_hf_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(padded), attention_mask=torch.tensor(mask)).logits.numpy()
+
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(padded), attention_mask=jnp.asarray(mask))
+    # compare only on real (unpadded) positions
+    np.testing.assert_allclose(np.asarray(logits)[:, 5:], ref[:, 5:], rtol=2e-3, atol=2e-3)
+
+
+def test_hidden_states_match_hf(tiny_hf_dir, tiny_model):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2ForCausalLM
+
+    params, cfg = tiny_model
+    ids = rng.integers(0, 512, size=(2, 9))
+    hf = Qwen2ForCausalLM.from_pretrained(tiny_hf_dir).eval()
+    with torch.no_grad():
+        # the value head pools the final hidden AFTER the output norm
+        # (hidden_states[-1] in HF is pre-norm... actually HF's last entry is
+        # the post-norm output of the final layer for Qwen2)
+        out = hf(torch.tensor(ids), output_hidden_states=True)
+        ref_last = out.hidden_states[-1].numpy()
+
+    _, hidden, _ = qwen2.forward(params, cfg, jnp.asarray(ids), return_hidden=True)
+    np.testing.assert_allclose(np.asarray(hidden), ref_last, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_matches_prefill(tiny_model):
+    """Prefill T tokens then decode one-by-one must equal full forward."""
+    params, cfg = tiny_model
+    B, T_total, T_prefill = 2, 12, 8
+    ids = jnp.asarray(rng.integers(0, 512, size=(B, T_total)))
+
+    full_logits, _, _ = qwen2.forward(params, cfg, ids)
+
+    cache = qwen2.init_kv_cache(cfg, B, 32)
+    pre_logits, _, cache = qwen2.forward(
+        params, cfg, ids[:, :T_prefill], kv_cache=cache, cache_pos=0,
+        positions=jnp.broadcast_to(jnp.arange(T_prefill)[None], (B, T_prefill)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[:, :T_prefill]), rtol=2e-3, atol=2e-3
+    )
+
+    for t in range(T_prefill, T_total):
+        step_logits, _, cache = qwen2.forward(
+            params, cfg, ids[:, t : t + 1], kv_cache=cache, cache_pos=t,
+            positions=jnp.full((B, 1), t),
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), rtol=5e-3, atol=5e-3
+        )
+
+
+def test_random_init_runs_and_remat_matches():
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 10)))
+    l1, _, _ = qwen2.forward(params, cfg, ids)
+    l2, _, _ = qwen2.forward(params, cfg, ids, remat=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_sharded_on_mesh(tiny_model, mesh8):
+    """Same logits when params are TP/FSDP-sharded over the 4x2 mesh."""
+    from lapha_tpu.parallel import shard_params
+
+    params, cfg = tiny_model
+    ids = jnp.asarray(rng.integers(0, 512, size=(4, 11)))
+    ref, _, _ = qwen2.forward(params, cfg, ids)
+
+    sp = shard_params(params, mesh8)
+    out = jax.jit(lambda p, i: qwen2.forward(p, cfg, i)[0])(sp, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_export_roundtrip(tiny_hf_dir, tiny_model, tmp_path):
+    params, cfg = tiny_model
+    out_dir = str(tmp_path / "export")
+    loader.export_hf(params, cfg, out_dir, src_config_dir=tiny_hf_dir)
+    params2, cfg2 = loader.load_params(out_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, size=(1, 7)))
+    l1, _, _ = qwen2.forward(params, cfg, ids)
+    l2, _, _ = qwen2.forward(params2, cfg2, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_value_head_artifact_roundtrip(tmp_path):
+    from lapha_tpu.models import value_model
+
+    head = value_model.init_value_head(64, jax.random.key(1))
+    p = str(tmp_path / "value_head.npz")
+    loader.save_value_head(p, head)
+    loaded = loader.load_value_head(p, 64)
+    np.testing.assert_allclose(loaded["w"], head["w"], rtol=1e-6)
+    np.testing.assert_allclose(loaded["b"], head["b"], rtol=1e-6)
+
+
+def test_value_head_torch_pt_format(tmp_path):
+    """Reference ships value_head.pt as a torch state dict — must load."""
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "value_head.pt")
+    torch.save({"weight": torch.randn(1, 64), "bias": torch.randn(1)}, p)
+    head = loader.load_value_head(p, 64)
+    assert head["w"].shape == (64,)
+    # wrapper-prefixed format
+    p2 = str(tmp_path / "wrapper.pt")
+    torch.save({"base_lm.x": torch.zeros(1), "value_head.weight": torch.randn(1, 64),
+                "value_head.bias": torch.randn(1)}, p2)
+    head2 = loader.load_value_head(p2, 64)
+    assert head2["w"].shape == (64,)
+
+
+def test_unsupported_head_type_rejected():
+    from lapha_tpu.models import value_model
+
+    with pytest.raises(ValueError, match="qwen2"):
+        value_model.make_value_head("qwen2", 64, jax.random.key(0))
