@@ -1,0 +1,126 @@
+"""On-device batched sampling for the generation engine.
+
+Implements the sampling pipeline the reference delegates to vLLM
+(/root/reference/trainer/vllm_client.py:498-520 forwards temperature, top_p,
+top_k, min_p, repetition_penalty to the server): processing order matches
+vLLM — repetition penalty → temperature → top-k → top-p → min-p — and the
+returned logprob of the sampled token is log-softmax of the fully processed
+logits.
+
+Everything is (B, V)-batched with per-row parameter vectors so one compiled
+kernel serves heterogeneous requests in the same decode batch; all masking
+is done with sorted-scan tricks (no dynamic shapes) so XLA fuses the whole
+pipeline into a few VPU passes over the vocab.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_repetition_penalty(logits: jax.Array, presence: jax.Array, penalty: jax.Array) -> jax.Array:
+    """vLLM-style repetition penalty.
+
+    presence: (B, V) bool/int — token appeared in prompt or generation.
+    penalty:  (B,) float — 1.0 disables.
+    positive logits are divided by p, negative multiplied by p.
+    """
+    p = penalty[:, None]
+    pos = logits > 0
+    penalized = jnp.where(pos, logits / p, logits * p)
+    return jnp.where(presence > 0, penalized, logits)
+
+
+def process_logits(
+    logits: jax.Array,
+    *,
+    presence: jax.Array | None = None,
+    repetition_penalty: jax.Array | None = None,
+    temperature: jax.Array | None = None,
+    top_k: jax.Array | None = None,
+    top_p: jax.Array | None = None,
+    min_p: jax.Array | None = None,
+) -> jax.Array:
+    """Apply the full processing pipeline; returns masked logits (B, V) f32.
+
+    Per-row params; top_k <= 0 disables top-k, top_p >= 1 disables top-p,
+    min_p <= 0 disables min-p. Temperature 0 rows are handled by the caller
+    (greedy argmax short-circuit in :func:`sample`).
+    """
+    x = logits.astype(jnp.float32)
+    B, V = x.shape
+
+    if repetition_penalty is not None and presence is not None:
+        x = apply_repetition_penalty(x, presence, repetition_penalty)
+
+    if temperature is not None:
+        t = jnp.maximum(temperature, 1e-6)[:, None]
+        x = x / t
+
+    if top_k is not None or top_p is not None:
+        # one descending sort; combine k-rank and nucleus conditions into a
+        # keep-mask in sorted space, then mask x by the smallest kept logit
+        sorted_x = jnp.sort(x, axis=-1)[:, ::-1]
+        ranks = jnp.arange(V)[None, :]
+        keep = jnp.ones(sorted_x.shape, dtype=bool)
+        if top_k is not None:
+            k = jnp.where(top_k <= 0, V, top_k)[:, None]
+            keep &= ranks < k
+        if top_p is not None:
+            probs = jax.nn.softmax(jnp.where(keep, sorted_x, NEG_INF), axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep while exclusive-cumulative < top_p (always keeps rank 0)
+            keep &= (cum - probs) < jnp.maximum(top_p, 1e-6)[:, None]
+        thresh = jnp.min(jnp.where(keep, sorted_x, jnp.inf), axis=-1, keepdims=True)
+        x = jnp.where(x < thresh, NEG_INF, x)
+
+    if min_p is not None:
+        probs = jax.nn.softmax(x, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        x = jnp.where((probs < min_p[:, None] * pmax) & (min_p[:, None] > 0), NEG_INF, x)
+
+    return x
+
+
+def sample(
+    logits: jax.Array,
+    key: jax.Array,
+    *,
+    presence: jax.Array | None = None,
+    repetition_penalty: jax.Array | None = None,
+    temperature: jax.Array | None = None,
+    top_k: jax.Array | None = None,
+    top_p: jax.Array | None = None,
+    min_p: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Sample one token per row; returns (token (B,) i32, logprob (B,) f32).
+
+    Rows with temperature == 0 take argmax of the penalized logits (greedy),
+    like vLLM. The logprob is log-softmax of the processed logits at the
+    sampled token.
+    """
+    processed = process_logits(
+        logits,
+        presence=presence,
+        repetition_penalty=repetition_penalty,
+        temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
+        min_p=min_p,
+    )
+    sampled = jax.random.categorical(key, processed, axis=-1)
+    if temperature is not None:
+        greedy_src = logits.astype(jnp.float32)
+        if repetition_penalty is not None and presence is not None:
+            greedy_src = apply_repetition_penalty(greedy_src, presence, repetition_penalty)
+        greedy = jnp.argmax(greedy_src, axis=-1)
+        token = jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)
+    else:
+        token = sampled.astype(jnp.int32)
+    logprobs = jax.nn.log_softmax(processed, axis=-1)
+    lp = jnp.take_along_axis(logprobs, token[:, None], axis=-1)[:, 0]
+    # greedy rows: report logprob under the pre-truncation distribution
+    return token, lp
