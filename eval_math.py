@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Root CLI wrapper: score rollouts (same flags/outputs as the reference's
+eval_math.py — see lapha_tpu/evalsuite/eval_math.py)."""
+
+from lapha_tpu.evalsuite.eval_math import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""In-process python interpreter tool + the agent-facing tool function.
+
+Parity with /root/reference/tools/python_code_interpreter.py (IPythonInterpreter
+Tool with timeout + power guard + variable formatting, 290-520) and
+remote_python_code_interpreter.py (the `execute_python_code` signature agents
+call: (code, context) -> (output_str, new_context), output truncated).
+"""
+
+from __future__ import annotations
+
+import re
+import signal
+import threading
+from typing import Any
+
+from .sandbox import FinalAnswerException, Interpreter, InterpreterError
+from .tool_base import Tool
+
+POWER_GUARD = re.compile(r"\*\*\s*\d{5,}|pow\s*\(\s*\d+\s*,\s*\d{5,}")
+
+_MAX_REPR_LEN = 256
+_MAX_OUTPUT = 1024
+
+
+class _Timeout:
+    """SIGALRM-based timeout on the main thread; watchdog elsewhere."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+        self._main = threading.current_thread() is threading.main_thread()
+        self._old = None
+
+    def __enter__(self):
+        if self._main and self.seconds > 0:
+            def handler(signum, frame):
+                raise TimeoutError(f"execution exceeded {self.seconds}s")
+
+            self._old = signal.signal(signal.SIGALRM, handler)
+            signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        if self._main and self.seconds > 0:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def format_variables(state: dict, max_len: int = _MAX_REPR_LEN) -> str:
+    """Depth/length-limited pretty print of user variables."""
+    lines = []
+    for k, v in state.items():
+        if k.startswith("_"):
+            continue
+        r = repr(v)
+        if len(r) > max_len:
+            r = r[: max_len] + "...<truncated>"
+        lines.append(f"Var: {k}; Type: {type(v).__name__}\n{r}")
+    return "\n".join(lines)
+
+
+class IPythonInterpreter(Tool):
+    name = "execute_python_code"
+    description = (
+        "Execute a snippet of Python code in a persistent sandboxed session "
+        "and return printed output plus the session variables."
+    )
+    parameters = {
+        "type": "object",
+        "properties": {
+            "code": {"type": "string", "description": "Python code to execute."},
+        },
+        "required": ["code"],
+    }
+
+    def __init__(self, time_limit: int = 10, state: dict | None = None):
+        self.time_limit = int(time_limit)
+        self.interp = Interpreter(state=state if state is not None else {})
+
+    @property
+    def state(self) -> dict:
+        return self.interp.state
+
+    def execute(self, code: str, context: dict | None = None, **kw) -> tuple[str, dict]:
+        if POWER_GUARD.search(code or ""):
+            return "Error: power expression too large.", dict(context or {})
+        if context:
+            for k, v in context.items():
+                self.interp.state.setdefault(k, v)
+        try:
+            with _Timeout(self.time_limit):
+                result = self.interp.run(code)
+            printed = str(self.interp.print_output)
+            out = printed
+            if result is not None:
+                out = (out + ("\n" if out and not out.endswith("\n") else "") + repr(result))
+            if not out.strip():
+                out = format_variables(self.interp.state) or "(no output)"
+        except FinalAnswerException as e:
+            out = f"final_answer: {e.value}"
+        except (InterpreterError, TimeoutError, Exception) as e:
+            out = f"Error: {type(e).__name__}: {e}"
+        if len(out) > _MAX_OUTPUT:
+            out = out[:_MAX_OUTPUT] + "...<truncated>"
+        user_vars = {k: v for k, v in self.interp.state.items() if not k.startswith("_")}
+        return out, user_vars
+
+
+def execute_python_code(code: str, context: dict | None = None,
+                        time_limit: int = 10) -> tuple[str, dict]:
+    """The tool function agents call (fresh session per call, context seeded).
+
+    Output truncated to 512 chars like the remote client
+    (remote_python_code_interpreter.py:31-34).
+    """
+    tool = IPythonInterpreter(time_limit=time_limit, state=dict(context or {}))
+    out, new_ctx = tool.execute(code=code)
+    if len(out) > 512:
+        out = out[:512] + "...<truncated>"
+    return out, new_ctx
+
+
+description = [
+    {
+        "type": "function",
+        "function": {
+            "name": "execute_python_code",
+            "description": (
+                "Execute Python code in a sandboxed interpreter with persistent "
+                "session variables. Returns printed output and updated variables. "
+                "Allowed imports: math, numpy, sympy, pandas, itertools, ..."
+            ),
+            "parameters": {
+                "type": "object",
+                "properties": {
+                    "code": {"type": "string", "description": "The Python code to run."},
+                },
+                "required": ["code"],
+            },
+        },
+    }
+]

@@ -1,0 +1,81 @@
+"""Subprocess-level CLI end-to-end: the MATH-500 single-mode smoke slice.
+
+Mirrors the first BASELINE config (single-mode rollout + rule grading) on a
+tiny offline model: `python -m lapha_tpu.evalsuite.rollout_jsonl` with the
+native engine, then `eval_math.py`, checking the full file contracts.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from model_fixtures import build_tiny_model_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    return build_tiny_model_dir(str(tmp_path_factory.mktemp("tinymodel")))
+
+
+@pytest.fixture(scope="module")
+def env():
+    e = dict(os.environ)
+    e["JAX_PLATFORMS"] = "cpu"
+    e["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    e["PYTHONPATH"] = REPO
+    return e
+
+
+def test_tokenizer_fixture_works(tiny_model_dir):
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(tiny_model_dir)
+    msgs = [{"role": "user", "content": "What is 2+2?"}]
+    prompt = tok.apply_chat_template(conversation=msgs, tokenize=False, add_generation_prompt=True)
+    assert "<|im_start|>assistant" in prompt
+    ids = tok("hello world 42")["input_ids"]
+    assert tok.decode(ids) == "hello world 42"
+
+
+def test_single_mode_cli_then_score(tiny_model_dir, env, tmp_path):
+    data = tmp_path / "math-500.jsonl"
+    with open(data, "w") as f:
+        for q, a in [("What is 2+2?", "4"), ("What is 1+1?", "2")]:
+            f.write(json.dumps({"question": q, "answer": a}) + "\n")
+
+    out = tmp_path / "math.pred.jsonl"
+    cmd = [
+        sys.executable, "-m", "lapha_tpu.evalsuite.rollout_jsonl",
+        "--data", str(data), "--out", str(out), "--dataset-name", "math",
+        "--mode", "single", "--tokenizer-path", tiny_model_dir,
+        "--engine", "tpu", "--max-new-tokens", "16", "--temperature", "0.7",
+        "--max-model-len", "512", "--max-batch", "4",
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 2
+    for row in rows:
+        assert isinstance(row["completion"], str)
+        assert row["dataset"] == "math"
+        assert row["k"] == 1
+
+    # score with the root wrapper CLI
+    eval_dir = tmp_path / "eval"
+    (eval_dir / "rollouts").mkdir(parents=True)
+    os.rename(out, eval_dir / "rollouts" / "math.pred.jsonl")
+    env2 = dict(env)
+    env2["LAPHA_EVAL_DIR"] = str(eval_dir)
+    env2["DATA_DIR_MATH"] = str(data)
+    r2 = subprocess.run([sys.executable, "eval_math.py", "--dataset", "math"],
+                        env=env2, capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary = json.load(open(eval_dir / "results" / "math.summary.json"))
+    assert summary["num"] == 2
+    assert (eval_dir / "results" / "summary.csv").exists()
