@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark: MCTS-style rollout throughput (tokens/sec/chip).
+
+Measures the generation engine on the BASELINE.md north-star shape: breadth-6
+expansion batches (one parent prompt -> 6 samples sharing prefill KV) with a
+~1.5B-parameter Qwen2 architecture at bf16 (random weights — throughput does
+not depend on weight values). Prints ONE JSON line:
+
+  {"metric": "rollout_tokens_per_sec_per_chip", "value": N,
+   "unit": "tok/s", "vs_baseline": N / 2000.0}
+
+vs_baseline uses 2000 tok/s as the reference point: a single A100 running
+vLLM 0.11 on Qwen2.5-Math-1.5B bf16 at small batch (the reference's rollout
+server configuration, vllm_start.sh TP=2 over two GPUs ≈ 2x that per card)
+— recorded here as the working assumption until the reference stack can be
+measured directly (BASELINE.md notes the repo publishes no numbers).
+
+Env knobs: BENCH_PRESET=tiny|1p5b (default 1p5b on TPU, tiny on CPU),
+BENCH_MAX_TOKENS, BENCH_PROMPT_LEN, BENCH_BREADTH, BENCH_ROUNDS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_TOKENS_PER_SEC = 2000.0
+
+
+class IdTok:
+    """Tokenizer stub: prompts are space-separated raw token ids."""
+
+    eos_token_id = 1
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=True, **kw):
+        return {"input_ids": [int(w) for w in text.split()]}
+
+    def decode(self, ids, **kw):
+        return " ".join(str(int(i)) for i in ids)
+
+
+def main():
+    import jax
+
+    if os.getenv("JAX_PLATFORMS"):
+        # the axon sitecustomize re-forces its platform; env alone is not enough
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from lapha_tpu.engine import Engine, SamplingParams
+    from lapha_tpu.models import Qwen2Config, qwen2
+
+    platform = jax.devices()[0].platform
+    preset = os.getenv("BENCH_PRESET") or ("1p5b" if platform != "cpu" else "tiny")
+
+    if preset == "1p5b":
+        # Qwen2.5-1.5B architecture (28 layers, H1536, 12 heads / 2 kv)
+        cfg = Qwen2Config(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
+            max_position_embeddings=4096, rope_theta=1e6, dtype=jnp.bfloat16,
+        )
+    elif preset == "7b":
+        cfg = Qwen2Config(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+            max_position_embeddings=4096, rope_theta=1e6, dtype=jnp.bfloat16,
+        )
+    else:
+        cfg = Qwen2Config.tiny(vocab_size=2048)
+
+    prompt_len = int(os.getenv("BENCH_PROMPT_LEN", "512" if preset != "tiny" else "64"))
+    max_tokens = int(os.getenv("BENCH_MAX_TOKENS", "256" if preset != "tiny" else "32"))
+    breadth = int(os.getenv("BENCH_BREADTH", "6"))
+    rounds = int(os.getenv("BENCH_ROUNDS", "3"))
+
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    eng = Engine(
+        params, cfg, IdTok(),
+        max_model_len=prompt_len + max_tokens + 128,
+        max_batch=breadth, decode_chunk=32,
+        pad_multiple=128, batch_bucket=1,
+        eos_token_ids=[],  # force full-length decode for stable measurement
+        seed=0,
+    )
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(n=breadth, temperature=0.8, top_p=0.95, top_k=20,
+                        max_tokens=max_tokens, seed=1)
+
+    def one_round(seed):
+        ids = rng.integers(2, cfg.vocab_size, prompt_len)
+        prompt = " ".join(str(i) for i in ids)
+        outs = eng.generate([prompt], sp)
+        return sum(len(o.token_ids) for o in outs[0].outputs)
+
+    # warmup (compile)
+    one_round(0)
+
+    t0 = time.perf_counter()
+    total_tokens = 0
+    for r in range(rounds):
+        total_tokens += one_round(r + 1)
+    dt = time.perf_counter() - t0
+
+    tok_per_sec = total_tokens / dt
+    print(json.dumps({
+        "metric": "rollout_tokens_per_sec_per_chip",
+        "value": round(tok_per_sec, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_per_sec / REF_TOKENS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,3 +15,22 @@ hyperbolic latent reward shaping), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when a site plugin re-forces its platform.
+
+    Some environments register a PJRT plugin from sitecustomize and pin
+    jax_platforms at import time; calling this before first device use makes
+    the env var win (e.g. JAX_PLATFORMS=cpu for host-only CLI runs).
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass

@@ -69,6 +69,9 @@ class FakeEngine:
         self.default = default or (lambda prompt, n: [f"<think>fake</think><answer>{i}</answer>" for i in range(n)])
         self.calls: list[dict] = []
 
+    def update_params(self, params) -> None:
+        """Weight-sync seam no-op (scripted outputs don't depend on params)."""
+
     def _completions_for(self, prompt: str, n: int) -> list[str]:
         for pat, comps in self.script:
             if re.search(pat, prompt, flags=re.S):

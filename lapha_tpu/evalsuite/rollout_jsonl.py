@@ -345,6 +345,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_override=None):
+    from .. import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
 
     if tokenizer_override is not None:

@@ -1,0 +1,243 @@
+"""GRPO + value-MSE update: host packing + one jitted mesh step.
+
+Loss parity with /root/reference/trainer/mtpo_trainer.py compute_loss steps
+2-7 (padding 1874-1906, policy forward 1931-2074, ref-KL 2095-2166, value
+MSE 2171-2306, GRPO 2311-2412, total 2417-2446) — redesigned TPU-first:
+
+- the reference forwards micro-batches of ONE sample with per-row trimming
+  (mtpo_trainer.py:1961-2046); here samples are right-packed on host into a
+  single padded batch and the whole step (LM forward + logps + pooling +
+  value head + both losses + grads) is ONE jitted function over the mesh,
+- advantages/groups are host-computed constants (pure bookkeeping),
+- on-policy single-update semantics: old logps = stop_gradient(new), so the
+  PPO ratio is identically 1 and the clip is inert, exactly like the
+  reference's detach (2314-2316) — kept for future multi-epoch updates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import qwen2
+from ..ops.latent import masked_mean, pool_mask, value_head_apply
+
+
+# ----------------------------------------------------------------- host packing
+
+def completion_eos_mask(c_ids: np.ndarray, eos_id: int | None) -> np.ndarray:
+    """1 up to and including the first EOS, 0 after (reference
+    _completion_eos_mask_1d)."""
+    m = np.ones_like(c_ids)
+    if eos_id is not None:
+        hits = np.where(c_ids == int(eos_id))[0]
+        if hits.size and hits[0] + 1 < m.size:
+            m[hits[0] + 1:] = 0
+    return m
+
+
+def pack_samples(samples: list[dict], pad_id: int, eos_id: int | None,
+                 max_prompt_length: int, pad_multiple: int = 128,
+                 batch_multiple: int = 8) -> dict[str, np.ndarray] | None:
+    """Right-pack (prompt‖completion) rows into one padded batch.
+
+    Returns arrays: ids (B,L), attn, comp_mask (1 on completion pos up to
+    EOS), resp_mask/prompt_mask (pooling), prompt_len (B,), comp_len (B,),
+    valid (B,) — padded rows have valid=0 and contribute nothing.
+    """
+    rows = []
+    for s in samples:
+        p = np.asarray(s["prompt_ids"], np.int64).reshape(-1)[-max_prompt_length:]
+        c = np.asarray(s["completion_ids"], np.int64).reshape(-1)
+        p = p[p != pad_id]
+        c = c[c != pad_id]
+        if p.size == 0 or c.size == 0:
+            continue
+        rows.append((p, c))
+    if not rows:
+        return None
+
+    B = len(rows)
+    Bb = -(-B // batch_multiple) * batch_multiple
+    L = max(p.size + c.size for p, c in rows)
+    Lb = -(-L // pad_multiple) * pad_multiple
+
+    ids = np.full((Bb, Lb), pad_id, np.int32)
+    attn = np.zeros((Bb, Lb), np.int32)
+    comp = np.zeros((Bb, Lb), np.int32)
+    resp = np.zeros((Bb, Lb), np.int32)
+    pm = np.zeros((Bb, Lb), np.int32)
+    plen = np.zeros((Bb,), np.int32)
+    clen = np.zeros((Bb,), np.int32)
+    valid = np.zeros((Bb,), np.int32)
+
+    for i, (p, c) in enumerate(rows):
+        lp, lc = p.size, c.size
+        ids[i, :lp] = p
+        ids[i, lp:lp + lc] = c
+        attn[i, :lp + lc] = 1
+        cm = completion_eos_mask(c, eos_id)
+        comp[i, lp:lp + lc] = cm
+        resp[i, lp:lp + lc] = cm
+        pm[i, :lp] = 1
+        plen[i], clen[i], valid[i] = lp, lc, 1
+    # pad rows: 1-token attn keeps pooling denominators sane
+    attn[B:, 0] = 1
+    resp[B:, 0] = 1
+    return dict(ids=ids, attn=attn, comp_mask=comp, resp_mask=resp,
+                prompt_mask=pm, prompt_len=plen, comp_len=clen, valid=valid)
+
+
+def group_advantages(rewards: np.ndarray, group_ids: np.ndarray,
+                     scale_rewards: str = "group") -> np.ndarray:
+    """Group-mean-centered advantages (reference 2331-2379)."""
+    rewards = np.asarray(rewards, np.float64)
+    group_ids = np.asarray(group_ids, np.int64)
+    if isinstance(scale_rewards, bool):
+        scale_rewards = "group" if scale_rewards else "none"
+    scale_rewards = str(scale_rewards).lower()
+
+    if group_ids.size == 0:
+        return np.zeros(0, np.float32)
+    K = int(group_ids.max()) + 1
+    cnt = np.bincount(group_ids, minlength=K).astype(np.float64)
+    gsum = np.bincount(group_ids, weights=rewards, minlength=K)
+    gmean = gsum / (cnt + 1e-8)
+    centered = rewards - gmean[group_ids]
+
+    if scale_rewards in ("none", "false", "0"):
+        adv = centered
+    elif scale_rewards in ("batch", "global"):
+        adv = centered / (centered.std() + 1e-4)
+    else:  # group
+        gsumsq = np.bincount(group_ids, weights=centered**2, minlength=K)
+        gstd = np.sqrt(np.maximum(gsumsq / (cnt + 1e-8), 0.0))
+        adv = centered / (gstd[group_ids] + 1e-4)
+    return adv.astype(np.float32)
+
+
+# ----------------------------------------------------------------- jitted step
+
+def _selective_logps(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+
+
+def loss_and_metrics(
+    params: Any,
+    head: dict,
+    batch: dict[str, jax.Array],
+    model_cfg: qwen2.Qwen2Config,
+    *,
+    temperature: float,
+    eps_low: float,
+    eps_high: float,
+    loss_type: str,
+    importance_level: str,
+    value_w: float,
+    beta: float,
+    max_completion_length: int,
+    no_head_scale: float = 0.0,
+    value_activation: str = "sigmoid",
+    remat: bool = True,
+    ref_logps: jax.Array | None = None,
+):
+    """Differentiable total loss over a packed batch.
+
+    batch extra keys: advantages (B,), v_target (B,).
+    """
+    ids, attn = batch["ids"], batch["attn"]
+    comp_mask = batch["comp_mask"].astype(jnp.float32)
+    valid = batch["valid"].astype(jnp.float32)
+
+    logits, hidden, _ = qwen2.forward(
+        params, model_cfg, ids, attention_mask=attn, remat=remat, return_hidden=True
+    )
+    t = temperature if temperature > 0 else 1.0
+    logps_all = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])  # (B, L-1)
+    # token at position j is predicted from j-1 → completion token mask shifts by 1
+    token_mask = comp_mask[:, 1:] * valid[:, None]
+    per_token_logps = logps_all * token_mask
+
+    # ---- policy loss (GRPO family) ----
+    A = batch["advantages"].astype(jnp.float32)[:, None]
+    old = jax.lax.stop_gradient(per_token_logps)
+    log_ratio = per_token_logps - old
+    if importance_level == "sequence":
+        denom_len = jnp.maximum(token_mask.sum(-1), 1.0)
+        log_w = ((log_ratio * token_mask).sum(-1) / denom_len)[:, None]
+    else:
+        log_w = log_ratio
+    ratio = jnp.exp(log_w)
+    clipped = jnp.clip(ratio, 1.0 - eps_low, 1.0 + eps_high)
+    per_token_loss = -jnp.minimum(ratio * A, clipped * A)
+
+    if beta > 0.0 and ref_logps is not None:
+        kl = jnp.exp(ref_logps - per_token_logps) - (ref_logps - per_token_logps) - 1.0
+        per_token_loss = per_token_loss + beta * kl
+        mean_kl = (kl * token_mask).sum() / jnp.maximum(token_mask.sum(), 1.0)
+    else:
+        mean_kl = jnp.zeros(())
+
+    if loss_type == "grpo":
+        row_loss = (per_token_loss * token_mask).sum(-1) / jnp.maximum(token_mask.sum(-1), 1.0)
+        policy_loss = (row_loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    elif loss_type == "bnpo":
+        policy_loss = (per_token_loss * token_mask).sum() / jnp.maximum(token_mask.sum(), 1.0)
+    else:  # dr_grpo
+        policy_loss = (per_token_loss * token_mask).sum() / (
+            jnp.maximum(valid.sum(), 1.0) * max_completion_length)
+
+    # ---- value loss ----
+    pm = pool_mask(attn, batch["resp_mask"], batch["prompt_mask"])
+    h0 = masked_mean(hidden, pm)
+    v_pred = value_head_apply(h0, head["w"], head["b"], activation=value_activation)
+    v_target = jnp.clip(batch["v_target"].astype(jnp.float32), 0.0, 1.0)
+    sq = (v_pred - v_target) ** 2 * valid
+    value_loss = sq.sum() / jnp.maximum(valid.sum(), 1.0)
+
+    loss = policy_loss + value_w * value_loss
+    metrics = {
+        "loss": loss,
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "kl": mean_kl,
+        "v_pred_mean": (v_pred * valid).sum() / jnp.maximum(valid.sum(), 1.0),
+        "completion_tokens": token_mask.sum(),
+    }
+    return loss, metrics
+
+
+def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict):
+    """Build the jitted (params, head, opt_state, batch) -> updated step."""
+
+    def step(params, head, opt_state, batch, ref_logps=None):
+        def lfn(ph):
+            return loss_and_metrics(ph[0], ph[1], batch, model_cfg,
+                                    ref_logps=ref_logps, **loss_kwargs)
+
+        (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)((params, head))
+        updates, opt_state = optimizer.update(grads, opt_state, (params, head))
+        params, head = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)), (params, head), updates
+        )
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                             for g in jax.tree.leaves(grads)))
+        metrics["grad_norm"] = gnorm
+        return params, head, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: float):
+    """Frozen-reference per-token logps for the KL penalty (jit separately)."""
+    ids, attn = batch["ids"], batch["attn"]
+    logits, _, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn)
+    t = temperature if temperature > 0 else 1.0
+    logps = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])
+    token_mask = batch["comp_mask"].astype(jnp.float32)[:, 1:]
+    return jax.lax.stop_gradient(logps * token_mask)

@@ -1,0 +1,289 @@
+"""Trainer: loss math, shaping semantics, and a full tiny training step."""
+
+import json
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapha_tpu.engine import FakeEngine, SamplingParams
+from lapha_tpu.models import Qwen2Config, qwen2, value_model
+from lapha_tpu.search import LatentBank, make_fake_value_fn
+from lapha_tpu.train import (
+    MTPOConfig,
+    ShapingConfig,
+    compute_action_rewards,
+    fmt_bonus,
+    math_reward,
+)
+from lapha_tpu.train import losses
+from lapha_tpu.train.shaping import best_var_window_constrained
+
+from test_search import ChatTok, PoorAgent, make_agent
+
+
+# ------------------------------------------------------------------- config
+
+def test_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("learning_rate: 2.0e-6\ndepth: 4\nloss_type: bnpo\nsome_unknown_key: 5\n")
+    cfg = MTPOConfig.from_yaml(str(p))
+    assert cfg.learning_rate == 2e-6 and cfg.depth == 4 and cfg.loss_type == "bnpo"
+    assert "some_unknown_key" in cfg._ignored_yaml_keys
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="linear"):
+        MTPOConfig(value_head_type="qwen2")
+    with pytest.raises(ValueError, match="num_generations"):
+        MTPOConfig(num_generations=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MTPOConfig(generation_batch_size=8, steps_per_generation=2)
+
+
+# ------------------------------------------------------------------- rewards
+
+def test_math_reward():
+    assert math_reward("<answer>4\\sqrt{5}</answer>", "4\\sqrt{5}") == 1.0
+    assert math_reward("<answer>5</answer>", "4") == 0.0
+    assert math_reward("no tag", "4") == 0.0
+
+
+def test_fmt_bonus():
+    assert fmt_bonus("STEP-1:\n<think>x</think>") == 1.0
+    assert fmt_bonus("STEP-2:\n<think>x</think>\n<answer>4</answer>") == 1.0
+    assert fmt_bonus("STEP-1:\n<think>x</think> extra prose") == 0.0
+    assert fmt_bonus("no header <think>x</think>") == 0.0
+    assert fmt_bonus("STEP-1:\n<think>x</think>STEP-2:\n<think>y</think>") == 0.0
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_samples_layout():
+    samples = [
+        dict(prompt_ids=[5, 6, 7], completion_ids=[8, 9]),
+        dict(prompt_ids=[5], completion_ids=[9, 9, 9, 1, 9]),  # eos=1 mid-completion
+    ]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1, max_prompt_length=10,
+                                 pad_multiple=8, batch_multiple=2)
+    assert packed["ids"].shape == (2, 8)
+    np.testing.assert_array_equal(packed["ids"][0, :5], [5, 6, 7, 8, 9])
+    # comp mask: stops after eos (keep eos itself)
+    np.testing.assert_array_equal(packed["comp_mask"][1, :6], [0, 1, 1, 1, 1, 0])
+    assert packed["valid"].tolist() == [1, 1]
+
+
+def test_group_advantages_semantics():
+    r = np.array([1.0, 0.0, 1.0, 1.0])
+    g = np.array([0, 0, 1, 1])
+    adv = losses.group_advantages(r, g, "none")
+    np.testing.assert_allclose(adv, [0.5, -0.5, 0.0, 0.0], atol=1e-6)
+    adv_g = losses.group_advantages(r, g, "group")
+    assert adv_g[0] > 0 > adv_g[1]
+    assert abs(adv_g[2]) < 1e-3  # zero-variance group -> ~0
+    adv_b = losses.group_advantages(r, g, "batch")
+    assert adv_b[0] > 0
+
+
+def test_best_var_window():
+    vals = np.array([0.9, 0.8, 0.5, 0.1, 0.0], np.float32)
+    ok = np.ones_like(vals, bool)
+    s, var = best_var_window_constrained(vals, ok, 3)
+    assert s is not None
+    assert s == 1 or s == 2  # the high-variance middle window
+
+
+# ------------------------------------------------------------------- loss fn
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    return cfg, params, head
+
+
+def _make_batch(cfg, B=4, with_adv=True):
+    rng = np.random.default_rng(0)
+    # ragged completion lengths so grpo/bnpo/dr_grpo normalizations differ
+    samples = [dict(prompt_ids=rng.integers(2, cfg.vocab_size, 6).tolist(),
+                    completion_ids=rng.integers(2, cfg.vocab_size, 3 + 2 * i).tolist())
+               for i in range(B)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1, max_prompt_length=64,
+                                 pad_multiple=16, batch_multiple=4)
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    Bb = packed["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(np.r_[1.0, -0.5, 0.5, -0.2, np.zeros(Bb - 4)].astype(np.float32))
+    batch["v_target"] = jnp.asarray(np.r_[1.0, 0.0, 0.5, 0.2, np.zeros(Bb - 4)].astype(np.float32))
+    return batch
+
+
+def test_loss_finite_and_grads_flow(tiny_setup):
+    cfg, params, head = tiny_setup
+    batch = _make_batch(cfg)
+    kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
+              importance_level="token", value_w=1.0, beta=0.0,
+              max_completion_length=16, remat=False)
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda ph: losses.loss_and_metrics(ph[0], ph[1], batch, cfg, **kw),
+        has_aux=True)((params, head))
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gnorm > 0
+    # on-policy: ratio==1 -> policy loss == -mean(A) over tokens per row... sign sanity
+    assert np.isfinite(metrics["policy_loss"]) and np.isfinite(metrics["value_loss"])
+
+
+def test_loss_types_differ(tiny_setup):
+    cfg, params, head = tiny_setup
+    batch = _make_batch(cfg)
+    outs = {}
+    for lt in ("grpo", "bnpo", "dr_grpo"):
+        kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type=lt,
+                  importance_level="token", value_w=0.0, beta=0.0,
+                  max_completion_length=16, remat=False)
+        loss, _ = losses.loss_and_metrics(params, head, batch, cfg, **kw)
+        outs[lt] = float(loss)
+    assert len({round(v, 8) for v in outs.values()}) >= 2
+
+
+def test_kl_penalty_zero_when_ref_equals_policy(tiny_setup):
+    cfg, params, head = tiny_setup
+    batch = _make_batch(cfg)
+    ref = losses.ref_logps_fn(params, batch, cfg, 1.0)
+    kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
+              importance_level="token", value_w=0.0, beta=0.1,
+              max_completion_length=16, remat=False)
+    _, metrics = losses.loss_and_metrics(params, head, batch, cfg, ref_logps=ref, **kw)
+    assert abs(float(metrics["kl"])) < 1e-4
+
+
+# ------------------------------------------------------------------- shaping
+
+def _mk_chain_tree():
+    """root -> a -> {b_correct(terminal), c_wrong(terminal)} as chains."""
+    root = dict(completion="", current_depth=0, prompt_ids=[1], completion_ids=[],
+                hid_idx=0, v_pred=0.5)
+    a = dict(completion="STEP-1:\n<think>t</think>", current_depth=1,
+             prompt_ids=[1], completion_ids=[2], hid_idx=1, v_pred=0.6)
+    b = dict(completion="STEP-2:\n<think>u</think>\n<answer>4</answer>", current_depth=2,
+             prompt_ids=[1, 2], completion_ids=[3], hid_idx=2, v_pred=0.9)
+    c = dict(completion="STEP-2:\n<think>v</think>\n<answer>7</answer>", current_depth=2,
+             prompt_ids=[1, 2], completion_ids=[4], hid_idx=3, v_pred=0.2)
+    return root, [[a, b], [a, c]]
+
+
+def test_compute_action_rewards_semantics():
+    root, chains = _mk_chain_tree()
+    bank = LatentBank()
+    pts = np.array([[0.0, 0.0], [0.3, 0.0], [0.6, 0.0], [0.1, 0.5]], np.float32)
+    for p in pts:
+        bank.add(p)
+    cfg = ShapingConfig(depth=3)
+    reward = [lambda comp, gt: 1.0 if "<answer>4</answer>" in comp else 0.0]
+    avg_acc, pass1, diag = compute_action_rewards(
+        chains, reward, "4", cfg, bank=bank, root_step=root)
+
+    a, b, c = chains[0][0], chains[0][1], chains[1][1]
+    assert b["is_leaf"] and c["is_leaf"] and not a["is_leaf"]
+    assert b["is_correct"] and not c["is_correct"]
+    assert avg_acc == pytest.approx(0.5)
+    assert a["on_path"] and b["on_path"] and not c["on_path"]
+    # pass@1: max-v_pred answered leaf is b (0.9) which is correct
+    assert pass1 == 1.0
+    # V-map: b is an anchor -> d_goal ~0 -> V(b) ~1; root V ~0
+    assert b["v_target"] > 0.9
+    assert root["v_target"] < 0.05
+    # edge reward of b positive (V increased along the path)
+    assert b["reward"] > 0.0
+
+
+def test_compute_action_rewards_dead_tree():
+    root, chains = _mk_chain_tree()
+    bank = LatentBank()
+    for p in np.random.default_rng(0).normal(size=(4, 2)).astype(np.float32) * 0.1:
+        bank.add(p)
+    cfg = ShapingConfig(depth=3)
+    reward = [lambda comp, gt: 0.0]  # nothing correct -> no anchors
+    avg_acc, pass1, _ = compute_action_rewards(chains, reward, "4", cfg,
+                                               bank=bank, root_step=root)
+    assert avg_acc == 0.0 and pass1 == 0.0
+    assert all(st["v_target"] == 0.0 for ch in chains for st in ch)
+
+
+# ------------------------------------------------------------------- full step
+
+def test_trainer_full_step_tiny():
+    """End-to-end: fake-engine MCTS rollout -> shaping -> jitted update."""
+    cfg = Qwen2Config.tiny(vocab_size=4096)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    eng = FakeEngine(tok, script=[
+        (r"STEP-2", ["done </think> <answer>4</answer>", "done2 </think> <answer>7</answer>"]),
+        (r".", ["go </think> on", "go2 </think> on"]),
+    ])
+
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-train-test", model_name_or_path=None,
+        depth=3, breadth=2, num_sim=6, num_pos_sim=99, prune_per=100,
+        num_groups=4, max_model_len=512, max_prompt_length=256,
+        max_completion_length=32, per_device_train_batch_size=2,
+        num_generations=2, save_steps=0, bf16=False,
+        gradient_checkpointing=False, mesh_model=1, debug_print=False,
+    )
+
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    dataset = [
+        {"question": "what is 2+2?", "ground_truth": "4", "support_material_path": []},
+        {"question": "what is 1+3?", "ground_truth": "4", "support_material_path": []},
+    ]
+    trainer = MTPOTrainer(
+        model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+        reward_fns=[lambda c, gt: 1.0 if f"<answer>{gt}</answer>" in c else 0.0],
+        train_dataset=dataset, tokenizer=tok,
+    )
+    trainer.engine = eng  # fake generation; value_fn stays real (tiny model)
+
+    m = trainer.train_step(dataset)
+    assert trainer.global_step == 1
+    assert m["n_samples"] >= 0
+    if m["n_samples"] > 0:
+        assert np.isfinite(m["loss"])
+        assert m["num_groups"] >= 1
+    # metrics jsonl written with reference scalar names
+    lines = [json.loads(l) for l in open(os.path.join(args.output_dir, "metrics.jsonl"))]
+    names = {l["name"] for l in lines}
+    assert "avgAcc" in names and "pass@1" in names
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(
+        output_dir=str(tmp_path), model_name_or_path=None, depth=2, breadth=2,
+        num_sim=2, max_model_len=256, num_generations=2, save_steps=0,
+        bf16=False, gradient_checkpointing=False, debug_print=False,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    t1 = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+                     reward_fns=[], train_dataset=[], tokenizer=tok)
+    t1.global_step = 7
+    t1.save_checkpoint()
+
+    t2 = MTPOTrainer(model=(qwen2.init_params(cfg, jax.random.key(9)), cfg),
+                     agent_cls_list=[PoorAgent], args=args,
+                     reward_fns=[], train_dataset=[], tokenizer=tok)
+    assert t2.load_checkpoint()
+    assert t2.global_step == 7
+    np.testing.assert_allclose(np.asarray(t2.head["w"], np.float32),
+                               np.asarray(t1.head["w"], np.float32))
+    l1 = jax.tree.leaves(t1.params)
+    l2 = jax.tree.leaves(t2.params)
+    np.testing.assert_allclose(np.asarray(l1[0], np.float32),
+                               np.asarray(l2[0], np.float32))
