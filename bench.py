@@ -77,13 +77,14 @@ def main():
     prompt_len = int(os.getenv("BENCH_PROMPT_LEN", "512" if preset != "tiny" else "64"))
     max_tokens = int(os.getenv("BENCH_MAX_TOKENS", "256" if preset != "tiny" else "32"))
     breadth = int(os.getenv("BENCH_BREADTH", "6"))
+    parents = int(os.getenv("BENCH_PARENTS", "2"))
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
     params = qwen2.init_params(cfg, jax.random.key(0))
     eng = Engine(
         params, cfg, IdTok(),
         max_model_len=prompt_len + max_tokens + 128,
-        max_batch=breadth, decode_chunk=32,
+        max_batch=parents * breadth, decode_chunk=32,
         pad_multiple=128, batch_bucket=1,
         eos_token_ids=[],  # force full-length decode for stable measurement
         seed=0,
@@ -94,10 +95,10 @@ def main():
                         max_tokens=max_tokens, seed=1)
 
     def one_round(seed):
-        ids = rng.integers(2, cfg.vocab_size, prompt_len)
-        prompt = " ".join(str(i) for i in ids)
-        outs = eng.generate([prompt], sp)
-        return sum(len(o.token_ids) for o in outs[0].outputs)
+        prompts = [" ".join(str(i) for i in rng.integers(2, cfg.vocab_size, prompt_len))
+                   for _ in range(parents)]
+        outs = eng.generate(prompts, sp)
+        return sum(len(o.token_ids) for r in outs for o in r.outputs)
 
     # warmup (compile)
     one_round(0)

@@ -5,7 +5,9 @@ from .adapter import (
     SamplingParams,
     build_engine_adapter,
 )
+from .client import EngineClient, RemoteEngineAdapter
 from .engine import Engine
+from .prefix_cache import PrefixCacheStore
 
 __all__ = [
     "CompletionOutput",
@@ -14,4 +16,7 @@ __all__ = [
     "SamplingParams",
     "build_engine_adapter",
     "Engine",
+    "EngineClient",
+    "RemoteEngineAdapter",
+    "PrefixCacheStore",
 ]

@@ -4,29 +4,31 @@ Replaces the reference's external vLLM server + HTTP client + NCCL weight
 plane (/root/reference/trainer/vllm_client.py, vllm_start.sh) with an
 in-process JAX engine:
 
-- left-padded length-bucketed prefill: one jitted forward fills the KV cache
-  for all unique prompts at once (positions derived from the pad mask, so
-  every row's cache is aligned at a common decode offset);
-- n-sample fan-out without recompute: the KV cache of each unique prompt is
-  broadcast to its n sample rows with a device gather — MCTS's breadth-n
-  expansion prefills each parent prompt exactly once;
+- right-aligned KV layout: every row's tokens live at cache slots
+  [0, len) == their real positions, decode writes per-row offsets
+  (scatter), so ragged batches need no re-alignment;
+- token-prefix KV reuse across calls (prefix_cache.py): an MCTS child
+  prompt re-uses its parent's cached prefix and only the suffix is
+  prefilled — the dominant cost saver for deep trees;
+- n-sample fan-out without recompute: each unique prompt's KV is broadcast
+  to its n sample rows with a device gather (breadth-n expansion prefills
+  each parent once);
 - chunked device decode: `lax.scan` generates ``decode_chunk`` tokens per
-  dispatch (sampling + cache update fused in one compiled step), the host
-  only checks stop flags between chunks;
-- per-token logprobs from the processed logits (priors for MCTS,
+  dispatch (sampling + cache update fused), the host only checks stop flags
+  between chunks; sampling uses a lax.top_k candidate path instead of
+  full-vocab sorts when top-k is active;
+- per-token logprobs from the processed logits (MCTS priors,
   vllm_client.py:870-881 semantics);
-- weight sync is assignment: ``engine.update_params(new_params)`` shares the
-  trainer's arrays — the reference's per-parameter gather+broadcast plane
-  (mtpo_trainer.py:880-953) does not exist here.
+- weight sync is assignment: ``engine.update_params(new_params)`` shares
+  the trainer's arrays — the reference's per-parameter gather+broadcast
+  plane (mtpo_trainer.py:880-953) does not exist here.
 
-Compiled shapes are bucketed: prompt length rounds up to ``pad_multiple``
-and batch to ``batch_bucket`` so repeated MCTS calls hit the jit cache.
+Compiled shapes are bucketed (lengths to ``pad_multiple``, batch to
+``batch_bucket``) so repeated MCTS calls hit the jit cache.
 """
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Any, Sequence
 
 import jax
@@ -36,6 +38,7 @@ import numpy as np
 from ..models import qwen2
 from . import sampling
 from .adapter import CompletionOutput, RequestOutput, SamplingParams
+from .prefix_cache import PrefixCacheStore
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,6 +59,8 @@ class Engine:
         batch_bucket: int = 4,
         eos_token_ids: Sequence[int] | None = None,
         seed: int = 0,
+        prefix_cache_bytes: int = 1_500_000_000,
+        prefix_cache_min_reuse: int = 64,
     ):
         self.params = params
         self.cfg = cfg
@@ -66,54 +71,81 @@ class Engine:
         self.pad_multiple = int(pad_multiple)
         self.batch_bucket = int(batch_bucket)
         self._call_counter = 0
+        self.prefix_cache = (
+            PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse)
+            if prefix_cache_bytes > 0 else None
+        )
 
         if eos_token_ids is None:
             eos = getattr(tokenizer, "eos_token_id", None)
             eos_token_ids = [eos] if eos is not None else []
         self.eos_token_ids = [int(e) for e in eos_token_ids if e is not None]
 
-        self._prefill_jit = jax.jit(
-            self._prefill_impl, static_argnames=("S",), donate_argnums=()
-        )
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("S",))
+        self._suffix_prefill_jit = jax.jit(
+            self._suffix_prefill_impl, donate_argnums=(1, 2))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T",),
+            static_argnames=("T", "static_top_k"),
             donate_argnums=(1, 2),  # donate kv cache
         )
 
     # ------------------------------------------------------------------ jit bodies
 
-    def _prefill_impl(self, params, ids, mask, S: int):
-        """ids/mask (P, Lp) left-padded. Returns (last_logits (P,V), kv (L,P,S,...))."""
+    def _prefill_impl(self, params, ids, mask, plen, S: int):
+        """ids/mask (P, Lp) RIGHT-padded; plen (P,) real lengths.
+
+        Returns (last_logits (P, V) at each row's final real token,
+        kv (L, P, S, nkv, dh))."""
         P, Lp = ids.shape
         cache = qwen2.init_kv_cache(self.cfg, P, S)
         kv_valid = jnp.zeros((P, S), jnp.bool_).at[:, :Lp].set(mask > 0)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         logits, _, cache = qwen2.forward(
             params, self.cfg, ids,
-            attention_mask=mask,
             positions=positions,
             kv_cache=cache,
             cache_pos=0,
             kv_valid=kv_valid,
         )
-        return logits[:, -1, :], cache
+        last = jnp.take_along_axis(
+            logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0, :]
+        return last, cache
+
+    def _suffix_prefill_impl(self, params, cache_k, cache_v, ids, mask, start, real_len):
+        """One row with a reused prefix: prefix KV already sits at [0, start).
+
+        ids/mask (1, Ls) right-padded suffix; start scalar (prefix length);
+        real_len scalar (suffix real length). Returns (last_logits (1, V),
+        (cache_k, cache_v))."""
+        S = cache_k.shape[2]
+        kv_valid = (jnp.arange(S)[None, :] < (start + jnp.sum(mask)))
+        positions = start + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        logits, _, (ck, cv) = qwen2.forward(
+            params, self.cfg, ids,
+            positions=positions,
+            kv_cache=(cache_k, cache_v),
+            cache_pos=start,
+            kv_valid=kv_valid,
+        )
+        last = jax.lax.dynamic_slice_in_dim(
+            logits[0], jnp.maximum(real_len - 1, 0), 1, axis=0)
+        return last, (ck, cv)
 
     def _decode_impl(
         self, params, cache_k, cache_v, presence, last_logits,
         kv_valid, positions_next, finished, key,
         temperature, top_k, top_p, min_p, rep_pen,
-        start_pos, T: int,
+        T: int, static_top_k: int = 0,
     ):
-        """Generate T tokens for all B rows on device.
+        """Generate T tokens for all B rows; per-row write offsets.
 
         Returns (tokens (B,T), logprobs (B,T), finished, cache, presence,
         kv_valid, positions, last_logits). Finished rows emit pad(0) tokens
-        with logprob 0 and stop updating presence.
-        """
+        with logprob 0 and stop updating presence."""
         eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
 
-        def step(carry, t):
+        def step(carry, _):
             ck, cv, pres, logits, kvv, pos, fin, k = carry
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
@@ -124,36 +156,40 @@ class Engine:
                 top_k=top_k,
                 top_p=top_p,
                 min_p=min_p,
+                static_top_k=static_top_k,
             )
             is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
             emit = jnp.where(fin, 0, tok)
             emit_lp = jnp.where(fin, 0.0, lp)
             new_fin = fin | is_eos
 
-            write_pos = start_pos + t
             B = tok.shape[0]
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
-            # forward one token (finished rows still run; outputs ignored)
+            kvv = kvv.at[jnp.arange(B), pos].set(True)
             new_logits, _, (ck, cv) = qwen2.forward(
                 params, self.cfg, tok[:, None],
                 positions=pos[:, None],
                 kv_cache=(ck, cv),
-                cache_pos=write_pos,
-                kv_valid=kvv.at[:, write_pos].set(True),
+                cache_pos=pos,
+                kv_valid=kvv,
             )
-            kvv = kvv.at[:, write_pos].set(True)
             return (ck, cv, pres, new_logits[:, 0, :], kvv, pos + 1, new_fin, k), (emit, emit_lp)
 
         carry0 = (cache_k, cache_v, presence, last_logits, kv_valid, positions_next, finished, key)
-        carry, (toks, lps) = jax.lax.scan(step, carry0, jnp.arange(T))
+        carry, (toks, lps) = jax.lax.scan(step, carry0, None, length=T)
         ck, cv, pres, logits, kvv, pos, fin, _ = carry
         return toks.T, lps.T, fin, (ck, cv), pres, kvv, pos, logits
 
     # ------------------------------------------------------------------ public API
 
     def update_params(self, params) -> None:
-        """Weight sync from the trainer: shared arrays, zero copies."""
+        """Weight sync from the trainer: shared arrays, zero copies.
+
+        The prefix cache is invalidated — cached KV was computed under the
+        old weights."""
         self.params = params
+        if self.prefix_cache is not None:
+            self.prefix_cache.clear()
 
     def generate(self, prompts, sampling_params: SamplingParams, use_tqdm: bool = False):
         """vLLM-like entry: list[str] -> list[RequestOutput] with n samples each."""
@@ -161,8 +197,6 @@ class Engine:
         n = max(1, int(getattr(sp, "n", 1)))
         prompts = list(prompts)
         results: list[RequestOutput | None] = [None] * len(prompts)
-
-        # chunk prompt groups so B = P*n <= max_batch
         group = max(1, self.max_batch // n)
         for lo in range(0, len(prompts), group):
             outs = self._generate_chunk(prompts[lo : lo + group], sp, n)
@@ -170,46 +204,113 @@ class Engine:
                 results[lo + i] = ro
         return results
 
+    # ------------------------------------------------------------------ internals
+
+    def _prefill_rows(self, enc: list[list[int]], S: int):
+        """Prefill all unique prompts; returns (last_logits (P,V) np,
+        cache (L,P,S,..) device). Uses the prefix store when beneficial."""
+        P = len(enc)
+        store = self.prefix_cache
+        hits = [None] * P
+        if store is not None and P <= 8:
+            for i, toks in enumerate(enc):
+                hits[i] = store.longest_prefix(toks, max_use=len(toks) - 1)
+
+        if all(h is None for h in hits):
+            Lp = min(_round_up(max(len(e) for e in enc), self.pad_multiple),
+                     self.max_model_len)
+            Pb = _round_up(P, self.batch_bucket)
+            ids = np.zeros((Pb, Lp), np.int32)
+            mask = np.zeros((Pb, Lp), np.int32)
+            plen = np.zeros((Pb,), np.int32)
+            for i, e in enumerate(enc):
+                ids[i, : len(e)] = e
+                mask[i, : len(e)] = 1
+                plen[i] = len(e)
+            last, cache = self._prefill_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(plen), S=S)
+            last = last[:P]
+            cache = (cache[0][:, :P], cache[1][:, :P])
+        else:
+            # per-row path mixing full and suffix prefills
+            lasts, cks, cvs = [], [], []
+            for i, toks in enumerate(enc):
+                if hits[i] is None:
+                    Lp = min(_round_up(len(toks), self.pad_multiple), self.max_model_len)
+                    ids = np.zeros((1, Lp), np.int32)
+                    mask = np.zeros((1, Lp), np.int32)
+                    ids[0, : len(toks)] = toks
+                    mask[0, : len(toks)] = 1
+                    last, (ck, cv) = self._prefill_jit(
+                        self.params, jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.asarray([len(toks)], np.int32), S=S)
+                else:
+                    k_pref, v_pref, plen_hit = hits[i]
+                    ck = jnp.zeros(
+                        (self.cfg.num_hidden_layers, 1, S,
+                         self.cfg.num_key_value_heads, self.cfg.head_dim_),
+                        self.cfg.dtype)
+                    cv = jnp.zeros_like(ck)
+                    ck = ck.at[:, 0, :plen_hit].set(k_pref)
+                    cv = cv.at[:, 0, :plen_hit].set(v_pref)
+                    suffix = toks[plen_hit:]
+                    Ls = _round_up(len(suffix), min(self.pad_multiple, 128))
+                    ids = np.zeros((1, Ls), np.int32)
+                    mask = np.zeros((1, Ls), np.int32)
+                    ids[0, : len(suffix)] = suffix
+                    mask[0, : len(suffix)] = 1
+                    last, (ck, cv) = self._suffix_prefill_jit(
+                        self.params, ck, cv, jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.asarray(plen_hit, jnp.int32),
+                        jnp.asarray(len(suffix), jnp.int32))
+                lasts.append(last)
+                cks.append(ck)
+                cvs.append(cv)
+            last = jnp.concatenate(lasts, axis=0)
+            cache = (jnp.concatenate(cks, axis=1), jnp.concatenate(cvs, axis=1))
+
+        if store is not None:
+            for i, toks in enumerate(enc):
+                if len(toks) >= store.min_reuse:
+                    store.put(toks, (cache[0][:, i, : len(toks)],
+                                     cache[1][:, i, : len(toks)]))
+        return last, cache
+
     def _generate_chunk(self, prompts: list[str], sp: SamplingParams, n: int):
         tok = self.tokenizer
         enc = [tok(p, add_special_tokens=True)["input_ids"] for p in prompts]
-        # truncate from the left to leave room for generation
         max_prompt = self.max_model_len - 1
-        enc = [ids[-max_prompt:] for ids in enc]
+        enc = [list(ids)[-max_prompt:] for ids in enc]
         P = len(enc)
-        Lp = _round_up(max(len(e) for e in enc), self.pad_multiple)
-        Lp = min(Lp, self.max_model_len)
-        Pb = _round_up(P, self.batch_bucket)
-
-        ids = np.zeros((Pb, Lp), np.int32)
-        mask = np.zeros((Pb, Lp), np.int32)
-        for i, e in enumerate(enc):
-            ids[i, Lp - len(e) :] = e
-            mask[i, Lp - len(e) :] = 1
-
+        max_len = max(len(e) for e in enc)
         max_new = int(getattr(sp, "max_tokens", 256) or 256)
-        S = min(self.max_model_len + max_new, Lp + max_new)
-        S = _round_up(S, self.pad_multiple)
+        S = _round_up(min(self.max_model_len, max_len) + max_new, self.pad_multiple)
 
-        last_logits, (ck, cv) = self._prefill_jit(self.params, jnp.asarray(ids), jnp.asarray(mask), S=S)
+        last_logits, (ck, cv) = self._prefill_rows(enc, S)
 
-        # fan out to B = Pb*n rows (gather shares each prompt's KV across samples)
-        B = Pb * n
-        row_of = jnp.repeat(jnp.arange(Pb), n)
-        ck = ck[:, row_of]
-        cv = cv[:, row_of]
-        last_logits = jnp.asarray(last_logits)[row_of]
-        mask_rows = jnp.asarray(mask)[row_of]
+        # fan out to B = P*n rows (gather shares each prompt's KV)
+        Bb = _round_up(P * n, self.batch_bucket)
+        row_of = np.repeat(np.arange(P), n)
+        row_of = np.concatenate([row_of, np.zeros(Bb - P * n, np.int64)])
+        row_of_j = jnp.asarray(row_of)
+        ck = ck[:, row_of_j]
+        cv = cv[:, row_of_j]
+        last_logits = jnp.asarray(last_logits)[row_of_j]
+        B = Bb
 
-        kv_valid = jnp.zeros((B, S), jnp.bool_).at[:, :Lp].set(mask_rows > 0)
-        positions_next = jnp.sum(mask_rows, axis=1)  # next position index per row
+        lens = np.asarray([len(enc[r]) for r in row_of], np.int32)
+        kv_valid = jnp.asarray(
+            np.arange(S)[None, :] < lens[:, None])
+        positions_next = jnp.asarray(lens)
         finished = jnp.zeros((B,), jnp.bool_)
+        finished = finished.at[P * n :].set(True)  # bucket-padding rows
+
         # repetition-penalty presence over prompt tokens
-        ids_rows = jnp.asarray(ids)[row_of]
-        presence = jnp.zeros((B, self.cfg.vocab_size), jnp.int8)
-        presence = presence.at[
-            jnp.repeat(jnp.arange(B), Lp), ids_rows.reshape(-1)
-        ].max(mask_rows.reshape(-1).astype(jnp.int8))
+        presence = np.zeros((B, self.cfg.vocab_size), np.int8)
+        for r in range(P * n):
+            presence[r, np.asarray(enc[row_of[r]], np.int64)] = 1
+        presence = jnp.asarray(presence)
 
         def vec(x, default):
             v = getattr(sp, x, None)
@@ -220,7 +321,11 @@ class Engine:
         min_p = vec("min_p", 0.0)
         rep_pen = vec("repetition_penalty", 1.0)
         tk = getattr(sp, "top_k", -1)
-        top_k = jnp.full((B,), int(-1 if tk is None else tk), jnp.int32)
+        tk = int(-1 if tk is None else tk)
+        top_k = jnp.full((B,), tk, jnp.int32)
+        # static candidate bound for the fast top_k sampler path; headroom so
+        # nearby top_k values share one compilation
+        static_top_k = 0 if tk <= 0 else min(self.cfg.vocab_size, max(64, tk))
 
         self._call_counter += 1
         seed = sp.seed if getattr(sp, "seed", None) is not None else self._call_counter
@@ -229,15 +334,15 @@ class Engine:
         all_toks: list[np.ndarray] = []
         all_lps: list[np.ndarray] = []
         steps_done = 0
-        while steps_done < max_new:
-            T = min(self.decode_chunk, max_new - steps_done)
-            start = int(Lp + steps_done)
+        budget = min(max_new, S - int(lens.max()))
+        while steps_done < budget:
+            T = min(self.decode_chunk, budget - steps_done)
             key, sub = jax.random.split(key)
             toks, lps, finished, (ck, cv), presence, kv_valid, positions_next, last_logits = self._decode_jit(
                 self.params, ck, cv, presence, last_logits,
                 kv_valid, positions_next, finished, sub,
                 temperature, top_k, top_p, min_p, rep_pen,
-                start, T=T,
+                T=T, static_top_k=static_top_k,
             )
             all_toks.append(np.asarray(toks))
             all_lps.append(np.asarray(lps))
@@ -247,7 +352,6 @@ class Engine:
 
         toks = np.concatenate(all_toks, axis=1) if all_toks else np.zeros((B, 0), np.int32)
         lps = np.concatenate(all_lps, axis=1) if all_lps else np.zeros((B, 0), np.float32)
-        fin = np.asarray(finished)
 
         eos_set = set(self.eos_token_ids)
         results = []
@@ -257,8 +361,6 @@ class Engine:
                 r = p * n + j
                 row = toks[r]
                 row_lp = lps[r]
-                # cut at first eos (inclusive); finished rows emit pad-0
-                # after their eos, which the break never reaches
                 ids_out: list[int] = []
                 lps_out: list[float] = []
                 for t in range(row.shape[0]):
@@ -276,5 +378,6 @@ class Engine:
                     text=text,
                     finish_reason=finish,
                 ))
-            results.append(RequestOutput(outputs=outs, prompt=prompts[p], prompt_token_ids=list(enc[p])))
+            results.append(RequestOutput(outputs=outs, prompt=prompts[p],
+                                         prompt_token_ids=list(enc[p])))
         return results

@@ -43,12 +43,19 @@ def process_logits(
     top_k: jax.Array | None = None,
     top_p: jax.Array | None = None,
     min_p: jax.Array | None = None,
+    static_top_k: int = 0,
 ) -> jax.Array:
     """Apply the full processing pipeline; returns masked logits (B, V) f32.
 
     Per-row params; top_k <= 0 disables top-k, top_p >= 1 disables top-p,
     min_p <= 0 disables min-p. Temperature 0 rows are handled by the caller
     (greedy argmax short-circuit in :func:`sample`).
+
+    ``static_top_k`` (> 0) is a compile-time promise that every row's top_k
+    is <= that bound: the truncation then runs on a lax.top_k candidate set
+    instead of a full-vocab sort — the hot path for decode (V ~ 150k, the
+    full sort dominates per-token cost otherwise). Exact because after
+    top-k masking the nucleus lives inside the candidate set.
     """
     x = logits.astype(jnp.float32)
     B, V = x.shape
@@ -61,10 +68,13 @@ def process_logits(
         x = x / t
 
     if top_k is not None or top_p is not None:
-        # one descending sort; combine k-rank and nucleus conditions into a
-        # keep-mask in sorted space, then mask x by the smallest kept logit
-        sorted_x = jnp.sort(x, axis=-1)[:, ::-1]
-        ranks = jnp.arange(V)[None, :]
+        if static_top_k and static_top_k > 0 and top_k is not None:
+            K = min(V, max(int(static_top_k), 1))
+            sorted_x, _ = jax.lax.top_k(x, K)  # (B, K) descending
+        else:
+            sorted_x = jnp.sort(x, axis=-1)[:, ::-1]
+            K = V
+        ranks = jnp.arange(K)[None, :]
         keep = jnp.ones(sorted_x.shape, dtype=bool)
         if top_k is not None:
             k = jnp.where(top_k <= 0, V, top_k)[:, None]
@@ -95,6 +105,7 @@ def sample(
     top_k: jax.Array | None = None,
     top_p: jax.Array | None = None,
     min_p: jax.Array | None = None,
+    static_top_k: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample one token per row; returns (token (B,) i32, logprob (B,) f32).
 
@@ -110,6 +121,7 @@ def sample(
         top_k=top_k,
         top_p=top_p,
         min_p=min_p,
+        static_top_k=static_top_k,
     )
     sampled = jax.random.categorical(key, processed, axis=-1)
     if temperature is not None:

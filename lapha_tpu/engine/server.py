@@ -1,0 +1,163 @@
+"""Generation HTTP server: remote-serving mode for the native engine.
+
+Covers the reference's external server plane
+(/root/reference/trainer/vllm_client.py:47-369 client surface: /health,
+/generate with sampling params + logprobs, /reset_prefix_cache,
+/update_named_param weight push; vllm_start.sh launcher):
+
+  GET  /health                 -> {"status": "ok"}
+  GET  /get_world_size         -> {"world_size": N}   (mesh device count)
+  POST /generate               -> {"completion_ids": [[...]xN per prompt],
+                                   "logprobs": [[...]], "texts": [[...]]}
+  POST /reset_prefix_cache     -> {"ok": true}
+  POST /reload_weights {path}  -> {"ok": true}        (weight plane: the
+        trainer exports safetensors to shared storage and the server swaps
+        them in — the TPU replacement for the NCCL broadcast plane; in
+        colocated mode there is no server at all, arrays are shared)
+
+stdlib ThreadingHTTPServer; device work is serialized with a lock (the
+engine itself batches internally).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .adapter import SamplingParams
+
+
+class EngineServer:
+    def __init__(self, engine, model_dir: str | None = None):
+        self.engine = engine
+        self.model_dir = model_dir
+        self.lock = threading.Lock()
+
+    def handle_generate(self, payload: dict) -> dict:
+        prompts = payload.get("prompts") or []
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        sp = SamplingParams(
+            n=int(payload.get("n", 1)),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_p=float(payload.get("top_p", 1.0)),
+            top_k=int(payload.get("top_k", -1) if payload.get("top_k") is not None else -1),
+            min_p=float(payload.get("min_p", 0.0) or 0.0),
+            repetition_penalty=float(payload.get("repetition_penalty", 1.0)),
+            max_tokens=int(payload.get("max_tokens", 256)),
+            logprobs=int(payload.get("logprobs") or 0),
+            seed=payload.get("seed"),
+        )
+        with self.lock:
+            outs = self.engine.generate(prompts, sp)
+        return {
+            "completion_ids": [[o.token_ids for o in r.outputs] for r in outs],
+            "logprobs": [[o.token_logprobs for o in r.outputs] for r in outs],
+            "texts": [[o.text for o in r.outputs] for r in outs],
+            "finish_reasons": [[o.finish_reason for o in r.outputs] for r in outs],
+        }
+
+    def handle_reload_weights(self, payload: dict) -> dict:
+        import jax.numpy as jnp
+
+        from ..models import loader
+
+        path = payload.get("path") or self.model_dir
+        if not path:
+            raise ValueError("reload_weights requires a path")
+        params, _cfg = loader.load_params(path, dtype=self.engine.cfg.dtype)
+        with self.lock:
+            self.engine.update_params(params)
+        return {"ok": True, "path": path}
+
+
+def make_handler(server: EngineServer):
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "LaPhaEngineServer/0.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/health", "/health/"):
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/get_world_size":
+                import jax
+
+                self._reply(200, {"world_size": len(jax.devices())})
+            elif self.path == "/prefix_cache_stats":
+                pc = server.engine.prefix_cache
+                self._reply(200, pc.stats() if pc else {})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/generate":
+                    self._reply(200, server.handle_generate(payload))
+                elif self.path == "/reset_prefix_cache":
+                    if server.engine.prefix_cache is not None:
+                        server.engine.prefix_cache.clear()
+                    self._reply(200, {"ok": True})
+                elif self.path in ("/reload_weights", "/update_named_param"):
+                    self._reply(200, server.handle_reload_weights(payload))
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8000,
+          model_dir: str | None = None, background: bool = False):
+    srv = EngineServer(engine, model_dir)
+    httpd = ThreadingHTTPServer((host, port), make_handler(srv))
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+    httpd.serve_forever()
+    return httpd
+
+
+def main(argv=None):
+    from .. import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser(description="LaPha TPU generation server")
+    ap.add_argument("--model", required=True, help="HF model dir")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-model-len", type=int, default=4096)
+    ap.add_argument("--max-batch", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from transformers import AutoTokenizer
+
+    from ..models import loader
+    from .engine import Engine
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model, trust_remote_code=True)
+    if tokenizer.pad_token is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    params, cfg = loader.load_params(args.model)
+    engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
+                    max_batch=args.max_batch)
+    print(f"engine server on {args.host}:{args.port} (model {args.model})")
+    serve(engine, args.host, args.port, model_dir=args.model)
+
+
+if __name__ == "__main__":
+    main()

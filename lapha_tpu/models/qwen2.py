@@ -191,9 +191,16 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params):
     k = apply_rope(k, cos, sin)
 
     if cache_k is not None:
-        # decode path: write new K/V at cache_pos, attend over the full cache
-        new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, cache_pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, cache_pos, 0, 0))
+        # write new K/V at cache_pos (scalar: same offset for all rows;
+        # (B,)-array: per-row offsets, enabling ragged right-aligned caches)
+        if getattr(cache_pos, "ndim", 0) >= 1:
+            b_idx = jnp.arange(B)[:, None]
+            t_idx = cache_pos[:, None] + jnp.arange(T)[None, :]
+            new_k = cache_k.at[b_idx, t_idx].set(k)
+            new_v = cache_v.at[b_idx, t_idx].set(v)
+        else:
+            new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, cache_pos, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, cache_pos, 0, 0))
         att = _attend(q, new_k, new_v, mask, cfg)
     else:
         new_k = new_v = None
@@ -283,9 +290,11 @@ def forward(
     else:
         S = kv_cache[0].shape[2]
         kpos = jnp.arange(S)[None, None, :]  # (1,1,S)
-        valid = kv_valid[:, None, :] if kv_valid is not None else (kpos < (cache_pos + T))
+        cp = jnp.asarray(cache_pos)
+        cp_btc = cp[:, None, None] if cp.ndim >= 1 else cp  # (B,1,1) | scalar
+        valid = kv_valid[:, None, :] if kv_valid is not None else (kpos < (cp_btc + T))
         # new tokens at slots [cache_pos, cache_pos+T): causal among themselves
-        qpos = cache_pos + jnp.arange(T)[None, :, None]  # (1,T,1)
+        qpos = cp_btc + jnp.arange(T)[None, :, None]  # (B|1, T, 1)
         mask = valid & (kpos <= qpos)
         x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache, cache_pos)
         new_cache = (nk, nv)

@@ -1,0 +1,123 @@
+"""Prefix-cache KV reuse: correctness vs cold prefill + store semantics."""
+
+import jax
+import numpy as np
+import pytest
+
+from lapha_tpu.engine import Engine, SamplingParams
+from lapha_tpu.engine.prefix_cache import PrefixCacheStore
+from lapha_tpu.models import Qwen2Config, qwen2
+
+
+class ByteTok:
+    eos_token_id = 0
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=True, **kw):
+        return {"input_ids": [min(b, 255) + 1 for b in text.encode()]}
+
+    def decode(self, ids, **kw):
+        return bytes((i - 1) % 256 for i in ids if i > 0).decode(errors="replace")
+
+
+@pytest.fixture(scope="module")
+def engines():
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(3))
+
+    def mk(cache_bytes):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8)
+
+    return mk(0), mk(100_000_000)
+
+
+def test_store_put_lookup_lru():
+    s = PrefixCacheStore(max_bytes=10**9, min_reuse=2)
+    k = np.zeros((2, 5, 2, 4), np.float32)
+    s.put([1, 2, 3, 4, 5], (k, k))
+    hit = s.longest_prefix([1, 2, 3, 4, 5, 6, 7])
+    assert hit is not None
+    _, _, plen = hit
+    assert plen == 5
+    assert s.longest_prefix([9, 9, 9]) is None
+    # max_use caps reuse
+    _, _, plen2 = s.longest_prefix([1, 2, 3, 4, 5], max_use=4)
+    assert plen2 == 4
+
+
+def test_store_eviction_under_budget():
+    s = PrefixCacheStore(max_bytes=2 * 2 * 4 * 2 * 4 * 5 + 10, min_reuse=2)
+    k = np.zeros((2, 4, 2, 4), np.float32)  # one entry = 2*4*2*4*4*2 = 512B
+    for i in range(10):
+        s.put([i, i + 1, i + 2, i + 3], (k, k))
+    assert s.nbytes <= s.max_bytes
+    assert len(s) < 10  # evicted
+
+
+def test_min_reuse_threshold():
+    s = PrefixCacheStore(max_bytes=10**9, min_reuse=50)
+    k = np.zeros((2, 10, 2, 4), np.float32)
+    s.put(list(range(10)), (k, k))
+    assert s.longest_prefix(list(range(10)) + [99]) is None  # below min_reuse
+
+
+def test_greedy_same_with_and_without_cache(engines):
+    cold, warm = engines
+    parent = "shared long prefix text that forms a parent context here. "
+    child = parent + "and now the child continues"
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+
+    # cold engine: no cache at all
+    ref_parent = cold.generate([parent], sp)[0].outputs[0].token_ids
+    ref_child = cold.generate([child], sp)[0].outputs[0].token_ids
+
+    # warm engine: first call seeds the store, second call reuses the prefix
+    got_parent = warm.generate([parent], sp)[0].outputs[0].token_ids
+    stats0 = warm.prefix_cache.stats()
+    got_child = warm.generate([child], sp)[0].outputs[0].token_ids
+    stats1 = warm.prefix_cache.stats()
+
+    assert got_parent == ref_parent
+    assert got_child == ref_child
+    assert stats1["hits"] > stats0["hits"], "prefix was not reused"
+    assert stats1["tokens_reused"] > 0
+
+
+def test_logprobs_close_with_cache(engines):
+    cold, warm = engines
+    warm.prefix_cache.clear()
+    parent = "some other parent prompt with enough tokens to cache properly. "
+    child = parent + "suffix goes here"
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=6)
+    warm.generate([parent], sp)
+    a = cold.generate([child], sp)[0].outputs[0]
+    b = warm.generate([child], sp)[0].outputs[0]
+    assert a.token_ids == b.token_ids
+    np.testing.assert_allclose(a.token_logprobs, b.token_logprobs, rtol=2e-2, atol=2e-2)
+
+
+def test_update_params_invalidates_cache(engines):
+    _, warm = engines
+    warm.prefix_cache.clear()
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=4)
+    warm.generate(["a prompt long enough to be stored in cache"], sp)
+    assert len(warm.prefix_cache) > 0
+    warm.update_params(warm.params)
+    assert len(warm.prefix_cache) == 0
+
+
+def test_mcts_style_tree_reuse(engines):
+    """Deep chains: each level extends the previous; hits should accumulate."""
+    _, warm = engines
+    warm.prefix_cache.clear()
+    sp = SamplingParams(n=2, temperature=0.5, max_tokens=4, seed=7)
+    ctx = "root question about arithmetic and reasoning steps. "
+    for depth in range(4):
+        warm.generate([ctx], sp)
+        ctx = ctx + f"step {depth} produced some reasoning output here. "
+    stats = warm.prefix_cache.stats()
+    assert stats["hits"] >= 3
+    assert stats["tokens_reused"] > 100
