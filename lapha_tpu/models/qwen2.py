@@ -45,6 +45,10 @@ class Qwen2Config:
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
     dtype: Any = jnp.bfloat16
+    # "auto": pallas flash attention on TPU for the no-cache path, dense
+    # otherwise; "pallas" forces the kernel (interpret mode off-TPU);
+    # "dense" forces the reference einsum path
+    attn_impl: str = "auto"
 
     @property
     def head_dim_(self) -> int:
@@ -172,7 +176,20 @@ def _attend(q, k, v, mask, cfg):
     return out.reshape(B, T, nh, dh).astype(q.dtype)
 
 
-def _layer_body(cfg: Qwen2Config, carry, layer_params):
+def _dispatch_attend(cfg, q, k, v, mask, key_mask):
+    """Choose flash (pallas) vs dense attention for the no-cache path."""
+    impl = getattr(cfg, "attn_impl", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    if use_pallas and key_mask is not None:
+        from ..ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, key_mask, causal=True,
+                               interpret=not on_tpu)
+    return _attend(q, k, v, mask, cfg)
+
+
+def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None):
     """One decoder layer; scanned over the stacked layer axis."""
     x, cos, sin, mask, cache_k, cache_v, cache_pos = carry
     p = layer_params
@@ -204,7 +221,7 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params):
         att = _attend(q, new_k, new_v, mask, cfg)
     else:
         new_k = new_v = None
-        att = _attend(q, k, v, mask, cfg)
+        att = _dispatch_attend(cfg, q, k, v, mask, key_mask)
 
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), p["attn"]["o_proj"]["w"],
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -220,14 +237,15 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params):
     return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
 
 
-def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False):
+def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None):
     """Scan the stacked layer params. Returns (hidden, new_kv) where new_kv is
     the per-layer (k, v) stack when a cache is threaded, else None."""
     layer_params = params["layers"]
 
     if kv_cache is None:
         def body(x, p):
-            (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p)
+            (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p,
+                                      key_mask=key_mask)
             return x2, None
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
@@ -283,9 +301,12 @@ def forward(
         causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
         if attention_mask is not None:
             mask = causal & (attention_mask[:, None, :] > 0)
+            key_mask = attention_mask
         else:
             mask = jnp.broadcast_to(causal, (B, T, T))
-        x, _ = _scan_layers(cfg, params, x, cos, sin, mask, remat=remat)
+            key_mask = jnp.ones((B, T), jnp.int32)
+        x, _ = _scan_layers(cfg, params, x, cos, sin, mask, remat=remat,
+                            key_mask=key_mask)
         new_cache = None
     else:
         S = kv_cache[0].shape[2]

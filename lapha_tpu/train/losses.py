@@ -154,8 +154,13 @@ def loss_and_metrics(
     comp_mask = batch["comp_mask"].astype(jnp.float32)
     valid = batch["valid"].astype(jnp.float32)
 
+    # flash attention has no backward kernel yet: the differentiated forward
+    # uses the dense path (+ remat); inference keeps the pallas kernel
+    import dataclasses as _dc
+
+    train_cfg = _dc.replace(model_cfg, attn_impl="dense")
     logits, hidden, _ = qwen2.forward(
-        params, model_cfg, ids, attention_mask=attn, remat=remat, return_hidden=True
+        params, train_cfg, ids, attention_mask=attn, remat=remat, return_hidden=True
     )
     t = temperature if temperature > 0 else 1.0
     logps_all = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])  # (B, L-1)
@@ -237,6 +242,7 @@ def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: f
     """Frozen-reference per-token logps for the KL penalty (jit separately)."""
     ids, attn = batch["ids"], batch["attn"]
     logits, _, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn)
+    # (no grad flows through the reference forward; flash is fine there)
     t = temperature if temperature > 0 else 1.0
     logps = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])
     token_mask = batch["comp_mask"].astype(jnp.float32)[:, 1:]

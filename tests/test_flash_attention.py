@@ -1,0 +1,122 @@
+"""Pallas flash attention vs dense reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapha_tpu.models import Qwen2Config, qwen2
+from lapha_tpu.ops.flash_attention import flash_attention
+
+rng = np.random.default_rng(5)
+
+
+def dense_ref(q, k, v, mask, causal=True):
+    B, T, nh, dh = q.shape
+    nkv = k.shape[2]
+    cfg = Qwen2Config.tiny(num_attention_heads=nh, num_key_value_heads=nkv)
+    causal_m = jnp.tril(jnp.ones((T, T), bool))[None]
+    m = causal_m & (mask[:, None, :] > 0) if causal else (mask[:, None, :] > 0)
+    return qwen2._attend(q, k, v, m, cfg)
+
+
+@pytest.mark.parametrize("T,nh,nkv,dh", [(64, 4, 2, 32), (128, 4, 4, 64), (96, 8, 2, 64)])
+def test_flash_matches_dense(T, nh, nkv, dh):
+    B = 2
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 7 :] = 0  # padded tail on row 0
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, mask, causal=True, block_q=32, block_k=32,
+                          interpret=True)
+    ref = dense_ref(q, k, v, mask)
+    # padded-query rows are undefined in both; compare valid rows only
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_non_multiple_length_padding():
+    B, T, nh, nkv, dh = 1, 50, 2, 1, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.int32)
+    out = flash_attention(q, k, v, mask, causal=True, block_q=32, block_k=32,
+                          interpret=True)
+    ref = dense_ref(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bf16_inputs():
+    B, T, nh, nkv, dh = 2, 64, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)), jnp.bfloat16)
+    mask = jnp.ones((B, T), jnp.int32)
+    out = flash_attention(q, k, v, mask, block_q=32, block_k=32, interpret=True)
+    ref = dense_ref(q, k, v, mask)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_model_forward_pallas_matches_dense():
+    """Full model: attn_impl=pallas (interpret) vs dense logits."""
+    cfg_d = Qwen2Config.tiny(attn_impl="dense")
+    cfg_p = Qwen2Config.tiny(attn_impl="pallas")
+    params = qwen2.init_params(cfg_d, jax.random.key(0))
+    ids = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (2, 40)))
+    mask = np.ones((2, 40), np.int32)
+    mask[1, :5] = 0  # left padding
+    mask = jnp.asarray(mask)
+    ld, _, _ = qwen2.forward(params, cfg_d, ids, attention_mask=mask)
+    lp, _, _ = qwen2.forward(params, cfg_p, ids, attention_mask=mask)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(lp)[valid], np.asarray(ld)[valid],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_flash_grad_raises_clear_error():
+    """No backward kernel yet: differentiating must fail loudly, not silently."""
+    B, T, nh, nkv, dh = 1, 64, 2, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.int32)
+
+    def loss(q):
+        return jnp.sum(flash_attention(q, k, v, mask, block_q=32, block_k=32,
+                                       interpret=True) ** 2)
+
+    with pytest.raises(NotImplementedError, match="dense"):
+        jax.grad(loss)(q)
+
+
+def test_training_loss_forces_dense_even_with_pallas_cfg():
+    """loss_and_metrics must differentiate fine with attn_impl='pallas'."""
+    from lapha_tpu.models import value_model
+    from lapha_tpu.train import losses
+
+    cfg = Qwen2Config.tiny(attn_impl="pallas")
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    samples = [dict(prompt_ids=rng.integers(2, cfg.vocab_size, 6).tolist(),
+                    completion_ids=rng.integers(2, cfg.vocab_size, 5).tolist())
+               for _ in range(2)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1, max_prompt_length=32,
+                                 pad_multiple=16, batch_multiple=2)
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    batch["advantages"] = jnp.asarray(np.asarray([1.0, -1.0], np.float32))
+    batch["v_target"] = jnp.asarray(np.asarray([1.0, 0.0], np.float32))
+    kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
+              importance_level="token", value_w=1.0, beta=0.0,
+              max_completion_length=8, remat=False)
+    (loss, _), grads = jax.value_and_grad(
+        lambda ph: losses.loss_and_metrics(ph[0], ph[1], batch, cfg, **kw),
+        has_aux=True)((params, head))
+    assert np.isfinite(float(loss))
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)) > 0
