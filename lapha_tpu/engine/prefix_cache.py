@@ -3,12 +3,12 @@
 MCTS expansion prompts are prefix-heavy: every child's chat prompt starts
 with the bytes of its parent's prompt (SURVEY.md §7.3 — prefix caching is
 the main lever for the tokens/sec target). This store keeps compact
-per-sequence KV slices keyed by their token ids, serves
-longest-prefix lookups, and evicts LRU under a byte budget.
+per-sequence KV slices keyed by their token ids, serves longest-prefix
+lookups, and evicts LRU under a byte budget.
 
-Lookups scan stored token arrays with one vectorized compare per entry —
-entries are bounded (tens) and prompts ≤ max_model_len, so host cost is
-negligible next to a device prefill.
+Lookups go through a token radix trie — the C++ `lapha_native.PrefixTree`
+when compiled (O(prompt_len) regardless of entry count; see
+native/lapha_native.cpp), else the pure-Python trie with the same API.
 """
 
 from __future__ import annotations
@@ -18,12 +18,17 @@ from typing import Any
 
 import numpy as np
 
+from ..native import make_prefix_tree
+
 
 class PrefixCacheStore:
     def __init__(self, max_bytes: int = 1_500_000_000, min_reuse: int = 64):
         self.max_bytes = int(max_bytes)
         self.min_reuse = int(min_reuse)
-        self._entries: OrderedDict[tuple, dict] = OrderedDict()
+        self._entries: OrderedDict[int, dict] = OrderedDict()  # handle -> entry
+        self._key_to_handle: dict[tuple, int] = {}
+        self._trie = make_prefix_tree()
+        self._next_handle = 0
         self._bytes = 0
         self.hits = 0
         self.misses = 0
@@ -36,6 +41,14 @@ class PrefixCacheStore:
     def nbytes(self):
         return self._bytes
 
+    def _evict(self, handle: int) -> None:
+        ent = self._entries.pop(handle, None)
+        if ent is None:
+            return
+        self._bytes -= ent["bytes"]
+        self._key_to_handle.pop(ent["key"], None)
+        self._trie.remove(handle)
+
     def put(self, tokens: list[int], kv: tuple[Any, Any]) -> None:
         """kv: (k, v) arrays of shape (layers, len, n_kv, head_dim)."""
         key = tuple(int(t) for t in tokens)
@@ -44,48 +57,47 @@ class PrefixCacheStore:
         size = int(kv[0].size * kv[0].dtype.itemsize * 2)
         if size > self.max_bytes:
             return
-        if key in self._entries:
-            old = self._entries.pop(key)
-            self._bytes -= old["bytes"]
-        self._entries[key] = {
-            "tokens": np.asarray(key, np.int64),
-            "kv": kv,
-            "bytes": size,
-        }
+        old = self._key_to_handle.get(key)
+        if old is not None:
+            self._evict(old)
+        handle = self._next_handle
+        self._next_handle += 1
+        self._entries[handle] = {"key": key, "kv": kv, "bytes": size}
+        self._key_to_handle[key] = handle
+        self._trie.insert(list(key), handle)
         self._bytes += size
         while self._bytes > self.max_bytes and self._entries:
-            _, old = self._entries.popitem(last=False)
-            self._bytes -= old["bytes"]
+            oldest = next(iter(self._entries))
+            self._evict(oldest)
 
     def longest_prefix(self, tokens: list[int], max_use: int | None = None):
         """Longest stored entry that is a prefix of ``tokens``.
 
         Returns (kv_k_slice, kv_v_slice, plen) or None. ``max_use`` caps the
-        reused length (callers keep >=1 suffix token for last-logits).
-        """
-        q = np.asarray(tokens, np.int64)
-        cap = len(q) if max_use is None else min(len(q), max_use)
-        best_key, best_len = None, 0
-        for key, ent in self._entries.items():
-            t = ent["tokens"]
-            n = min(len(t), cap)
-            if n <= best_len or n < self.min_reuse:
-                continue
-            if np.array_equal(t[:n], q[:n]):
-                best_key, best_len = key, n
-        if best_key is None:
+        reused length (callers keep >=1 suffix token for last-logits)."""
+        toks = [int(t) for t in tokens]
+        cap = len(toks) if max_use is None else min(len(toks), max_use)
+        # exact-match entries sit past the cap in the trie (terminal at full
+        # length); reuse their first `cap` tokens directly
+        exact = self._key_to_handle.get(tuple(toks))
+        if exact is not None and cap >= self.min_reuse:
+            hit = (exact, cap)
+        else:
+            hit = self._trie.longest_prefix(toks, cap)
+        if hit is None or hit[1] < self.min_reuse:
             self.misses += 1
             return None
-        ent = self._entries.pop(best_key)  # LRU bump
-        self._entries[best_key] = ent
+        handle, plen = hit
+        ent = self._entries.pop(handle)  # LRU bump
+        self._entries[handle] = ent
         self.hits += 1
-        self.tokens_reused += best_len
+        self.tokens_reused += plen
         k, v = ent["kv"]
-        return k[:, :best_len], v[:, :best_len], best_len
+        return k[:, :plen], v[:, :plen], plen
 
     def clear(self):
-        self._entries.clear()
-        self._bytes = 0
+        for handle in list(self._entries):
+            self._evict(handle)
 
     def stats(self) -> dict:
         return {"entries": len(self._entries), "bytes": self._bytes,
