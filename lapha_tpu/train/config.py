@@ -29,6 +29,11 @@ class MTPOConfig:
     resume_from_checkpoint: Optional[str] = None
     report_to: str = "tensorboard"
     debug_print: bool = True
+    # jax.profiler trace of one training step (host+device timeline); the
+    # reference's telemetry is print-based (_p(), SURVEY §5.1) — this is the
+    # structured TPU equivalent
+    profile_dir: Optional[str] = None
+    profile_step: int = 1
 
     # ---- model ----
     model_name_or_path: Optional[str] = None

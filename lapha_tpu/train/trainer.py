@@ -176,6 +176,53 @@ class MTPOTrainer:
         self.writer = MetricsWriter(args.output_dir)
         self._metrics: dict[str, list] = defaultdict(list)
         os.makedirs(args.output_dir, exist_ok=True)
+        self.question: str | None = None  # current rollout question (judge context)
+        # self-judge appended to reward_fns like the reference
+        # (mtpo_trainer.py:804, 3148-3205); the 0.8 exact-match score is
+        # deliberately below passk_threshold so max-composition with the
+        # rule reward shadows it unless only the judge fires (SURVEY §7.4)
+        self.reward_fns.append(self.self_evolving)
+
+    # ------------------------------------------------------------- self judge
+
+    def self_evolving(self, model_output: str, ground_truth) -> float:
+        """Policy-as-judge fallback reward (reference mtpo_trainer.py:3148)."""
+        import re as _re
+
+        matches = _re.findall(r"<answer>(.*?)</answer>", model_output or "")
+        if not matches:
+            return 0.0
+        extracted = matches[-1]
+        if str(ground_truth) not in extracted:
+            return 0.0
+        if str(ground_truth) == extracted:
+            return 0.8
+        prompt_body = (self.question or "").split("👆")[0]
+        prompt = (
+            "Evaluate the model's answer against the human-annotated ground truth.\n\n"
+            "## Instructions\n"
+            "1. Return a correctness score **either 0 or 1** (1 represents "
+            "model_output == ground_truth).\n"
+            "3. Wrap **only** the final score in `<answer>…</answer>`.\n\n"
+            f"## Query\n{prompt_body}\n\n"
+            f"## Model Output\n{extracted}\n\n"
+            f"## Ground Truth\n{ground_truth}"
+        )
+        try:
+            chat = self.tokenizer.apply_chat_template(
+                conversation=[{"role": "user", "content": prompt}],
+                tokenize=False, add_generation_prompt=True)
+            import copy as _copy
+
+            sp = _copy.copy(self.sampling_params)
+            sp.n = 1
+            out = self.engine.generate(prompts=[chat], sampling_params=sp, use_tqdm=False)
+            text = self.tokenizer.decode(list(out[0].outputs[0].token_ids),
+                                         skip_special_tokens=True)
+            verdict = _re.findall(r"<answer>(.*?)</answer>", text)
+            return 1.0 if verdict and float(verdict[-1]) == 1.0 else 0.0
+        except Exception:
+            return 0.0
 
     # ------------------------------------------------------------- rollout
 
@@ -216,6 +263,7 @@ class MTPOTrainer:
         for idx, inp in enumerate(inputs):
             if group_count >= args.num_groups:
                 break
+            self.question = inp["question"]
             hid_bank = LatentBank()
             agent = self._make_agent(hid_bank)
             chains = agent.search(
@@ -318,6 +366,12 @@ class MTPOTrainer:
     # ------------------------------------------------------------- update
 
     def train_step(self, inputs: list[dict]) -> dict:
+        if self.args.profile_dir and self.global_step == self.args.profile_step:
+            with jax.profiler.trace(self.args.profile_dir):
+                return self._train_step_inner(inputs)
+        return self._train_step_inner(inputs)
+
+    def _train_step_inner(self, inputs: list[dict]) -> dict:
         t0 = time.perf_counter()
         rollout = self.rollout_batch(inputs)
         t_rollout = time.perf_counter() - t0

@@ -287,3 +287,31 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     l2 = jax.tree.leaves(t2.params)
     np.testing.assert_allclose(np.asarray(l1[0], np.float32),
                                np.asarray(l2[0], np.float32))
+
+
+def test_self_evolving_judge_reward():
+    """Policy-as-judge: 0 without tag / gt-substring; 0.8 exact; judge call
+    on substring-but-not-exact (reference mtpo_trainer.py:3148-3205)."""
+    from lapha_tpu.models import Qwen2Config as QC, qwen2 as q2
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(output_dir="/tmp/lapha-judge-test", model_name_or_path=None,
+                      depth=2, breadth=2, num_sim=2, max_model_len=256,
+                      num_generations=2, save_steps=0, bf16=False,
+                      gradient_checkpointing=False, debug_print=False)
+    t = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+                    reward_fns=[], train_dataset=[], tokenizer=tok)
+    # self_evolving appended automatically
+    assert t.reward_fns and t.reward_fns[-1] == t.self_evolving
+    assert t.self_evolving("no tag", "4") == 0.0
+    assert t.self_evolving("<answer>5</answer>", "4") == 0.0
+    assert t.self_evolving("<answer>4</answer>", "4") == 0.8
+    # substring-not-exact escalates to the judge engine
+    t.question = "What is 2+2? 👆 fmt"
+    t.engine = FakeEngine(tok, script=[(r".", ["<answer>1</answer>"])])
+    assert t.self_evolving("<answer>the result is 4</answer>", "4") == 1.0
+    t.engine = FakeEngine(tok, script=[(r".", ["<answer>0</answer>"])])
+    assert t.self_evolving("<answer>the result is 4</answer>", "4") == 0.0
