@@ -50,6 +50,9 @@ def main():
     if os.getenv("JAX_PLATFORMS"):
         # the axon sitecustomize re-forces its platform; env alone is not enough
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import lapha_tpu
+
+    lapha_tpu.enable_compilation_cache()
     import jax.numpy as jnp
 
     from lapha_tpu.engine import Engine, SamplingParams

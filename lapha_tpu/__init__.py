@@ -34,3 +34,21 @@ def apply_platform_env() -> None:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (first TPU compiles are ~30-60 s;
+    repeated CLI invocations reuse them)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = path or os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/lapha_jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

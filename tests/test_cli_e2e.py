@@ -79,3 +79,33 @@ def test_single_mode_cli_then_score(tiny_model_dir, env, tmp_path):
     summary = json.load(open(eval_dir / "results" / "math.summary.json"))
     assert summary["num"] == 2
     assert (eval_dir / "results" / "summary.csv").exists()
+
+
+def test_value_mode_cli_with_value_head(tiny_model_dir, env, tmp_path):
+    """Value-guided MCTS through the real CLI: tiny model + head artifact."""
+    import numpy as np
+
+    data = tmp_path / "data.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"question": "What is 2+2?", "answer": "4"}) + "\n")
+
+    head_path = tmp_path / "value_head.npz"
+    np.savez(head_path, weight=np.random.default_rng(0).normal(size=(1, 64)).astype(np.float32),
+             bias=np.zeros(1, np.float32))
+
+    out = tmp_path / "math.pred.jsonl"
+    cmd = [
+        sys.executable, "-m", "lapha_tpu.evalsuite.rollout_jsonl",
+        "--data", str(data), "--out", str(out), "--dataset-name", "math",
+        "--mode", "value", "--tokenizer-path", tiny_model_dir,
+        "--engine", "tpu", "--max-new-tokens", "12", "--temperature", "0.8",
+        "--max-model-len", "384", "--max-batch", "4",
+        "--depth", "2", "--breadth", "2", "--mcts-num-sim", "2",
+        "--mcts-num-pos-sim", "99",
+        "--value-base", tiny_model_dir, "--value-head", str(head_path),
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 1
+    assert isinstance(rows[0]["completion"], str) and rows[0]["k"] == 1
