@@ -80,7 +80,7 @@ def main():
     prompt_len = int(os.getenv("BENCH_PROMPT_LEN", "512" if preset != "tiny" else "64"))
     max_tokens = int(os.getenv("BENCH_MAX_TOKENS", "256" if preset != "tiny" else "32"))
     breadth = int(os.getenv("BENCH_BREADTH", "6"))
-    parents = int(os.getenv("BENCH_PARENTS", "2"))
+    parents = int(os.getenv("BENCH_PARENTS", "8"))
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
     params = qwen2.init_params(cfg, jax.random.key(0))

@@ -337,6 +337,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mcts-max-expands", default=2)
     ap.add_argument("--mcts-num-pos-sim", type=int, default=4)
     ap.add_argument("--mcts-passk-threshold", type=float, default=1.0)
+    ap.add_argument("--mcts-leaves-per-sim", type=int,
+                    default=int(os.getenv("MCTS_LEAVES_PER_SIM", "1")))
     ap.add_argument("--limit", type=int, default=None)
     # native-engine extras (not in the reference CLI)
     ap.add_argument("--max-batch", type=int, default=int(os.getenv("TPU_MAX_BATCH", "16")))
@@ -376,7 +378,9 @@ def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_o
         llm = build_engine_adapter(
             args.engine, tokenizer=tokenizer,
             model_path=os.getenv("JET_MODEL_PATH", args.tokenizer_path),
-            max_model_len=int(args.max_model_len), max_batch=int(args.max_batch),
+            max_model_len=int(args.max_model_len),
+            max_batch=max(int(args.max_batch),
+                          int(args.breadth) * max(1, int(args.mcts_leaves_per_sim))),
         )
 
     agent = None
@@ -401,6 +405,7 @@ def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_o
             prune_per=int(args.mcts_prune_per), max_expands=max_expands,
             num_pos_sim=int(args.mcts_num_pos_sim),
             passk_threshold=float(args.mcts_passk_threshold),
+            leaves_per_sim=max(1, int(args.mcts_leaves_per_sim)),
             hid_bank=LatentBank(),
         )
     elif args.mode == "single":

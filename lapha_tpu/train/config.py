@@ -63,6 +63,10 @@ class MTPOConfig:
     value_trust: float = 1.0
     max_expands: Any = 2                      # int | "decay"
     max_model_len: int = 4096
+    # frontier leaves expanded per MCTS round; leaves_per_sim * breadth rows
+    # decode together — the decode batch size lever (the reference derives
+    # this from the DDP world size, agent.py:664-671; here it is explicit)
+    leaves_per_sim: int = 4
 
     # ---- value head + distance shaping (255-272) ----
     value_head_type: str = "linear"           # only "linear" runs (see §7.4)

@@ -110,7 +110,7 @@ class MTPOTrainer:
         self.engine = Engine(
             self.params, self.model_cfg, self.tokenizer,
             max_model_len=args.max_model_len,
-            max_batch=max(args.breadth * 2, 8),
+            max_batch=max(args.breadth * max(1, args.leaves_per_sim), 8),
             pad_multiple=pad_mult,
             seed=args.seed,
         )
@@ -238,6 +238,7 @@ class MTPOTrainer:
             prune_per=self.args.prune_per, max_expands=self.args.max_expands,
             num_pos_sim=self.args.num_pos_sim,
             passk_threshold=self.args.passk_threshold,
+            leaves_per_sim=self.args.leaves_per_sim,
             hid_bank=hid_bank, rng=self.rng,
         )
         return agent
