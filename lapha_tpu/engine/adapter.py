@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 __all__ = ["SamplingParams", "CompletionOutput", "RequestOutput", "FakeEngine", "build_engine_adapter"]
 

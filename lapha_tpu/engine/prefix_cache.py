@@ -16,8 +16,6 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Any
 
-import numpy as np
-
 from ..native import make_prefix_tree
 
 

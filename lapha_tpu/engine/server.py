@@ -60,8 +60,6 @@ class EngineServer:
         }
 
     def handle_reload_weights(self, payload: dict) -> dict:
-        import jax.numpy as jnp
-
         from ..models import loader
 
         path = payload.get("path") or self.model_dir

@@ -22,7 +22,6 @@ import unicodedata
 from typing import Any, ClassVar, Dict, List, Optional
 
 from ..search import LatentBank, MCTSAgent, parse_tool_calls, pick_best_leaf
-from ..search.mcts import dump_step
 from ..tools import description, execute_python_code
 from .adapters import GenParams, build_engine_adapter
 

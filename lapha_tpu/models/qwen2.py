@@ -21,9 +21,7 @@ in models/loader.py maps safetensors names onto this pytree.
 from __future__ import annotations
 
 import dataclasses
-import json
 import math
-from functools import partial
 from typing import Any
 
 import jax

@@ -16,8 +16,6 @@ Lance-Williams average-linkage update in numpy — O(N²) per merge on a
 from __future__ import annotations
 
 import random as _random
-from typing import Sequence
-
 import numpy as np
 
 from ..ops import poincare_dist_matrix

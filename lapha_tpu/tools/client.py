@@ -8,7 +8,6 @@ server for simple cases).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 

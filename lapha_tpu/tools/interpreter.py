@@ -11,8 +11,6 @@ from __future__ import annotations
 import re
 import signal
 import threading
-from typing import Any
-
 from .sandbox import FinalAnswerException, Interpreter, InterpreterError
 from .tool_base import Tool
 

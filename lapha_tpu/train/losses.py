@@ -16,7 +16,6 @@ MSE 2171-2306, GRPO 2311-2412, total 2417-2446) — redesigned TPU-first:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -23,7 +23,7 @@ import os
 import random
 import time
 from collections import defaultdict
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import optax
 
 from ..engine.adapter import SamplingParams
 from ..engine.engine import Engine
-from ..models import qwen2, value_model
+from ..models import value_model
 from ..parallel import make_mesh, shard_params
 from ..search import LatentBank
 from ..search.value_fn import ValueFunction
