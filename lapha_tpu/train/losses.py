@@ -217,14 +217,28 @@ def loss_and_metrics(
 
 
 def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict):
-    """Build the jitted (params, head, opt_state, batch) -> updated step."""
+    """Build the jitted (params, head, opt_state, batch) -> updated step.
 
-    def step(params, head, opt_state, batch, ref_logps=None):
+    ``extra_grads`` (optional pytree matching (params, head)) is added to the
+    loss gradients before the optimizer — used by the num_trees all-nodes
+    value-MSE mode, whose grads are accumulated over micro-batches outside
+    this jit (reference mtpo_trainer.py:2171-2296). ``value_w_override``
+    replaces the static value_w (0.0 when the MSE term comes via
+    extra_grads)."""
+
+    def step(params, head, opt_state, batch, ref_logps=None, extra_grads=None,
+             value_w_override=None):
+        kw = dict(loss_kwargs)
+        if value_w_override is not None:
+            kw["value_w"] = value_w_override
+
         def lfn(ph):
             return loss_and_metrics(ph[0], ph[1], batch, model_cfg,
-                                    ref_logps=ref_logps, **loss_kwargs)
+                                    ref_logps=ref_logps, **kw)
 
         (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)((params, head))
+        if extra_grads is not None:
+            grads = jax.tree.map(lambda g, e: g + e.astype(g.dtype), grads, extra_grads)
         updates, opt_state = optimizer.update(grads, opt_state, (params, head))
         params, head = jax.tree.map(
             lambda p, u: (p + u.astype(p.dtype)), (params, head), updates
@@ -234,7 +248,40 @@ def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict
         metrics["grad_norm"] = gnorm
         return params, head, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return jax.jit(step, donate_argnums=(0, 1, 2),
+                   static_argnames=("value_w_override",))
+
+
+def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
+                             value_activation="sigmoid", remat=True):
+    """Jitted (params, head, batch) -> (sum_sq, count, grads-of-sum_sq).
+
+    Per-chunk SUM of squared value errors (not mean) so micro-batch grads
+    accumulate exactly: d(mean)/dθ = Σ_chunks d(sum)/dθ / Σ count.
+    Used by the num_trees all-nodes MSE mode (reference 2171-2296).
+    """
+    import dataclasses as _dc
+
+    cfg = _dc.replace(model_cfg, attn_impl="dense")
+
+    def fn(params, head, batch):
+        def lfn(ph):
+            p, h = ph
+            _, hidden, _ = qwen2.forward(p, cfg, batch["ids"],
+                                         attention_mask=batch["attn"],
+                                         remat=remat, return_hidden=True)
+            pm = pool_mask(batch["attn"], batch["resp_mask"], batch["prompt_mask"])
+            h0 = masked_mean(hidden, pm)
+            v_pred = value_head_apply(h0, h["w"], h["b"], activation=value_activation)
+            v_tgt = jnp.clip(batch["v_target"].astype(jnp.float32), 0.0, 1.0)
+            valid = batch["valid"].astype(jnp.float32)
+            sum_sq = jnp.sum((v_pred - v_tgt) ** 2 * valid)
+            return sum_sq, valid.sum()
+
+        (sum_sq, count), grads = jax.value_and_grad(lfn, has_aux=True)((params, head))
+        return sum_sq, count, grads
+
+    return jax.jit(fn)
 
 
 def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: float):

@@ -154,6 +154,10 @@ class MTPOTrainer:
             ),
         )
         self.ref_params = None  # set lazily if beta > 0
+        self._value_sumsq_grad = losses.make_value_sumsq_grad_fn(
+            self.model_cfg, no_head_scale=args.no_head_scale,
+            value_activation=args.value_activation,
+            remat=args.gradient_checkpointing)
 
         self.sampling_params = SamplingParams(
             n=args.breadth, temperature=args.temperature, top_p=args.top_p,
@@ -420,10 +424,48 @@ class MTPOTrainer:
             ref_logps = losses.ref_logps_fn(self.ref_params, batch, self.model_cfg,
                                             self.args.temperature)
 
+        # num_trees != -1: value MSE over ALL nodes of the first num_trees
+        # trees replaces the step-sample MSE (reference 2171-2296) — grads
+        # accumulated over micro-batches, injected into the main update
+        extra_grads = None
+        value_w_override = None
+        mse_nodes = rollout.get("mse_nodes") or []
+        if self.args.num_trees != -1 and mse_nodes:
+            mbs = max(1, int(self.args.mse_micro_bs))
+            acc = None
+            total_cnt = 0.0
+            total_sq = 0.0
+            with self.mesh:
+                for lo in range(0, len(mse_nodes), mbs):
+                    chunk = mse_nodes[lo:lo + mbs]
+                    packed_m = losses.pack_samples(chunk, pad_id, eos_id,
+                                                   self.args.max_prompt_length,
+                                                   batch_multiple=1)
+                    if packed_m is None:
+                        continue
+                    mb = {k: jnp.asarray(v) for k, v in packed_m.items()}
+                    vt = np.zeros(packed_m["ids"].shape[0], np.float32)
+                    vt[:len(chunk)] = [float(c.get("v_target", 0.0)) for c in chunk]
+                    mb["v_target"] = jnp.asarray(vt)
+                    sq, cnt, grads = self._value_sumsq_grad(self.params, self.head, mb)
+                    total_sq += float(sq)
+                    total_cnt += float(cnt)
+                    acc = grads if acc is None else jax.tree.map(
+                        lambda a, g: a + g, acc, grads)
+            if acc is not None and total_cnt > 0:
+                scale = self.args.value_w / total_cnt
+                extra_grads = jax.tree.map(
+                    lambda g: (g.astype(jnp.float32) * scale), acc)
+                value_w_override = 0.0
+                metrics["value_loss_all_nodes"] = total_sq / total_cnt
+                self.writer.add_scalar("Loss/ValueLoss", total_sq / total_cnt,
+                                       self.global_step)
+
         t1 = time.perf_counter()
         with self.mesh:
             self.params, self.head, self.opt_state, step_metrics = self._update(
-                self.params, self.head, self.opt_state, batch, ref_logps)
+                self.params, self.head, self.opt_state, batch, ref_logps,
+                extra_grads, value_w_override=value_w_override)
         step_metrics = {k: float(v) for k, v in step_metrics.items()}
         metrics.update(step_metrics, update_s=time.perf_counter() - t1)
 

@@ -315,3 +315,41 @@ def test_self_evolving_judge_reward():
     assert t.self_evolving("<answer>the result is 4</answer>", "4") == 1.0
     t.engine = FakeEngine(tok, script=[(r".", ["<answer>0</answer>"])])
     assert t.self_evolving("<answer>the result is 4</answer>", "4") == 0.0
+
+
+def test_all_nodes_mse_mode(tmp_path):
+    """num_trees != -1: value MSE over all tree nodes feeds the update."""
+    cfg = Qwen2Config.tiny(vocab_size=4096)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    eng = FakeEngine(tok, script=[
+        (r"STEP-2", ["done </think> <answer>4</answer>", "done2 </think> <answer>7</answer>"]),
+        (r".", ["go </think> on", "go2 </think> on"]),
+    ])
+    args = MTPOConfig(
+        output_dir=str(tmp_path), model_name_or_path=None,
+        depth=3, breadth=2, num_sim=6, num_pos_sim=99, prune_per=100,
+        num_groups=4, max_model_len=512, max_prompt_length=256,
+        max_completion_length=32, per_device_train_batch_size=2,
+        num_generations=2, save_steps=0, bf16=False,
+        gradient_checkpointing=False, debug_print=False,
+        num_trees=2, mse_micro_bs=4,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    dataset = [
+        {"question": "what is 2+2?", "ground_truth": "4", "support_material_path": []},
+        {"question": "what is 1+3?", "ground_truth": "4", "support_material_path": []},
+    ]
+    trainer = MTPOTrainer(
+        model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+        reward_fns=[lambda c, gt: 1.0 if f"<answer>{gt}</answer>" in c else 0.0],
+        train_dataset=dataset, tokenizer=tok,
+    )
+    trainer.engine = eng
+    m = trainer.train_step(dataset)
+    assert trainer.global_step == 1
+    if m.get("n_samples", 0) > 0:
+        assert "value_loss_all_nodes" in m
+        assert np.isfinite(m["value_loss_all_nodes"])
+        assert np.isfinite(m["loss"])
