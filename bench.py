@@ -84,6 +84,10 @@ def main():
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
     params = qwen2.init_params(cfg, jax.random.key(0))
+    if os.getenv("BENCH_QUANT") == "int8":
+        from lapha_tpu.models.quant import quantize_params
+
+        params = quantize_params(params)
     eng = Engine(
         params, cfg, IdTok(),
         max_model_len=prompt_len + max_tokens + 128,

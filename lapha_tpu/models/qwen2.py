@@ -27,6 +27,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .quant import dequant, is_quantized
+
 
 @dataclasses.dataclass(frozen=True)
 class Qwen2Config:
@@ -195,11 +197,12 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None):
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
     h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
-    q = (jnp.einsum("bth,hd->btd", h, p["attn"]["q_proj"]["w"], preferred_element_type=jnp.float32)
+    dq = lambda w: dequant(w, x.dtype)
+    q = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["q_proj"]["w"]), preferred_element_type=jnp.float32)
          + p["attn"]["q_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nh, dh)
-    k = (jnp.einsum("bth,hd->btd", h, p["attn"]["k_proj"]["w"], preferred_element_type=jnp.float32)
+    k = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["k_proj"]["w"]), preferred_element_type=jnp.float32)
          + p["attn"]["k_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
-    v = (jnp.einsum("bth,hd->btd", h, p["attn"]["v_proj"]["w"], preferred_element_type=jnp.float32)
+    v = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["v_proj"]["w"]), preferred_element_type=jnp.float32)
          + p["attn"]["v_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
 
     q = apply_rope(q, cos, sin)
@@ -221,15 +224,15 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None):
         new_k = new_v = None
         att = _dispatch_attend(cfg, q, k, v, mask, key_mask)
 
-    att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), p["attn"]["o_proj"]["w"],
+    att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
                      preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + att
 
     h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    gate = jnp.einsum("bth,hi->bti", h, p["mlp"]["gate_proj"]["w"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("bth,hi->bti", h, p["mlp"]["up_proj"]["w"], preferred_element_type=jnp.float32)
+    gate = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["gate_proj"]["w"]), preferred_element_type=jnp.float32)
+    up = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["up_proj"]["w"]), preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    down = jnp.einsum("bti,ih->bth", act, p["mlp"]["down_proj"]["w"],
+    down = jnp.einsum("bti,ih->bth", act, dq(p["mlp"]["down_proj"]["w"]),
                       preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + down
     return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
@@ -285,7 +288,12 @@ def forward(
     Returns (logits, last_hidden | None, new_kv_cache | None).
     """
     B, T = input_ids.shape
-    x = params["embed"]["weight"][input_ids].astype(cfg.dtype)
+    emb = params["embed"]["weight"]
+    if is_quantized(emb):
+        # gather int8 rows, then scale — never materialize the bf16 table
+        x = emb["q"][input_ids].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+    else:
+        x = emb[input_ids].astype(cfg.dtype)
 
     if positions is None:
         if attention_mask is not None:
@@ -320,7 +328,13 @@ def forward(
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
-    logits = jnp.einsum("bth,vh->btv", x, head_w, preferred_element_type=jnp.float32)
+    if is_quantized(head_w):
+        # fold the per-H scales into x, keep the big operand int8
+        xs = x * head_w["s"][0].astype(x.dtype)
+        logits = jnp.einsum("bth,vh->btv", xs, head_w["q"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", x, head_w, preferred_element_type=jnp.float32)
     return logits, (x if return_hidden else None), new_cache
 
 

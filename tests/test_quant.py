@@ -1,0 +1,84 @@
+"""Weight-only int8 quantization: accuracy + memory + generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapha_tpu.models import Qwen2Config, qwen2
+from lapha_tpu.models.quant import dequant, is_quantized, params_nbytes, quantize_params, quantize_weight
+
+rng = np.random.default_rng(11)
+
+
+def test_quantize_weight_roundtrip_error():
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q = quantize_weight(w)
+    assert q["q"].dtype == jnp.int8
+    back = dequant(q, jnp.float32)
+    rel = float(jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.01  # int8 per-channel: <1% of max
+
+
+def test_quantize_params_structure_and_size():
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    qp = quantize_params(params)
+    assert is_quantized(qp["layers"]["attn"]["q_proj"]["w"])
+    assert is_quantized(qp["embed"]["weight"])
+    assert not is_quantized(qp["norm"])
+    assert qp["layers"]["input_layernorm"]["scale"].dtype == params["layers"]["input_layernorm"]["scale"].dtype
+    # int8 + f32 scales < f32 weights
+    assert params_nbytes(qp) < 0.45 * params_nbytes(params)
+
+
+def test_quantized_forward_close():
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    qp = quantize_params(params)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)))
+    lf, _, _ = qwen2.forward(params, cfg, ids)
+    lq, _, _ = qwen2.forward(qp, cfg, ids)
+    # logits stay strongly correlated (top-1 mostly agrees on random nets)
+    pf = np.asarray(jnp.argmax(lf, -1))
+    pq = np.asarray(jnp.argmax(lq, -1))
+    agree = (pf == pq).mean()
+    assert agree > 0.8, f"top-1 agreement {agree}"
+    corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_quantized_engine_generates():
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    class ByteTok:
+        eos_token_id = 0
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [min(b, 255) + 1 for b in text.encode()]}
+
+        def decode(self, ids, **kw):
+            return bytes((i - 1) % 256 for i in ids if i > 0).decode(errors="replace")
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = quantize_params(qwen2.init_params(cfg, jax.random.key(3)))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=4,
+                 decode_chunk=8, pad_multiple=16, batch_bucket=1, eos_token_ids=[0])
+    out = eng.generate(["int8 check"], SamplingParams(n=2, temperature=0.5, max_tokens=6, seed=3))[0]
+    assert len(out.outputs) == 2
+    assert all(len(o.token_ids) >= 1 for o in out.outputs)
+
+
+def test_kv_cache_decode_consistent_quantized():
+    cfg = Qwen2Config.tiny()
+    qp = quantize_params(qwen2.init_params(cfg, jax.random.key(0)))
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 10)))
+    full, _, _ = qwen2.forward(qp, cfg, ids)
+    cache = qwen2.init_kv_cache(cfg, 1, 16)
+    pre, _, cache = qwen2.forward(qp, cfg, ids[:, :6], kv_cache=cache, cache_pos=0,
+                                  positions=jnp.arange(6)[None])
+    step, _, _ = qwen2.forward(qp, cfg, ids[:, 6:7], kv_cache=cache, cache_pos=6,
+                               positions=jnp.full((1, 1), 6))
+    np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, 6]),
+                               rtol=5e-3, atol=5e-3)
