@@ -83,11 +83,13 @@ def main():
     parents = int(os.getenv("BENCH_PARENTS", "8"))
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
-    params = qwen2.init_params(cfg, jax.random.key(0))
     if os.getenv("BENCH_QUANT") == "int8":
-        from lapha_tpu.models.quant import quantize_params
+        # host-side init+quantize: never holds bf16 weights on device
+        from lapha_tpu.models.quant import init_params_quantized
 
-        params = quantize_params(params)
+        params = init_params_quantized(cfg, seed=0)
+    else:
+        params = qwen2.init_params(cfg, jax.random.key(0))
     eng = Engine(
         params, cfg, IdTok(),
         max_model_len=prompt_len + max_tokens + 128,

@@ -140,6 +140,8 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-model-len", type=int, default=4096)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="weight-only int8 (halves HBM; fits 7B on one v5e)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -150,7 +152,7 @@ def main(argv=None):
     tokenizer = AutoTokenizer.from_pretrained(args.model, trust_remote_code=True)
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.eos_token
-    params, cfg = loader.load_params(args.model)
+    params, cfg = loader.load_params(args.model, quantize=args.quantize)
     engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
                     max_batch=args.max_batch)
     print(f"engine server on {args.host}:{args.port} (model {args.model})")

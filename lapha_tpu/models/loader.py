@@ -71,27 +71,56 @@ def load_config(model_dir: str) -> Qwen2Config:
     return Qwen2Config.from_hf(cfg)
 
 
-def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat16) -> tuple[dict, Qwen2Config]:
-    """Load an HF Qwen2 checkpoint directory into the stacked pytree."""
+def _host_f32(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.uint16:  # raw bf16 bits
+        return np.asarray(
+            jax.device_get(jax.lax.bitcast_convert_type(jnp.asarray(arr), jnp.bfloat16)),
+            np.float32)
+    return np.asarray(arr, np.float32)
+
+
+def _quant_int8_host(a: np.ndarray, axis: int) -> dict:
+    amax = np.max(np.abs(a), axis=axis, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-12)
+    q = np.clip(np.round(a / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+
+
+def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat16,
+                quantize: str | None = None) -> tuple[dict, Qwen2Config]:
+    """Load an HF Qwen2 checkpoint directory into the stacked pytree.
+
+    ``quantize="int8"`` applies weight-only per-channel int8 to the large
+    matmul weights ON HOST during loading (no bf16 residency on device) —
+    fits 7B checkpoints on a single 16 GB chip."""
     if cfg is None:
         cfg = load_config(model_dir)
     cfg = Qwen2Config(**{**cfg.__dict__, "dtype": dtype})
     tensors = _open_safetensors(model_dir)
     L = cfg.num_hidden_layers
+    q8 = quantize == "int8"
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r}")
 
-    def stack(fmt: str, transpose: bool = False) -> jax.Array:
+    def stack(fmt: str, transpose: bool = False):
         mats = []
         for i in range(L):
             a = _get(tensors, fmt.format(i=i))
             mats.append(a)
         out = np.stack(mats, axis=0)
+        if q8 and transpose:  # transpose==True marks the big matmul weights
+            host = np.swapaxes(_host_f32(out), -1, -2)  # (L, in, out)
+            return _quant_int8_host(host, axis=-2)
         arr = _to_jax(out, dtype)
         if transpose:  # HF Linear stores (out, in); we want (in, out)
             arr = jnp.swapaxes(arr, -1, -2)
         return arr
 
+    embed_raw = _get(tensors, "embed_tokens.weight")
+    embed = (_quant_int8_host(_host_f32(embed_raw), axis=0) if q8
+             else _to_jax(embed_raw, dtype))
     params: dict[str, Any] = {
-        "embed": {"weight": _to_jax(_get(tensors, "embed_tokens.weight"), dtype)},
+        "embed": {"weight": embed},
         "layers": {
             "input_layernorm": {"scale": stack("layers.{i}.input_layernorm.weight")},
             "post_attention_layernorm": {"scale": stack("layers.{i}.post_attention_layernorm.weight")},
@@ -114,7 +143,9 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     }
     if not cfg.tie_word_embeddings:
         if _has(tensors, "lm_head.weight"):
-            params["lm_head"] = {"weight": _to_jax(_get(tensors, "lm_head.weight"), dtype)}
+            lm_raw = _get(tensors, "lm_head.weight")
+            params["lm_head"] = {"weight": (_quant_int8_host(_host_f32(lm_raw), axis=0)
+                                            if q8 else _to_jax(lm_raw, dtype))}
         else:  # tying fallback, mirrors split_valuehead.py:347-357
             cfg = Qwen2Config(**{**cfg.__dict__, "tie_word_embeddings": True})
     return params, cfg

@@ -68,6 +68,76 @@ def quantize_params(params: dict, *, quantize_embed: bool = True) -> dict:
     return walk(params)
 
 
+def quantize_host_tree(params_np: dict, *, quantize_embed: bool = True) -> dict:
+    """Quantize a NUMPY param tree on host, then device_put only the int8
+    result — avoids the bf16+int8 double-residency peak that OOMs large
+    models on device (7B bf16 alone is 14+ GB on a 16 GB chip)."""
+    import numpy as np
+
+    def qw(w, axis):
+        wf = np.asarray(w, np.float32)
+        amax = np.max(np.abs(wf), axis=axis, keepdims=True)
+        scale = np.maximum(amax / 127.0, 1e-12)
+        q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+        return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
+        if any(path.endswith("/" + p) for p in _QUANT_PATHS):
+            return qw(node, axis=-2)
+        if quantize_embed and (path.endswith("embed/weight") or path.endswith("lm_head/weight")):
+            return qw(node, axis=0)
+        return jnp.asarray(node)
+
+    return walk(params_np)
+
+
+def init_params_quantized(cfg, seed: int = 0, *, quantize_embed: bool = True) -> dict:
+    """Random-init a quantized tree directly ON DEVICE in int8.
+
+    Never materializes f32/bf16 weights anywhere: no device bf16 residency
+    (7B bf16 would not fit one 16 GB chip) and no multi-GB host→device
+    transfer (the remote-TPU tunnel makes big transfers minutes-slow).
+    Weight *values* don't affect throughput benchmarking."""
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    I = cfg.intermediate_size
+    key = jax.random.key(seed)
+
+    def qw(k, shape, axis=-2):
+        q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+        in_dim = shape[axis]
+        s_shape = list(shape)
+        s_shape[axis] = 1
+        s = jnp.full(tuple(s_shape), 1.0 / (127.0 * (in_dim ** 0.5)), jnp.float32)
+        return {"q": q, "s": s}
+
+    ks = jax.random.split(key, 10)
+    params = {
+        "embed": {"weight": (qw(ks[0], (cfg.vocab_size, H), axis=0) if quantize_embed
+                             else (jax.random.normal(ks[0], (cfg.vocab_size, H)) * 0.02
+                                   ).astype(cfg.dtype))},
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((L, H), cfg.dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((L, H), cfg.dtype)},
+            "attn": {
+                "q_proj": {"w": qw(ks[1], (L, H, nh * dh)), "b": jnp.zeros((L, nh * dh), cfg.dtype)},
+                "k_proj": {"w": qw(ks[2], (L, H, nkv * dh)), "b": jnp.zeros((L, nkv * dh), cfg.dtype)},
+                "v_proj": {"w": qw(ks[3], (L, H, nkv * dh)), "b": jnp.zeros((L, nkv * dh), cfg.dtype)},
+                "o_proj": {"w": qw(ks[4], (L, nh * dh, H))},
+            },
+            "mlp": {
+                "gate_proj": {"w": qw(ks[5], (L, H, I))},
+                "up_proj": {"w": qw(ks[6], (L, H, I))},
+                "down_proj": {"w": qw(ks[7], (L, I, H))},
+            },
+        },
+        "norm": {"scale": jnp.ones((H,), cfg.dtype)},
+    }
+    return params
+
+
 def params_nbytes(params: dict) -> int:
     total = 0
     for leaf in jax.tree.leaves(params):

@@ -82,3 +82,22 @@ def test_kv_cache_decode_consistent_quantized():
                                positions=jnp.full((1, 1), 6))
     np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, 6]),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_load_params_quantized(tmp_path):
+    """HF checkpoint -> int8 tree, logits track the f32 load."""
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from model_fixtures import build_tiny_model_dir
+    from lapha_tpu.models import loader
+
+    d = build_tiny_model_dir(str(tmp_path / "m"))
+    pf, cf = loader.load_params(d, dtype=jnp.float32)
+    pq, cq = loader.load_params(d, dtype=jnp.float32, quantize="int8")
+    assert is_quantized(pq["layers"]["mlp"]["gate_proj"]["w"])
+    assert is_quantized(pq["embed"]["weight"])
+    ids = jnp.asarray(rng.integers(0, 2000, (1, 12)))
+    lf, _, _ = qwen2.forward(pf, cf, ids)
+    lq, _, _ = qwen2.forward(pq, cq, ids)
+    corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert corr > 0.99
