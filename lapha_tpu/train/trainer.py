@@ -247,6 +247,51 @@ class MTPOTrainer:
         )
         return agent
 
+    def _ensure_hid_idx_coverage(self, chains, hid_bank, root_step=None,
+                                 batch_size: int = 8) -> int:
+        """Embed any steps missing a latent-bank row before shaping
+        (reference mtpo_trainer.py:1329-1444): nodes whose value batch was
+        skipped during search (e.g. transiently disabled rows) still need a
+        ball point for the V-map. Returns the number embedded."""
+        missing = []
+        seen = set()
+        for chain in chains:
+            for st in chain:
+                if id(st) in seen or st.get("hid_idx") is not None:
+                    continue
+                seen.add(id(st))
+                p_ids = st.get("prompt_ids")
+                c_ids = st.get("completion_ids")
+                if not p_ids or not c_ids:
+                    continue
+                missing.append(st)
+        if not missing:
+            return 0
+        root_h0 = None
+        if root_step is not None and root_step.get("root_h0") is not None:
+            root_h0 = np.asarray(root_step["root_h0"], np.float32).reshape(-1)
+        for lo in range(0, len(missing), batch_size):
+            chunk = missing[lo:lo + batch_size]
+            L = max(len(st["prompt_ids"]) + len(st["completion_ids"]) for st in chunk)
+            ids = np.zeros((len(chunk), L), np.int64)
+            attn = np.zeros_like(ids)
+            resp = np.zeros_like(ids)
+            pm = np.zeros_like(ids)
+            for i, st in enumerate(chunk):
+                pl_, cl_ = len(st["prompt_ids"]), len(st["completion_ids"])
+                ids[i, :pl_] = st["prompt_ids"]
+                ids[i, pl_:pl_ + cl_] = st["completion_ids"]
+                attn[i, :pl_ + cl_] = 1
+                resp[i, pl_:pl_ + cl_] = 1
+                pm[i, :pl_] = 1
+            y, _v = self.value_fn(input_ids=ids, attention_mask=attn,
+                                  response_mask=resp, prompt_mask=pm,
+                                  root_h0=root_h0, return_h0=False)
+            for i, st in enumerate(chunk):
+                st["hid_idx"] = hid_bank.add(np.asarray(y[i], np.float32))
+                st["hid"] = np.asarray(y[i], np.float16).tolist()
+        return len(missing)
+
     def rollout_batch(self, inputs: list[dict]) -> dict:
         """MCTS per question -> shaped rewards -> grouped training samples.
 
@@ -277,6 +322,8 @@ class MTPOTrainer:
                 ground_truth=inp["ground_truth"],
                 cot=None,  # CoT column forwarded to shaping only (SURVEY §7.4)
             )
+            self._ensure_hid_idx_coverage(chains, hid_bank,
+                                           root_step=agent._root_step)
             avg_acc, pass1, diag = compute_action_rewards(
                 chains, self.reward_fns, inp["ground_truth"], self.shaping_cfg,
                 bank=hid_bank, root_step=agent._root_step)

@@ -353,3 +353,26 @@ def test_all_nodes_mse_mode(tmp_path):
         assert "value_loss_all_nodes" in m
         assert np.isfinite(m["value_loss_all_nodes"])
         assert np.isfinite(m["loss"])
+
+
+def test_ensure_hid_idx_coverage(tmp_path):
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(output_dir=str(tmp_path), model_name_or_path=None,
+                      depth=2, breadth=2, num_sim=2, max_model_len=256,
+                      num_generations=2, save_steps=0, bf16=False,
+                      gradient_checkpointing=False, debug_print=False)
+    t = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+                    reward_fns=[], train_dataset=[], tokenizer=tok)
+    bank = LatentBank()
+    covered = dict(prompt_ids=[3, 4], completion_ids=[5], hid_idx=bank.add(np.zeros(cfg.hidden_size)))
+    missing = dict(prompt_ids=[3, 4], completion_ids=[6, 7])
+    empty = dict(prompt_ids=[3], completion_ids=[])  # cannot embed; stays None
+    n = t._ensure_hid_idx_coverage([[covered, missing], [empty]], bank)
+    assert n == 1
+    assert missing["hid_idx"] is not None
+    assert isinstance(missing["hid"], list)
+    assert "hid_idx" not in empty or empty.get("hid_idx") is None
