@@ -44,6 +44,9 @@ class CompletionOutput:
     token_logprobs: list[float] | None = None
     text: str | None = None
     finish_reason: str = "stop"  # "stop" | "length"
+    # set by engines with collect_h0: mean final hidden over prompt+emitted
+    # tokens — the value head's pooled h0, produced during generation
+    pooled_hidden: object = None
 
 
 @dataclasses.dataclass

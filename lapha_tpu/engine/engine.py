@@ -61,6 +61,7 @@ class Engine:
         seed: int = 0,
         prefix_cache_bytes: int = 1_500_000_000,
         prefix_cache_min_reuse: int = 64,
+        collect_h0: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -71,6 +72,13 @@ class Engine:
         self.pad_multiple = int(pad_multiple)
         self.batch_bucket = int(batch_bucket)
         self._call_counter = 0
+        # collect_h0: accumulate the final-hidden mean over (prompt +
+        # generated-up-to-EOS) tokens during generation, so the value head's
+        # pooled h0 is a BYPRODUCT of decoding — MCTS value scoring then
+        # needs no separate LM forward ("value guidance at near-zero
+        # overhead"). Pool rule matches the reference head: all real tokens,
+        # completion capped at first EOS (mtpo_trainer.py:212-229).
+        self.collect_h0 = bool(collect_h0)
         self.prefix_cache = (
             PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse)
             if prefix_cache_bytes > 0 else None
@@ -101,16 +109,22 @@ class Engine:
         cache = qwen2.init_kv_cache(self.cfg, P, S)
         kv_valid = jnp.zeros((P, S), jnp.bool_).at[:, :Lp].set(mask > 0)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, _, cache = qwen2.forward(
+        logits, hidden, cache = qwen2.forward(
             params, self.cfg, ids,
             positions=positions,
             kv_cache=cache,
             cache_pos=0,
             kv_valid=kv_valid,
+            return_hidden=self.collect_h0,
         )
         last = jnp.take_along_axis(
             logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0, :]
-        return last, cache
+        if self.collect_h0:
+            h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
+                               mask.astype(jnp.float32))
+        else:
+            h_sum = jnp.zeros((P, self.cfg.hidden_size), jnp.float32)
+        return last, cache, h_sum
 
     def _suffix_prefill_impl(self, params, cache_k, cache_v, ids, mask, start, real_len):
         """One row with a reused prefix: prefix KV already sits at [0, start).
@@ -121,16 +135,22 @@ class Engine:
         S = cache_k.shape[2]
         kv_valid = (jnp.arange(S)[None, :] < (start + jnp.sum(mask)))
         positions = start + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, _, (ck, cv) = qwen2.forward(
+        logits, hidden, (ck, cv) = qwen2.forward(
             params, self.cfg, ids,
             positions=positions,
             kv_cache=(cache_k, cache_v),
             cache_pos=start,
             kv_valid=kv_valid,
+            return_hidden=self.collect_h0,
         )
         last = jax.lax.dynamic_slice_in_dim(
             logits[0], jnp.maximum(real_len - 1, 0), 1, axis=0)
-        return last, (ck, cv)
+        if self.collect_h0:
+            h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
+                               mask.astype(jnp.float32))
+        else:
+            h_sum = jnp.zeros((1, self.cfg.hidden_size), jnp.float32)
+        return last, (ck, cv), h_sum
 
     def _decode_impl(
         self, params, cache_k, cache_v, presence, last_logits,
@@ -146,7 +166,7 @@ class Engine:
         eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
 
         def step(carry, _):
-            ck, cv, pres, logits, kvv, pos, fin, k = carry
+            ck, cv, pres, logits, kvv, pos, fin, k, hs = carry
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
@@ -166,19 +186,26 @@ class Engine:
             B = tok.shape[0]
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
             kvv = kvv.at[jnp.arange(B), pos].set(True)
-            new_logits, _, (ck, cv) = qwen2.forward(
+            new_logits, hidden, (ck, cv) = qwen2.forward(
                 params, self.cfg, tok[:, None],
                 positions=pos[:, None],
                 kv_cache=(ck, cv),
                 cache_pos=pos,
                 kv_valid=kvv,
+                return_hidden=self.collect_h0,
             )
-            return (ck, cv, pres, new_logits[:, 0, :], kvv, pos + 1, new_fin, k), (emit, emit_lp)
+            if self.collect_h0:
+                # the token sampled this step is forwarded this step; pool it
+                # iff it was emitted (fin False on entry — includes the EOS)
+                hs = hs + hidden[:, 0, :].astype(jnp.float32) * (~fin)[:, None]
+            return (ck, cv, pres, new_logits[:, 0, :], kvv, pos + 1, new_fin, k, hs), (emit, emit_lp)
 
-        carry0 = (cache_k, cache_v, presence, last_logits, kv_valid, positions_next, finished, key)
+        B0 = last_logits.shape[0]
+        h0 = jnp.zeros((B0, self.cfg.hidden_size), jnp.float32)
+        carry0 = (cache_k, cache_v, presence, last_logits, kv_valid, positions_next, finished, key, h0)
         carry, (toks, lps) = jax.lax.scan(step, carry0, None, length=T)
-        ck, cv, pres, logits, kvv, pos, fin, _ = carry
-        return toks.T, lps.T, fin, (ck, cv), pres, kvv, pos, logits
+        ck, cv, pres, logits, kvv, pos, fin, _, hs = carry
+        return toks.T, lps.T, fin, (ck, cv), pres, kvv, pos, logits, hs
 
     # ------------------------------------------------------------------ public API
 
@@ -214,7 +241,9 @@ class Engine:
         hits = [None] * P
         if store is not None and P <= 8:
             for i, toks in enumerate(enc):
-                hits[i] = store.longest_prefix(toks, max_use=len(toks) - 1)
+                hits[i] = store.longest_prefix(
+                    toks, max_use=len(toks) - 1,
+                    allow_partial=not self.collect_h0)
 
         if all(h is None for h in hits):
             Lp = min(_round_up(max(len(e) for e in enc), self.pad_multiple),
@@ -227,14 +256,15 @@ class Engine:
                 ids[i, : len(e)] = e
                 mask[i, : len(e)] = 1
                 plen[i] = len(e)
-            last, cache = self._prefill_jit(
+            last, cache, h_sum = self._prefill_jit(
                 self.params, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(plen), S=S)
             last = last[:P]
+            h_sum = h_sum[:P]
             cache = (cache[0][:, :P], cache[1][:, :P])
         else:
             # per-row path mixing full and suffix prefills
-            lasts, cks, cvs = [], [], []
+            lasts, cks, cvs, hsums = [], [], [], []
             for i, toks in enumerate(enc):
                 if hits[i] is None:
                     Lp = min(_round_up(len(toks), self.pad_multiple), self.max_model_len)
@@ -242,11 +272,11 @@ class Engine:
                     mask = np.zeros((1, Lp), np.int32)
                     ids[0, : len(toks)] = toks
                     mask[0, : len(toks)] = 1
-                    last, (ck, cv) = self._prefill_jit(
+                    last, (ck, cv), h_row = self._prefill_jit(
                         self.params, jnp.asarray(ids), jnp.asarray(mask),
                         jnp.asarray([len(toks)], np.int32), S=S)
                 else:
-                    k_pref, v_pref, plen_hit = hits[i]
+                    k_pref, v_pref, plen_hit, h_pref = hits[i]
                     ck = jnp.zeros(
                         (self.cfg.num_hidden_layers, 1, S,
                          self.cfg.num_key_value_heads, self.cfg.head_dim_),
@@ -260,22 +290,27 @@ class Engine:
                     mask = np.zeros((1, Ls), np.int32)
                     ids[0, : len(suffix)] = suffix
                     mask[0, : len(suffix)] = 1
-                    last, (ck, cv) = self._suffix_prefill_jit(
+                    last, (ck, cv), h_suf = self._suffix_prefill_jit(
                         self.params, ck, cv, jnp.asarray(ids), jnp.asarray(mask),
                         jnp.asarray(plen_hit, jnp.int32),
                         jnp.asarray(len(suffix), jnp.int32))
+                    h_row = h_suf + (h_pref[None, :] if h_pref is not None
+                                     else jnp.zeros((1, self.cfg.hidden_size), jnp.float32))
                 lasts.append(last)
                 cks.append(ck)
                 cvs.append(cv)
+                hsums.append(h_row)
             last = jnp.concatenate(lasts, axis=0)
+            h_sum = jnp.concatenate(hsums, axis=0)
             cache = (jnp.concatenate(cks, axis=1), jnp.concatenate(cvs, axis=1))
 
         if store is not None:
             for i, toks in enumerate(enc):
                 if len(toks) >= store.min_reuse:
                     store.put(toks, (cache[0][:, i, : len(toks)],
-                                     cache[1][:, i, : len(toks)]))
-        return last, cache
+                                     cache[1][:, i, : len(toks)]),
+                              h_sum=(h_sum[i] if self.collect_h0 else None))
+        return last, cache, h_sum
 
     def _generate_chunk(self, prompts: list[str], sp: SamplingParams, n: int):
         tok = self.tokenizer
@@ -287,7 +322,7 @@ class Engine:
         max_new = int(getattr(sp, "max_tokens", 256) or 256)
         S = _round_up(min(self.max_model_len, max_len) + max_new, self.pad_multiple)
 
-        last_logits, (ck, cv) = self._prefill_rows(enc, S)
+        last_logits, (ck, cv), h_prompt = self._prefill_rows(enc, S)
 
         # fan out to B = P*n rows (gather shares each prompt's KV)
         Bb = _round_up(P * n, self.batch_bucket)
@@ -297,6 +332,7 @@ class Engine:
         ck = ck[:, row_of_j]
         cv = cv[:, row_of_j]
         last_logits = jnp.asarray(last_logits)[row_of_j]
+        h_prompt_rows = np.asarray(h_prompt)[np.asarray(row_of)] if self.collect_h0 else None
         B = Bb
 
         lens = np.asarray([len(enc[r]) for r in row_of], np.int32)
@@ -333,12 +369,13 @@ class Engine:
 
         all_toks: list[np.ndarray] = []
         all_lps: list[np.ndarray] = []
+        h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
         steps_done = 0
         budget = min(max_new, S - int(lens.max()))
         while steps_done < budget:
             T = min(self.decode_chunk, budget - steps_done)
             key, sub = jax.random.split(key)
-            toks, lps, finished, (ck, cv), presence, kv_valid, positions_next, last_logits = self._decode_jit(
+            toks, lps, finished, (ck, cv), presence, kv_valid, positions_next, last_logits, hs = self._decode_jit(
                 self.params, ck, cv, presence, last_logits,
                 kv_valid, positions_next, finished, sub,
                 temperature, top_k, top_p, min_p, rep_pen,
@@ -346,6 +383,8 @@ class Engine:
             )
             all_toks.append(np.asarray(toks))
             all_lps.append(np.asarray(lps))
+            if self.collect_h0:
+                h_gen += np.asarray(hs)
             steps_done += T
             if bool(np.all(np.asarray(finished))):
                 break
@@ -371,13 +410,19 @@ class Engine:
                         break
                 finish = "stop" if (ids_out and ids_out[-1] in eos_set) else "length"
                 text = tok.decode(ids_out, skip_special_tokens=True) if hasattr(tok, "decode") else None
-                outs.append(CompletionOutput(
+                co = CompletionOutput(
                     token_ids=ids_out,
                     cumulative_logprob=float(np.sum(lps_out)),
                     token_logprobs=lps_out,
                     text=text,
                     finish_reason=finish,
-                ))
+                )
+                if self.collect_h0:
+                    # pooled final-hidden mean over prompt + emitted tokens
+                    # (the value head's h0_raw, free of any extra forward)
+                    n_tok = len(enc[p]) + len(ids_out)
+                    co.pooled_hidden = (h_prompt_rows[r] + h_gen[r]) / max(1, n_tok)
+                outs.append(co)
             results.append(RequestOutput(outputs=outs, prompt=prompts[p],
                                          prompt_token_ids=list(enc[p])))
         return results

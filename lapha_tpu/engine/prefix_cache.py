@@ -47,8 +47,10 @@ class PrefixCacheStore:
         self._key_to_handle.pop(ent["key"], None)
         self._trie.remove(handle)
 
-    def put(self, tokens: list[int], kv: tuple[Any, Any]) -> None:
-        """kv: (k, v) arrays of shape (layers, len, n_kv, head_dim)."""
+    def put(self, tokens: list[int], kv: tuple[Any, Any], h_sum=None) -> None:
+        """kv: (k, v) arrays of shape (layers, len, n_kv, head_dim);
+        h_sum: optional (H,) final-hidden sum over these tokens (collect_h0
+        engines reuse it so fused value pooling also skips the prefix)."""
         key = tuple(int(t) for t in tokens)
         if not key:
             return
@@ -60,7 +62,8 @@ class PrefixCacheStore:
             self._evict(old)
         handle = self._next_handle
         self._next_handle += 1
-        self._entries[handle] = {"key": key, "kv": kv, "bytes": size}
+        self._entries[handle] = {"key": key, "kv": kv, "bytes": size,
+                                 "h_sum": h_sum}
         self._key_to_handle[key] = handle
         self._trie.insert(list(key), handle)
         self._bytes += size
@@ -68,20 +71,26 @@ class PrefixCacheStore:
             oldest = next(iter(self._entries))
             self._evict(oldest)
 
-    def longest_prefix(self, tokens: list[int], max_use: int | None = None):
+    def longest_prefix(self, tokens: list[int], max_use: int | None = None,
+                       allow_partial: bool = True):
         """Longest stored entry that is a prefix of ``tokens``.
 
-        Returns (kv_k_slice, kv_v_slice, plen) or None. ``max_use`` caps the
-        reused length (callers keep >=1 suffix token for last-logits)."""
+        Returns (kv_k_slice, kv_v_slice, plen, h_sum) or None. ``max_use``
+        caps the reused length (callers keep >=1 suffix token for
+        last-logits). ``allow_partial=False`` disables the capped
+        exact-match path, where only part of an entry is reused — collect_h0
+        engines need the stored h_sum to cover exactly the reused tokens."""
         toks = [int(t) for t in tokens]
         cap = len(toks) if max_use is None else min(len(toks), max_use)
         # exact-match entries sit past the cap in the trie (terminal at full
         # length); reuse their first `cap` tokens directly
-        exact = self._key_to_handle.get(tuple(toks))
+        exact = self._key_to_handle.get(tuple(toks)) if allow_partial else None
         if exact is not None and cap >= self.min_reuse:
             hit = (exact, cap)
+            partial = True
         else:
             hit = self._trie.longest_prefix(toks, cap)
+            partial = False
         if hit is None or hit[1] < self.min_reuse:
             self.misses += 1
             return None
@@ -91,7 +100,8 @@ class PrefixCacheStore:
         self.hits += 1
         self.tokens_reused += plen
         k, v = ent["kv"]
-        return k[:, :plen], v[:, :plen], plen
+        h_sum = None if partial else ent.get("h_sum")
+        return k[:, :plen], v[:, :plen], plen, h_sum
 
     def clear(self):
         for handle in list(self._entries):

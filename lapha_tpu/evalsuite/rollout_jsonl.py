@@ -374,13 +374,15 @@ def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_o
     if engine_override is not None:
         llm = engine_override
     else:
-        llm = build_engine_adapter(
-            args.engine, tokenizer=tokenizer,
+        engine_kw = dict(
             model_path=os.getenv("JET_MODEL_PATH", args.tokenizer_path),
             max_model_len=int(args.max_model_len),
             max_batch=max(int(args.max_batch),
                           int(args.breadth) * max(1, int(args.mcts_leaves_per_sim))),
         )
+        if args.mode == "value":
+            engine_kw["collect_h0"] = True  # fused value scoring
+        llm = build_engine_adapter(args.engine, tokenizer=tokenizer, **engine_kw)
 
     agent = None
     mcts_agent = None

@@ -442,11 +442,19 @@ class MCTSAgent(abc.ABC):
             resp2d[i, :n] = rmask
             pm2d[i, :n] = pmask
 
-        y_batch, v_batch = self.value_fn(
-            input_ids=ids2d, attention_mask=attn2d,
-            response_mask=resp2d, prompt_mask=pm2d,
-            root_h0=self.root_h0, return_h0=False,
-        )
+        # fused path: the engine already pooled each sample's final hidden
+        # during generation (collect_h0) — value scoring is then a matvec
+        pooled = [step.get("_pooled_hidden") for (_pi, _k, step, *_rest) in kept]
+        if all(p_ is not None for p_ in pooled) and hasattr(self.value_fn, "from_pooled"):
+            y_batch, v_batch = self.value_fn.from_pooled(
+                np.stack([np.asarray(p_, np.float32) for p_ in pooled]),
+                root_h0=self.root_h0)
+        else:
+            y_batch, v_batch = self.value_fn(
+                input_ids=ids2d, attention_mask=attn2d,
+                response_mask=resp2d, prompt_mask=pm2d,
+                root_h0=self.root_h0, return_h0=False,
+            )
 
         # 5) materialize children
         created: dict[int, list[Node]] = {i: [] for i in range(len(parents))}
@@ -565,6 +573,9 @@ class MCTSAgent(abc.ABC):
             "cum_logprob": float(output.cumulative_logprob),
             "state_value": None,
         }
+        ph = getattr(output, "pooled_hidden", None)
+        if ph is not None:
+            step["_pooled_hidden"] = ph
         return (step, messages, new_context, terminal)
 
     # ------------------------------------------------------------- pruning

@@ -68,6 +68,29 @@ class ValueFunction:
             **self.kw,
         )
 
+    def from_pooled(self, h0_raw, root_h0=None):
+        """(y_state, v_pred) from an engine-pooled h0 — no LM forward.
+
+        The fused-value path: engines built with ``collect_h0`` return each
+        sample's pooled final hidden (mean over prompt + emitted tokens,
+        exactly the reference pool rule), so value scoring costs one tiny
+        matvec instead of a full sequence forward.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.latent import latent_project, value_head_apply
+
+        h0 = jnp.asarray(np.asarray(h0_raw, np.float32))
+        if h0.ndim == 1:
+            h0 = h0[None, :]
+        rh = None if root_h0 is None else jnp.asarray(
+            np.asarray(root_h0, np.float32).reshape(-1))
+        y = latent_project(h0, rh, scale=self.kw["no_head_scale"],
+                           c=self.kw["curvature"])
+        v = value_head_apply(h0, self.head["w"], self.head["b"],
+                             activation=self.kw["value_activation"])
+        return np.asarray(y, np.float32), np.asarray(v, np.float32)
+
     def update_params(self, params=None, head=None):
         if params is not None:
             self.params = params

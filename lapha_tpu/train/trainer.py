@@ -113,6 +113,7 @@ class MTPOTrainer:
             max_batch=max(args.breadth * max(1, args.leaves_per_sim), 8),
             pad_multiple=pad_mult,
             seed=args.seed,
+            collect_h0=True,  # fused value scoring during rollouts
         )
         self.value_fn = ValueFunction(
             self.params, self.head, self.model_cfg,

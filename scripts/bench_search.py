@@ -61,8 +61,10 @@ def main():
 
     params = qwen2.init_params(cfg, jax.random.key(0))
     head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    collect = os.getenv("SEARCH_FUSED_VALUE", "1") in ("1", "true")
     engine = Engine(params, cfg, tokenizer, max_model_len=2048,
-                    max_batch=breadth * leaves, decode_chunk=32, seed=0)
+                    max_batch=breadth * leaves, decode_chunk=32, seed=0,
+                    collect_h0=collect)
     value_fn = ValueFunction(params, head, cfg, max_model_len=2048)
 
     class BenchAgent(MCTSAgent):

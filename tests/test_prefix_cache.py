@@ -40,12 +40,14 @@ def test_store_put_lookup_lru():
     s.put([1, 2, 3, 4, 5], (k, k))
     hit = s.longest_prefix([1, 2, 3, 4, 5, 6, 7])
     assert hit is not None
-    _, _, plen = hit
+    _, _, plen, _h = hit
     assert plen == 5
     assert s.longest_prefix([9, 9, 9]) is None
-    # max_use caps reuse
-    _, _, plen2 = s.longest_prefix([1, 2, 3, 4, 5], max_use=4)
-    assert plen2 == 4
+    # max_use caps reuse (partial exact-match path)
+    _, _, plen2, h2 = s.longest_prefix([1, 2, 3, 4, 5], max_use=4)
+    assert plen2 == 4 and h2 is None
+    # partial path disabled -> miss
+    assert s.longest_prefix([1, 2, 3, 4, 5], max_use=4, allow_partial=False) is None
 
 
 def test_store_eviction_under_budget():
