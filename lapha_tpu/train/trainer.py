@@ -465,6 +465,28 @@ class MTPOTrainer:
         batch["advantages"] = jnp.asarray(advantages)
         batch["v_target"] = jnp.asarray(v_target)
 
+        # chosen-sample dumps per step/group (reference 1795-1837)
+        try:
+            from ..search.mcts import dump_step as _dump_step
+
+            dump_root = os.path.join(self.args.output_dir, "train",
+                                     f"step-{self.global_step}")
+            counts: dict[int, int] = defaultdict(int)
+            for s, gid in zip(samples, gids):
+                i_local = counts[gid]
+                counts[gid] += 1
+                dec = getattr(self.tokenizer, "decode", None)
+                _dump_step({
+                    "state_value": s.get("reward"),
+                    "prompt_ids": s["prompt_ids"],
+                    "completion_ids": s["completion_ids"],
+                    "prompt": dec(s["prompt_ids"], skip_special_tokens=False) if dec else "",
+                    "completion": dec(s["completion_ids"], skip_special_tokens=False) if dec else "",
+                    "ground_truth": s.get("ground_truth"),
+                }, os.path.join(dump_root, f"group-{gid}", f"tmp{i_local}.txt"))
+        except Exception:
+            pass
+
         ref_logps = None
         if self.args.beta > 0.0:
             if self.ref_params is None:
