@@ -285,7 +285,16 @@ class Engine:
                     ck = ck.at[:, 0, :plen_hit].set(k_pref)
                     cv = cv.at[:, 0, :plen_hit].set(v_pref)
                     suffix = toks[plen_hit:]
+                    # the padded suffix block is written at offset plen_hit:
+                    # it MUST fit inside S or dynamic_update_slice clamps the
+                    # start back and overwrites the reused prefix KV
+                    # (silently wrong generations — found by review repro)
                     Ls = _round_up(len(suffix), min(self.pad_multiple, 128))
+                    if plen_hit + Ls > S:
+                        Ls = _round_up(len(suffix), 16)
+                    if plen_hit + Ls > S:
+                        Ls = len(suffix)
+                    assert plen_hit + Ls <= S, (plen_hit, Ls, S)
                     ids = np.zeros((1, Ls), np.int32)
                     mask = np.zeros((1, Ls), np.int32)
                     ids[0, : len(suffix)] = suffix

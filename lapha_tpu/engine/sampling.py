@@ -51,11 +51,15 @@ def process_logits(
     min_p <= 0 disables min-p. Temperature 0 rows are handled by the caller
     (greedy argmax short-circuit in :func:`sample`).
 
-    ``static_top_k`` (> 0) is a compile-time promise that every row's top_k
-    is <= that bound: the truncation then runs on a lax.top_k candidate set
-    instead of a full-vocab sort — the hot path for decode (V ~ 150k, the
-    full sort dominates per-token cost otherwise). Exact because after
-    top-k masking the nucleus lives inside the candidate set.
+    ``static_top_k`` (> 0) is a compile-time promise that EVERY row's top_k
+    is in (0, static_top_k]: the truncation then runs on a lax.top_k
+    candidate set instead of a full-vocab sort — the hot path for decode
+    (V ~ 150k, the full sort dominates per-token cost otherwise). Exact
+    because after top-k masking the nucleus lives inside the candidate set.
+    Do NOT set it when any row has top_k <= 0 (top-k disabled): that row's
+    nucleus would be renormalized over only K candidates instead of the
+    full vocabulary (the Engine passes one scalar top_k per call and zeroes
+    static_top_k when it is <= 0).
     """
     x = logits.astype(jnp.float32)
     B, V = x.shape

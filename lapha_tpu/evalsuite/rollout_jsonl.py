@@ -125,23 +125,9 @@ class ReActAgent:
         return results
 
     def read_support_material(self, table_paths):
-        if not table_paths:
-            return {}, ""
-        import pandas as pd
+        from ..search.support import read_support_material
 
-        material, lines = {}, []
-        for i, p in enumerate(table_paths):
-            try:
-                material[f"df{i}"] = pd.read_csv(p)
-            except Exception:
-                with open(p) as f:
-                    material[f"tb{i}"] = f.read()
-        for k, v in material.items():
-            if isinstance(v, pd.DataFrame):
-                lines.append(f"Var: {k}; Type: {type(v)}\n{v}\n{v.dtypes}")
-            else:
-                lines.append(f"Var: {k}; Type: {type(v)}\n{v}")
-        return material, "\n".join(lines)
+        return read_support_material(table_paths)
 
     def react_recursive(self, question, support_material_path=None, ground_truth=None,
                         assistant_and_tool_msg=None, current_chain=None,

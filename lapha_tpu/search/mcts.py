@@ -150,26 +150,9 @@ class MCTSAgent(abc.ABC):
     # ------------------------------------------------------------- support material
 
     def read_support_material(self, table_paths):
-        """CSV tables (or raw text) -> context vars + description string
-        (reference agent.py:384-398)."""
-        if not table_paths:
-            return {}, ""
-        import pandas as pd
+        from .support import read_support_material
 
-        material: dict[str, Any] = {}
-        for i, path in enumerate(table_paths):
-            try:
-                material[f"df{i}"] = pd.read_csv(path)
-            except Exception:
-                with open(path) as f:
-                    material[f"tb{i}"] = f.read()
-        lines = []
-        for k, v in material.items():
-            if isinstance(v, pd.DataFrame):
-                lines.append(f"Var: {k}; Type: {type(v)}\n{v}\n{v.dtypes}")
-            else:
-                lines.append(f"Var: {k}; Type: {type(v)}\n{v}")
-        return material, "\n".join(lines)
+        return read_support_material(table_paths)
 
     # ------------------------------------------------------------- CoT prefix
 
@@ -203,6 +186,16 @@ class MCTSAgent(abc.ABC):
         ground_truth: Optional[str] = None,
         cot: Optional[str] = None,
     ) -> list[list[dict[str, Any]]]:
+        # fresh per-search state: the reference accumulates _all_nodes across
+        # search() calls when one agent serves many questions (eval value
+        # mode), so pruning clusters the current tree together with stale
+        # nodes from earlier questions — a quirk we deliberately fix
+        # (PARITY.md deviations).
+        self._all_nodes = []
+        self._next_cluster_id = 0
+        self._cluster_centers = {}
+        self.pos_counter = 0
+
         material, material_str = self.read_support_material(support_material_path)
         material_str = f"# Given this:\n{material_str}" if material_str else ""
 
@@ -465,6 +458,7 @@ class MCTSAgent(abc.ABC):
             step["p_prior"] = p_prior
 
             true_r = max((f(step["completion"], ground_truth) for f in self.reward_fns), default=0.0)
+            step["_true_reward"] = float(true_r)  # reused by reward shaping
             if self.num_pos_sim < self.num_sim and true_r >= self.passk_threshold:
                 self.pos_counter += 1
 

@@ -21,26 +21,53 @@ _MAX_OUTPUT = 1024
 
 
 class _Timeout:
-    """SIGALRM-based timeout on the main thread; watchdog elsewhere."""
+    """SIGALRM on the main thread; async-exception watchdog elsewhere.
+
+    Off the main thread (the tool RPC server runs handlers in
+    ThreadingHTTPServer threads) a watchdog timer injects TimeoutError into
+    the executing thread via PyThreadState_SetAsyncExc. That interrupts at
+    the next bytecode boundary — pure-Python loops and the AST interpreter
+    are covered; a single long-running C call (e.g. one huge sympy op)
+    cannot be interrupted, which the op budget and power guard mitigate.
+    """
 
     def __init__(self, seconds: int):
         self.seconds = seconds
         self._main = threading.current_thread() is threading.main_thread()
         self._old = None
+        self._timer = None
 
     def __enter__(self):
-        if self._main and self.seconds > 0:
+        if self.seconds <= 0:
+            return self
+        if self._main:
             def handler(signum, frame):
                 raise TimeoutError(f"execution exceeded {self.seconds}s")
 
             self._old = signal.signal(signal.SIGALRM, handler)
             signal.alarm(self.seconds)
+        else:
+            import ctypes
+
+            tid = threading.get_ident()
+
+            def fire():
+                ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                    ctypes.c_ulong(tid), ctypes.py_object(TimeoutError))
+
+            self._timer = threading.Timer(self.seconds, fire)
+            self._timer.daemon = True
+            self._timer.start()
         return self
 
     def __exit__(self, *exc):
-        if self._main and self.seconds > 0:
+        if self.seconds <= 0:
+            return False
+        if self._main:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, self._old)
+        elif self._timer is not None:
+            self._timer.cancel()
         return False
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,17 +48,28 @@ def pack_samples(samples: list[dict], pad_id: int, eos_id: int | None,
 
     Returns arrays: ids (B,L), attn, comp_mask (1 on completion pos up to
     EOS), resp_mask/prompt_mask (pooling), prompt_len (B,), comp_len (B,),
-    valid (B,) — padded rows have valid=0 and contribute nothing.
+    valid (B,), and "kept" — the indices of ``samples`` that made it into
+    the batch, in row order. Callers MUST align per-sample arrays
+    (advantages, v_target) through "kept": dropped rows would otherwise
+    shift every later row onto its neighbor's targets.
+
+    Pad stripping is defensive only (search emits unpadded ids) and is
+    skipped when pad_id == eos_id — Qwen tokenizers set pad = eos, and
+    stripping would delete the EOS the policy must learn to emit.
     """
+    strip = pad_id != eos_id
     rows = []
-    for s in samples:
+    kept: list[int] = []
+    for idx, s in enumerate(samples):
         p = np.asarray(s["prompt_ids"], np.int64).reshape(-1)[-max_prompt_length:]
         c = np.asarray(s["completion_ids"], np.int64).reshape(-1)
-        p = p[p != pad_id]
-        c = c[c != pad_id]
+        if strip:
+            p = p[p != pad_id]
+            c = c[c != pad_id]
         if p.size == 0 or c.size == 0:
             continue
         rows.append((p, c))
+        kept.append(idx)
     if not rows:
         return None
 
@@ -88,7 +101,8 @@ def pack_samples(samples: list[dict], pad_id: int, eos_id: int | None,
     attn[B:, 0] = 1
     resp[B:, 0] = 1
     return dict(ids=ids, attn=attn, comp_mask=comp, resp_mask=resp,
-                prompt_mask=pm, prompt_len=plen, comp_len=clen, valid=valid)
+                prompt_mask=pm, prompt_len=plen, comp_len=clen, valid=valid,
+                kept=np.asarray(kept, np.int64))
 
 
 def group_advantages(rewards: np.ndarray, group_ids: np.ndarray,
@@ -284,8 +298,10 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
     return jax.jit(fn)
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "temperature"))
 def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: float):
-    """Frozen-reference per-token logps for the KL penalty (jit separately)."""
+    """Frozen-reference per-token logps for the KL penalty (jitted; the
+    config is hashable because Qwen2Config is a frozen dataclass)."""
     ids, attn = batch["ids"], batch["attn"]
     logits, _, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn)
     # (no grad flows through the reference forward; flash is fine there)

@@ -132,8 +132,14 @@ def compute_action_rewards(
             terminal = is_terminal_leaf(st, kids)
             st["is_leaf"] = bool(terminal)
             if terminal:
-                r = agg_leaf([f(st.get("completion", ""), ground_truth) for f in reward_fns]) \
-                    if reward_fns else 0.0
+                if "_true_reward" in st and agg_leaf is max:
+                    # search already computed max(reward_fns) for this step —
+                    # re-running would double expensive judges (LLM calls)
+                    r = st["_true_reward"]
+                elif reward_fns:
+                    r = agg_leaf([f(st.get("completion", ""), ground_truth) for f in reward_fns])
+                else:
+                    r = 0.0
                 st["win_rate"] = float(r)
             else:
                 st["win_rate"] = None

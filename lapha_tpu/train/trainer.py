@@ -128,8 +128,18 @@ class MTPOTrainer:
         if args.lr_scheduler_type == "cosine":
             sched = optax.warmup_cosine_decay_schedule(
                 0.0, args.learning_rate, warmup, max(total_steps, warmup + 1))
-        else:
-            sched = optax.linear_schedule(args.learning_rate, args.learning_rate, 1)
+        elif args.lr_scheduler_type == "linear":
+            # transformers-style: warmup to lr, linear decay to 0
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, args.learning_rate, warmup),
+                 optax.linear_schedule(args.learning_rate, 0.0,
+                                       max(1, total_steps - warmup))],
+                [warmup])
+        else:  # "constant" and anything else: flat lr after warmup
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, args.learning_rate, warmup),
+                 optax.constant_schedule(args.learning_rate)],
+                [warmup])
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(args.max_grad_norm),
             optax.scale_by_adam(b1=args.adam_beta1, b2=args.adam_beta2,
@@ -445,21 +455,24 @@ class MTPOTrainer:
             self.global_step += 1
             return metrics
 
-        # group ids by prompt
+        # align to the rows pack_samples actually kept (defensive drops must
+        # not shift later rows onto a neighbor's advantage/target)
+        kept_samples = [samples[i] for i in packed.pop("kept").tolist()]
         key2gid: dict[tuple, int] = {}
         gids = []
-        for s in samples:
+        for s in kept_samples:
             key = tuple(s["prompt_ids"])
             key2gid.setdefault(key, len(key2gid))
             gids.append(key2gid[key])
-        B_real = len(samples)
-        adv = losses.group_advantages(np.asarray([s["reward"] for s in samples]),
+        B_real = len(kept_samples)
+        adv = losses.group_advantages(np.asarray([s["reward"] for s in kept_samples]),
                                       np.asarray(gids), self.args.scale_rewards)
         Bb = packed["ids"].shape[0]
         advantages = np.zeros(Bb, np.float32)
         advantages[:B_real] = adv
         v_target = np.zeros(Bb, np.float32)
-        v_target[:B_real] = [s["v_target"] for s in samples]
+        v_target[:B_real] = [s["v_target"] for s in kept_samples]
+        samples = kept_samples
 
         batch = {k: jnp.asarray(v) for k, v in packed.items()}
         batch["advantages"] = jnp.asarray(advantages)
@@ -513,9 +526,10 @@ class MTPOTrainer:
                                                    batch_multiple=1)
                     if packed_m is None:
                         continue
+                    kept_m = [chunk[i] for i in packed_m.pop("kept").tolist()]
                     mb = {k: jnp.asarray(v) for k, v in packed_m.items()}
                     vt = np.zeros(packed_m["ids"].shape[0], np.float32)
-                    vt[:len(chunk)] = [float(c.get("v_target", 0.0)) for c in chunk]
+                    vt[:len(kept_m)] = [float(c.get("v_target", 0.0)) for c in kept_m]
                     mb["v_target"] = jnp.asarray(vt)
                     sq, cnt, grads = self._value_sumsq_grad(self.params, self.head, mb)
                     total_sq += float(sq)
@@ -609,6 +623,14 @@ class MTPOTrainer:
             step = int(open(latest).read().strip())
             path = os.path.join(os.path.abspath(self._ckpt_dir()), f"step_{step}")
             self.global_step = step
+        else:
+            # explicit path: recover the step counter from the dir name so
+            # resumed runs don't restart metrics/saves at step 0
+            import re as _re
+
+            m = _re.search(r"step[_-](\d+)", os.path.basename(os.path.normpath(str(path))))
+            if m:
+                self.global_step = int(m.group(1))
         target = {"params": self.params, "head": self.head, "opt_state": self.opt_state}
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, target)

@@ -123,3 +123,18 @@ def test_mcts_style_tree_reuse(engines):
     stats = warm.prefix_cache.stats()
     assert stats["hits"] >= 3
     assert stats["tokens_reused"] > 100
+
+
+def test_small_max_tokens_with_prefix_hit_is_correct(engines):
+    """Regression (review finding #1): short max_tokens + prefix hit used to
+    clamp the padded suffix write back over the reused prefix KV."""
+    cold, warm = engines
+    warm.prefix_cache.clear()
+    parent = "x" * 96  # 96-token prefix with the byte tokenizer
+    child = parent + "abcd"  # 4-token suffix; S = round_up(100+8, 16) << 96+pad
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+    ref = cold.generate([child], sp)[0].outputs[0].token_ids
+    warm.generate([parent], sp)
+    got = warm.generate([child], sp)[0].outputs[0].token_ids
+    assert warm.prefix_cache.stats()["hits"] >= 1
+    assert got == ref

@@ -216,3 +216,25 @@ def test_client_via_server(tool_server):
     out, ctx = execute_python_code("w = 5\nprint(w + 1)", server_url=tool_server)
     assert "6" in out
     assert ctx.get("w") == 5
+
+
+def test_timeout_watchdog_in_worker_thread():
+    """Review finding: tool code in server handler threads had no time limit.
+    The async-exc watchdog must interrupt a pure-Python infinite loop."""
+    import threading
+
+    from lapha_tpu.tools.sandbox import Interpreter
+
+    tool = IPythonInterpreter(time_limit=1)
+    tool.interp.max_operations = 10**12  # op budget out of the way
+    result = {}
+
+    def run():
+        out, _ = tool.execute(code="i = 0\nwhile True:\n    i += 1")
+        result["out"] = out
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join(timeout=15)
+    assert not t.is_alive(), "worker thread hung despite watchdog"
+    assert result["out"].startswith("Error:"), result["out"]
