@@ -194,9 +194,18 @@ def _pick_head_keys(sd: dict) -> tuple[np.ndarray, np.ndarray]:
 
 
 def save_value_head(path: str, head: dict) -> None:
-    np.savez(path if path.endswith(".npz") else path + ".npz",
-             weight=np.asarray(head["w"], np.float32).reshape(1, -1),
-             bias=np.asarray(head["b"], np.float32).reshape(1))
+    """Write the head artifact. ``.pt`` produces the reference's torch
+    state-dict convention ({weight (1,H), bias (1,)}, split_valuehead.py
+    293-309) so downstream tools of the reference load it unchanged;
+    anything else writes .npz with the same keys."""
+    w = np.asarray(head["w"], np.float32).reshape(1, -1)
+    b = np.asarray(head["b"], np.float32).reshape(1)
+    if path.endswith(".pt") or path.endswith(".bin"):
+        import torch
+
+        torch.save({"weight": torch.from_numpy(w), "bias": torch.from_numpy(b)}, path)
+        return
+    np.savez(path if path.endswith(".npz") else path + ".npz", weight=w, bias=b)
 
 
 def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str | None = None) -> None:

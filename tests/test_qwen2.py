@@ -194,3 +194,18 @@ def test_unsupported_head_type_rejected():
 
     with pytest.raises(ValueError, match="qwen2"):
         value_model.make_value_head("qwen2", 64, jax.random.key(0))
+
+
+def test_value_head_pt_export_roundtrip(tmp_path):
+    """save_value_head('.pt') emits the reference torch convention."""
+    from lapha_tpu.models import value_model
+
+    head = value_model.init_value_head(64, jax.random.key(2))
+    p = str(tmp_path / "value_head.pt")
+    loader.save_value_head(p, head)
+    import torch
+
+    sd = torch.load(p, weights_only=False)
+    assert sd["weight"].shape == (1, 64)
+    back = loader.load_value_head(p, 64)
+    np.testing.assert_allclose(back["w"], head["w"], rtol=1e-6)
