@@ -648,3 +648,4 @@ class MTPOTrainer:
 
         loader.export_hf(self.params, self.model_cfg, out_dir, src_config_dir=src_config_dir)
         loader.save_value_head(os.path.join(out_dir, "value_head.npz"), self.head)
+        loader.save_value_head(os.path.join(out_dir, "value_head.pt"), self.head)
