@@ -100,6 +100,7 @@ rollout_one() {
   if [[ "$mode_to_use" == "value" ]]; then
     "$python_bin" -m lapha_tpu.evalsuite.rollout_jsonl "${common[@]}" \
       --mode value --depth "$REACT_DEPTH" --breadth "$REACT_BREADTH" \
+      --k "$PASSATK_K" \
       --value-base "$VALUE_BASE" \
       ${VALUE_HEAD:+--value-head "$VALUE_HEAD"} \
       ${VALUE_MODEL:+--value-model "$VALUE_MODEL"} \
@@ -113,10 +114,11 @@ rollout_one() {
       >"$log" 2>&1
   elif [[ "$mode_to_use" == "react" ]]; then
     "$python_bin" -m lapha_tpu.evalsuite.rollout_jsonl "${common[@]}" \
-      --mode react --depth "$REACT_DEPTH" --breadth 1 >"$log" 2>&1
+      --mode react --depth "$REACT_DEPTH" --breadth 1 \
+      --k "$PASSATK_K" >"$log" 2>&1
   else
     "$python_bin" -m lapha_tpu.evalsuite.rollout_jsonl "${common[@]}" \
-      --mode single >"$log" 2>&1
+      --mode single --k "$PASSATK_K" >"$log" 2>&1
   fi
   local rc=$?
   set -e
@@ -131,4 +133,4 @@ for ds in "${DATASETS[@]}"; do
   rollout_one "$ds"
 done
 
-"$python_bin" -u eval_math.py --dataset "$TARGET"
+"$python_bin" -u eval_math.py --dataset "$TARGET" --k "$PASSATK_K"

@@ -21,7 +21,7 @@ import traceback
 import unicodedata
 from typing import Any, ClassVar, Dict, List, Optional
 
-from ..search import LatentBank, MCTSAgent, parse_tool_calls, pick_best_leaf
+from ..search import LatentBank, MCTSAgent, parse_tool_calls, pick_top_leaves
 from ..tools import description, execute_python_code
 from .adapters import GenParams, build_engine_adapter
 
@@ -422,10 +422,15 @@ def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_o
             if args.mode == "value":
                 chains = mcts_agent.search(question=question, ground_truth=ex["answer"],
                                            support_material_path=None, cot=None)
-                best_leaf = pick_best_leaf(chains, prefer_answer=True)
-                completion = best_leaf["completion"] if best_leaf else "<think>...</think><answer></answer>"
-                final = _extract_answer(completion)
-                completions, finals, k_used = [completion], [final], 1
+                k_req = max(1, int(args.rollout_k or 1))
+                # leaves[0] == pick_best_leaf's winner, so completion/final
+                # (the pass@1 fields) are unchanged from the reference's k=1
+                # contract; extra leaves populate pass@k without re-searching.
+                leaves = pick_top_leaves(chains, k_req, prefer_answer=True)
+                completions = [lf["completion"] for lf in leaves] or [
+                    "<think>...</think><answer></answer>"]
+                finals = [_extract_answer(c) for c in completions]
+                completion, final, k_used = completions[0], finals[0], len(completions)
             else:
                 k_used = max(1, int(args.rollout_k or 1))
                 completions, finals = [], []

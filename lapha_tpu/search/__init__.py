@@ -1,4 +1,4 @@
-from .best_leaf import pick_best_leaf
+from .best_leaf import pick_best_leaf, pick_top_leaves
 from .cluster import average_linkage_labels, cluster_and_select_disabled, frechet_center
 from .latent_bank import LatentBank
 from .mcts import MCTSAgent, dump_step
@@ -8,6 +8,7 @@ from .value_fn import ValueFunction, make_fake_value_fn
 
 __all__ = [
     "pick_best_leaf",
+    "pick_top_leaves",
     "average_linkage_labels",
     "cluster_and_select_disabled",
     "frechet_center",

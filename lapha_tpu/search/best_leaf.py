@@ -49,8 +49,10 @@ def _ball_dist(u: np.ndarray, v: np.ndarray, eps: float = 1e-6) -> float:
     return float(np.arccosh(max(1.0 + 2.0 * sq / denom, 1.0 + 1e-7)))
 
 
-def pick_best_leaf(chains, *, prefer_answer: bool = True, tau_group: float = 0.8,
+def _ranked_groups(chains, *, prefer_answer: bool = True, tau_group: float = 0.8,
                    k_nn: int = 5, weights: dict | None = None):
+    """Score leaves and return answer groups sorted by soft evidence (desc);
+    each group's leaves sorted by (logit, Q, logN) desc. None when no leaves."""
     w = dict(DEFAULT_WEIGHTS if weights is None else weights)
 
     items = []
@@ -138,11 +140,44 @@ def pick_best_leaf(chains, *, prefer_answer: bool = True, tau_group: float = 0.8
         m = float(a.max())
         return m + float(np.log(np.exp(a - m).sum() + 1e-12))
 
-    best_ans, best_ev = None, -1e18
+    scored = []
     for ans, lst in groups.items():
         ev = lse([it["logit"] / max(1e-6, tau_group) for it in lst]) + 0.05 * math.log1p(len(lst))
-        if ev > best_ev:
-            best_ev, best_ans = ev, ans
+        lst = sorted(lst, key=lambda it: (it["logit"], it["Q"], it["logN"]), reverse=True)
+        scored.append((ev, ans, lst))
+    scored.sort(key=lambda t: t[0], reverse=True)
+    return scored
 
-    winner = sorted(groups[best_ans], key=lambda it: (it["logit"], it["Q"], it["logN"]), reverse=True)
-    return winner[0]["leaf"]
+
+def pick_best_leaf(chains, *, prefer_answer: bool = True, tau_group: float = 0.8,
+                   k_nn: int = 5, weights: dict | None = None):
+    scored = _ranked_groups(chains, prefer_answer=prefer_answer, tau_group=tau_group,
+                            k_nn=k_nn, weights=weights)
+    if not scored:
+        return None
+    return scored[0][2][0]["leaf"]
+
+
+def pick_top_leaves(chains, k: int, *, prefer_answer: bool = True, tau_group: float = 0.8,
+                    k_nn: int = 5, weights: dict | None = None):
+    """Up to k leaves for pass@k: answer-diverse first (best leaf of each group
+    in evidence order, then runners-up round-robin). Element 0 is exactly
+    pick_best_leaf's winner, preserving pass@1 semantics
+    (reference pass@k row contract: eval/rollout_jsonl.py:1323-1338)."""
+    scored = _ranked_groups(chains, prefer_answer=prefer_answer, tau_group=tau_group,
+                            k_nn=k_nn, weights=weights)
+    if not scored:
+        return []
+    out, rank = [], 0
+    while len(out) < k:
+        took = False
+        for _, _, lst in scored:
+            if rank < len(lst):
+                out.append(lst[rank]["leaf"])
+                took = True
+                if len(out) >= k:
+                    break
+        if not took:
+            break
+        rank += 1
+    return out

@@ -101,11 +101,29 @@ def test_value_mode_cli_with_value_head(tiny_model_dir, env, tmp_path):
         "--engine", "tpu", "--max-new-tokens", "12", "--temperature", "0.8",
         "--max-model-len", "384", "--max-batch", "4",
         "--depth", "2", "--breadth", "2", "--mcts-num-sim", "2",
-        "--mcts-num-pos-sim", "99",
+        "--mcts-num-pos-sim", "99", "--k", "4",
         "--value-base", tiny_model_dir, "--value-head", str(head_path),
     ]
     r = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 1
-    assert isinstance(rows[0]["completion"], str) and rows[0]["k"] == 1
+    row = rows[0]
+    assert isinstance(row["completion"], str)
+    # pass@k: up to 4 ranked leaves, first one IS the pass@1 completion
+    assert 1 <= row["k"] <= 4 and len(row["completions"]) == row["k"]
+    assert row["completions"][0] == row["completion"]
+    assert row["final_answers"][0] == row["final_answer"]
+
+
+def test_vendored_eval_data_present_and_valid():
+    """data/*.jsonl vendored from the public benchmark rows (reference data/
+    dir); eval.sh default DATA_DIR_* paths must resolve."""
+    expected = {"aime-24.jsonl": 30, "aime-25.jsonl": 30, "math-500.jsonl": 500,
+                "gaokao-23.jsonl": 385, "olympiad.jsonl": 150}
+    for name, n in expected.items():
+        path = os.path.join(REPO, "data", name)
+        assert os.path.exists(path), f"missing vendored eval data: {name}"
+        rows = [json.loads(l) for l in open(path, encoding="utf-8") if l.strip()]
+        assert len(rows) == n, (name, len(rows))
+        assert all("question" in r and "answer" in r for r in rows)

@@ -333,3 +333,27 @@ def test_pick_best_leaf_skips_disabled():
 def test_pick_best_leaf_empty():
     assert pick_best_leaf([]) is None
     assert pick_best_leaf([[]]) is None
+
+
+def test_pick_top_leaves_first_matches_best_and_diverse():
+    from lapha_tpu.search import pick_top_leaves
+
+    chains = [
+        [_leaf("42", q=0.6)], [_leaf("42", q=0.55)], [_leaf("42", q=0.5)],
+        [_leaf("7", q=0.55)],
+    ]
+    best = pick_best_leaf(chains)
+    top = pick_top_leaves(chains, 3)
+    assert top[0] is best
+    # second pick comes from a different answer group (diversity-first)
+    assert "<answer>7</answer>" in top[1]["completion"]
+    assert len(top) == 3
+
+
+def test_pick_top_leaves_k_exceeds_leaves():
+    from lapha_tpu.search import pick_top_leaves
+
+    chains = [[_leaf("1")], [_leaf("2")]]
+    top = pick_top_leaves(chains, 16)
+    assert len(top) == 2
+    assert pick_top_leaves([], 4) == []
