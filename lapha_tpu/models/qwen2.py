@@ -177,10 +177,17 @@ def _attend(q, k, v, mask, cfg):
 
 
 def _dispatch_attend(cfg, q, k, v, mask, key_mask):
-    """Choose flash (pallas) vs dense attention for the no-cache path."""
-    impl = getattr(cfg, "attn_impl", "auto")
+    """Choose flash (pallas) vs dense attention for the no-cache path.
+
+    Accepted impl names: "pallas"/"flash"/"flash_attention_2" force the
+    Pallas kernel (interpret mode off-TPU — the reference yaml's
+    flash_attention_2 maps here); "auto" = kernel on TPU, dense elsewhere;
+    anything else ("dense"/"eager"/"sdpa") = dense. The kernel is fully
+    differentiable (ops/flash_attention.py backward)."""
+    impl = str(getattr(cfg, "attn_impl", "auto")).lower()
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
+        impl == "auto" and on_tpu)
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 

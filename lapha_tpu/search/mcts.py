@@ -345,23 +345,26 @@ class MCTSAgent(abc.ABC):
             return []
 
         # 1) prompts: chat prefix + step header + injected prefill
-        prompts, prompt_ids_list, headers, injects = [], [], [], []
+        # (mutually-exclusive injection modes, reference agent.py:816-830:
+        # a hostaged parent prefills "wait"; otherwise an unused CoT prefix)
+        prompts, prompt_ids_list, headers, injects, modes = [], [], [], [], []
         for node in parents:
             node.expand_calls += 1
             node.step["expand_calls"] = node.expand_calls
             depth = int(node.step.get("current_depth", 0)) + 1
             header = f"STEP-{depth}:\n<think>\n"
-            if cot_prefix and not node.step.get("hostaged", False):
-                inject = cot_prefix
-            elif node.step.get("hostaged", False):
-                inject = "wait"
+            if node.step.get("hostaged", False):
+                inject, mode = "wait", "wait"
+            elif cot_prefix:
+                inject, mode = cot_prefix, "cot"
             else:
-                inject = ""
+                inject, mode = "", "none"
             ptext = self._render_chat(node.messages) + header + inject
             prompts.append(ptext)
             prompt_ids_list.append(list(self.tokenizer(ptext, add_special_tokens=True)["input_ids"]))
             headers.append(header)
             injects.append(inject)
+            modes.append(mode)
 
         # 2) one engine call, n=breadth per prompt
         self.sampling_params.n = int(breadth)
@@ -386,7 +389,7 @@ class MCTSAgent(abc.ABC):
             for k, o in enumerate(outs):
                 spec = self._build_child_spec(
                     parent, o, prompts[pi], prompt_ids_list[pi], headers[pi], injects[pi],
-                    ground_truth,
+                    ground_truth, inject_mode=modes[pi],
                 )
                 if self.dump_expansions:
                     dump_step(spec[0], os.path.join(self.output_dir, f"tmp{pi}-{k}.txt"))
@@ -484,7 +487,8 @@ class MCTSAgent(abc.ABC):
 
         return [(parents[i], created.get(i, [])) for i in range(len(parents))]
 
-    def _build_child_spec(self, parent, output, prompt, prompt_ids, header, inject, ground_truth):
+    def _build_child_spec(self, parent, output, prompt, prompt_ids, header, inject,
+                          ground_truth, inject_mode: str = "none"):
         """One generated sample -> (step, messages, context, terminal)."""
         gen_ids = list(output.token_ids)
         gen_text = self.tokenizer.decode(gen_ids, skip_special_tokens=True)
@@ -505,8 +509,25 @@ class MCTSAgent(abc.ABC):
         if current_depth >= self.depth or is_echo:
             terminal = True
 
+        # hostage: an <answer> emitted without terminating is held hostage —
+        # strip the answer and mark the node so its NEXT expansion prefills
+        # "wait" (reference agent.py:929-941; dormant there too because
+        # <answer> always terminates above).
+        hostaged = False
+        if not terminal and _ANSWER_RE.search(completion):
+            hostaged = True
+            completion = completion.split("<answer>")[0]
+            completion_ids = list(self.tokenizer(
+                completion + "<|im_end|>", add_special_tokens=True)["input_ids"])
+
         if self.max_model_len and len(prompt_ids) + len(completion_ids) >= self.max_model_len:
             terminal = True
+
+        # the live hostage producer: children born from a CoT-injection round
+        # carry teacher-forced text, so their next expansion is prefilled with
+        # "wait" to force reflection (consumes the flag at agent.py:817-825).
+        if inject_mode == "cot" and not terminal:
+            hostaged = True
 
         # tool execution
         results: list[dict] = []
@@ -563,7 +584,7 @@ class MCTSAgent(abc.ABC):
             "ground_truth": ground_truth,
             "results": results,
             "current_depth": current_depth,
-            "hostaged": False,
+            "hostaged": hostaged,
             "cum_logprob": float(output.cumulative_logprob),
             "state_value": None,
         }

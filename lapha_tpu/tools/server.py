@@ -7,8 +7,11 @@ gunicorn there): same wire contract —
   -> {"session_id", "output", "status": "success"|"error", "context"}
 
 Built on stdlib ThreadingHTTPServer (fastapi/uvicorn are not in this image);
-sessions are kept in memory keyed by uuid, each guarded by a lock; a
-worker-recycling knob (--max-requests) mirrors gunicorn's.
+sessions are kept in memory keyed by uuid, each guarded by a lock.
+--max-requests N recycles all session interpreter state every N /execute
+requests (the leak bound gunicorn's --max-requests worker recycling gives
+the reference, rpc_python_server.py:175-178, without downtime; hard
+isolation of stuck C calls is the sandbox subprocess tier instead).
 """
 
 from __future__ import annotations
@@ -82,12 +85,28 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             self._reply(200, execute_request(payload))
+            self._maybe_recycle()
         except Exception as e:
             self._reply(500, {"error": f"{type(e).__name__}: {e}", "status": "error"})
 
+    def _maybe_recycle(self):
+        srv = self.server
+        limit = int(getattr(srv, "max_requests", 0) or 0)
+        if not limit:
+            return
+        with _GLOBAL_LOCK:
+            srv.request_count = getattr(srv, "request_count", 0) + 1
+            if srv.request_count >= limit:
+                SESSIONS.clear()
+                _SESSION_LOCKS.clear()
+                srv.request_count = 0
 
-def serve(host: str = "127.0.0.1", port: int = 8001, background: bool = False):
+
+def serve(host: str = "127.0.0.1", port: int = 8001, background: bool = False,
+          max_requests: int = 0):
     httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.max_requests = int(max_requests or 0)
+    httpd.request_count = 0
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -100,9 +119,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="LaPha tool RPC server (POST /execute)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8001)
+    ap.add_argument("--max-requests", type=int, default=0,
+                    help="recycle all session interpreter state every N requests "
+                         "(0 = never); gunicorn-style leak bound")
     args = ap.parse_args(argv)
     print(f"tool server listening on {args.host}:{args.port}")
-    serve(args.host, args.port)
+    serve(args.host, args.port, max_requests=args.max_requests)
 
 
 if __name__ == "__main__":

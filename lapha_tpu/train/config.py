@@ -37,7 +37,11 @@ class MTPOConfig:
 
     # ---- model ----
     model_name_or_path: Optional[str] = None
-    attn_implementation: str = "pallas"       # reference: flash_attention_2
+    # training-forward attention: "auto" = Pallas flash kernel on TPU (full
+    # fwd+bwd), dense elsewhere; "pallas"/"flash"/"flash_attention_2" force
+    # the kernel; "dense"/"eager"/"sdpa" force dense. Reference yaml value
+    # flash_attention_2 is accepted directly.
+    attn_implementation: str = "auto"
     bf16: bool = True
     gradient_checkpointing: bool = True
 
@@ -50,6 +54,9 @@ class MTPOConfig:
     weight_decay: float = 0.0
     max_grad_norm: float = 1.0
     per_device_train_batch_size: int = 8
+    # optax.MultiSteps: grads from N successive train steps (each one full
+    # rollout batch, HF-Trainer semantics) accumulate before one optimizer
+    # application
     gradient_accumulation_steps: int = 1
 
     # ---- tree search (mtpo_config.py:228-254) ----

@@ -157,21 +157,24 @@ def loss_and_metrics(
     no_head_scale: float = 0.0,
     value_activation: str = "sigmoid",
     remat: bool = True,
+    attn_impl: str | None = None,
     ref_logps: jax.Array | None = None,
 ):
     """Differentiable total loss over a packed batch.
 
     batch extra keys: advantages (B,), v_target (B,).
+    attn_impl selects the training-forward attention (the flash kernel has a
+    full Pallas backward, ops/flash_attention.py); None keeps the model
+    config's choice ("auto" = flash on TPU, dense elsewhere).
     """
     ids, attn = batch["ids"], batch["attn"]
     comp_mask = batch["comp_mask"].astype(jnp.float32)
     valid = batch["valid"].astype(jnp.float32)
 
-    # flash attention has no backward kernel yet: the differentiated forward
-    # uses the dense path (+ remat); inference keeps the pallas kernel
     import dataclasses as _dc
 
-    train_cfg = _dc.replace(model_cfg, attn_impl="dense")
+    train_cfg = (_dc.replace(model_cfg, attn_impl=attn_impl)
+                 if attn_impl else model_cfg)
     logits, hidden, _ = qwen2.forward(
         params, train_cfg, ids, attention_mask=attn, remat=remat, return_hidden=True
     )
@@ -267,7 +270,8 @@ def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict
 
 
 def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
-                             value_activation="sigmoid", remat=True):
+                             value_activation="sigmoid", remat=True,
+                             attn_impl: str | None = None):
     """Jitted (params, head, batch) -> (sum_sq, count, grads-of-sum_sq).
 
     Per-chunk SUM of squared value errors (not mean) so micro-batch grads
@@ -276,7 +280,8 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
     """
     import dataclasses as _dc
 
-    cfg = _dc.replace(model_cfg, attn_impl="dense")
+    cfg = (_dc.replace(model_cfg, attn_impl=attn_impl)
+           if attn_impl else model_cfg)
 
     def fn(params, head, batch):
         def lfn(ph):

@@ -148,6 +148,11 @@ class MTPOTrainer:
             else optax.identity(),
             optax.scale_by_learning_rate(sched),
         )
+        if args.gradient_accumulation_steps > 1:
+            # HF-Trainer semantics: each train_step (one rollout batch)
+            # contributes grads; the optimizer applies every N steps
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=args.gradient_accumulation_steps)
         self.opt_state = self.optimizer.init((self.params, self.head))
 
         self._update = losses.make_update_fn(
@@ -162,13 +167,15 @@ class MTPOTrainer:
                 no_head_scale=args.no_head_scale,
                 value_activation=args.value_activation,
                 remat=args.gradient_checkpointing,
+                attn_impl=args.attn_implementation,
             ),
         )
         self.ref_params = None  # set lazily if beta > 0
         self._value_sumsq_grad = losses.make_value_sumsq_grad_fn(
             self.model_cfg, no_head_scale=args.no_head_scale,
             value_activation=args.value_activation,
-            remat=args.gradient_checkpointing)
+            remat=args.gradient_checkpointing,
+            attn_impl=args.attn_implementation)
 
         self.sampling_params = SamplingParams(
             n=args.breadth, temperature=args.temperature, top_p=args.top_p,

@@ -357,3 +357,63 @@ def test_pick_top_leaves_k_exceeds_leaves():
     top = pick_top_leaves(chains, 16)
     assert len(top) == 2
     assert pick_top_leaves([], 4) == []
+
+
+def test_cot_hostage_wait_prefill():
+    """CoT-injected children are hostaged; their NEXT expansion prefills
+    'wait' (reference agent.py:816-830 consumes the flag, 929-941 sets it)."""
+    tok = ChatTok()
+    eng = FakeEngine(tok, default=lambda prompt, n: [f"<think>step {len(prompt)}</think> go"] * n)
+    vf = make_fake_value_fn(hidden_size=8)
+    agent = PoorAgent(
+        tokenizer=tok, depth=10, breadth=1, output_dir="/tmp/mcts-test",
+        llm=eng, max_model_len=4096, sampling_params=SamplingParams(max_tokens=64),
+        value_fn=vf, reward_fns=[lambda c, gt: 0.0],
+        c_puct=1.0, v_prior=0.0, value_trust=0.5,
+        num_sim=6, prune_per=100, max_expands=1, num_pos_sim=99,
+        hid_bank=LatentBank(), rng=random.Random(0),
+    )
+    chains = agent.search(question="hard one", ground_truth="42",
+                          cot="<think>alpha beta gamma delta</think><answer>42</answer>")
+
+    prompts = [c["prompts"][0] for c in eng.calls]
+    # total_rounds=6, half_round=3: round 3 injects the CoT prefix...
+    cot_round = next(i for i, p in enumerate(prompts) if p.endswith("<think>\nalpha beta"))
+    # ...the child born there is hostaged...
+    hostaged_steps = [st for ch in chains for st in ch if st.get("hostaged")]
+    assert hostaged_steps, "CoT-injected child was not hostaged"
+    # ...and its next expansion prefills "wait"
+    assert prompts[cot_round + 1].endswith("<think>\nwait"), prompts[cot_round + 1]
+
+
+def test_answer_hostage_strips_answer_when_nonterminal():
+    """Reference agent.py:929-941: an <answer> that does not terminate is
+    held hostage — answer stripped, node marked hostaged. (Dormant in the
+    normal flow since <answer> always terminates; drive the spec directly.)"""
+    agent, eng = make_agent(PoorAgent, [])
+    root_msgs = [{"role": "system", "content": "s"}, {"role": "user", "content": "q"}]
+    parent = Node(None, 1.0, {"current_depth": 0, "hostaged": False}, root_msgs, {}, 0)
+
+    class Out:
+        token_ids = agent.tokenizer("<think>x</think> <answer>5</answer>",
+                                    add_special_tokens=False)["input_ids"]
+        cumulative_logprob = -1.0
+
+    # monkeypatch the answer-terminal rule off, as the reference comment
+    # describes ("unreachable if you always terminate on <answer>")
+    import lapha_tpu.search.mcts as mcts_mod
+    orig = mcts_mod._ANSWER_RE
+    try:
+        class NeverFirst:
+            @staticmethod
+            def search(s):
+                NeverFirst.n = getattr(NeverFirst, "n", 0) + 1
+                return None if NeverFirst.n == 1 else orig.search(s)
+        mcts_mod._ANSWER_RE = NeverFirst
+        step, msgs, ctx, terminal = agent._build_child_spec(
+            parent, Out(), "PROMPT", [1, 2, 3], "STEP-1:\n<think>\n", "", "42")
+    finally:
+        mcts_mod._ANSWER_RE = orig
+    assert step["hostaged"] is True
+    assert "<answer>" not in step["completion"]
+    assert not terminal

@@ -238,3 +238,23 @@ def test_timeout_watchdog_in_worker_thread():
     t.join(timeout=15)
     assert not t.is_alive(), "worker thread hung despite watchdog"
     assert result["out"].startswith("Error:"), result["out"]
+
+
+def test_server_max_requests_recycles_sessions():
+    import requests
+
+    from lapha_tpu.tools import server as srv
+
+    httpd = srv.serve(port=0, background=True, max_requests=2)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        r1 = requests.post(base + "/execute", json={"code": "q = 7"}).json()
+        sid = r1["session_id"]
+        # 2nd request hits the limit -> all interpreter state recycled
+        requests.post(base + "/execute", json={"code": "print(q)", "session_id": sid})
+        r3 = requests.post(base + "/execute",
+                           json={"code": "print(q)", "session_id": sid}).json()
+        assert r3["status"] == "error"  # q is gone: fresh interpreter
+        assert "q" not in r3["context"]
+    finally:
+        httpd.shutdown()

@@ -376,3 +376,56 @@ def test_ensure_hid_idx_coverage(tmp_path):
     assert missing["hid_idx"] is not None
     assert isinstance(missing["hid"], list)
     assert "hid_idx" not in empty or empty.get("hid_idx") is None
+
+
+def test_gradient_accumulation_multisteps():
+    """gradient_accumulation_steps=2 (optax.MultiSteps): params move only
+    every 2nd update call (HF Trainer accumulation semantics)."""
+    cfg = Qwen2Config.tiny(vocab_size=4096)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-gas-test", model_name_or_path=None,
+        depth=3, breadth=2, num_sim=6, num_pos_sim=99, prune_per=100,
+        num_groups=4, max_model_len=512, max_prompt_length=256,
+        max_completion_length=32, per_device_train_batch_size=2,
+        num_generations=2, save_steps=0, bf16=False,
+        gradient_checkpointing=False, mesh_model=1, debug_print=False,
+        gradient_accumulation_steps=2,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    trainer = MTPOTrainer(
+        model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+        reward_fns=[lambda c, gt: 1.0], train_dataset=[], tokenizer=tok,
+    )
+    rng_l = np.random.default_rng(0)
+    samples = [dict(prompt_ids=rng_l.integers(2, cfg.vocab_size, 8).tolist(),
+                    completion_ids=rng_l.integers(2, cfg.vocab_size, 6).tolist())
+               for _ in range(4)]
+    from lapha_tpu.train import losses as _losses
+
+    packed = _losses.pack_samples(samples, pad_id=0, eos_id=1,
+                                  max_prompt_length=64, pad_multiple=16,
+                                  batch_multiple=1)
+    packed.pop("kept")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    Bb = packed["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng_l.normal(size=Bb).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng_l.uniform(size=Bb).astype(np.float32))
+
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.params)
+
+    def step_and_diff():
+        with trainer.mesh:
+            trainer.params, trainer.head, trainer.opt_state, _ = trainer._update(
+                trainer.params, trainer.head, trainer.opt_state, batch, None)
+        return sum(float(np.abs(np.asarray(b) - a).sum())
+                   for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(trainer.params)))
+
+    # warmup schedule gives lr=0 at optimizer-step 0, so the first APPLY
+    # (call 2) is a deliberate no-op; movement appears at the second apply
+    d1, d2, d3, d4 = (step_and_diff() for _ in range(4))
+    assert d1 == 0.0, "params must not move on the first accumulation step"
+    assert d3 == d2, "params must not move mid-accumulation"
+    assert d4 > 0.0, "params must move at the second optimizer application"
