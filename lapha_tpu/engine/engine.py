@@ -4,19 +4,22 @@ Replaces the reference's external vLLM server + HTTP client + NCCL weight
 plane (/root/reference/trainer/vllm_client.py, vllm_start.sh) with an
 in-process JAX engine:
 
-- right-aligned KV layout: every row's tokens live at cache slots
-  [0, len) == their real positions, decode writes per-row offsets
-  (scatter), so ragged batches need no re-alignment;
+- slot-uniform KV layout: each row's ragged prompt lives at slots
+  [0, len) inside a shared [0, Lp) slab; decode step t writes slot Lp+t
+  for ALL rows (one scalar dynamic_update_slice per layer — no per-row
+  scatter). Positions stay ragged for RoPE; attention only needs slot
+  validity, which (lens, slot) encode;
 - token-prefix KV reuse across calls (prefix_cache.py): an MCTS child
   prompt re-uses its parent's cached prefix and only the suffix is
   prefilled — the dominant cost saver for deep trees;
 - n-sample fan-out without recompute: each unique prompt's KV is broadcast
   to its n sample rows with a device gather (breadth-n expansion prefills
   each parent once);
-- chunked device decode: `lax.scan` generates ``decode_chunk`` tokens per
-  dispatch (sampling + cache update fused), the host only checks stop flags
-  between chunks; sampling uses a lax.top_k candidate path instead of
-  full-vocab sorts when top-k is active;
+- single-dispatch decode: one ``lax.while_loop`` generates the whole token
+  budget and exits on-device when every row is finished — zero host
+  round-trips during generation (each sync through the remote-TPU tunnel
+  costs 10s of ms); sampling runs on a lax.approx_max_k candidate set
+  instead of full-vocab sorts when top-k is active;
 - per-token logprobs from the processed logits (MCTS priors,
   vllm_client.py:870-881 semantics);
 - weight sync is assignment: ``engine.update_params(new_params)`` shares
@@ -62,6 +65,7 @@ class Engine:
         prefix_cache_bytes: int = 1_500_000_000,
         prefix_cache_min_reuse: int = 64,
         collect_h0: bool = False,
+        approx_top_k: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -79,8 +83,13 @@ class Engine:
         # overhead"). Pool rule matches the reference head: all real tokens,
         # completion capped at first EOS (mtpo_trainer.py:212-229).
         self.collect_h0 = bool(collect_h0)
+        # approx_top_k: lax.approx_max_k candidates for the top-k sampler
+        # (recall 0.99/candidate; ~10x faster than exact lax.top_k at
+        # V~152k). Set False for exact vLLM-identical truncation.
+        self.approx_top_k = bool(approx_top_k)
         self.prefix_cache = (
-            PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse)
+            PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse,
+                             pad_to=min(self.pad_multiple, 128))
             if prefix_cache_bytes > 0 else None
         )
 
@@ -90,11 +99,13 @@ class Engine:
         self.eos_token_ids = [int(e) for e in eos_token_ids if e is not None]
 
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("S",))
-        self._suffix_prefill_jit = jax.jit(
-            self._suffix_prefill_impl, donate_argnums=(1, 2))
+        self._suffix_batch_jit = jax.jit(
+            self._suffix_batch_impl, donate_argnums=(1, 2))
+        self._write_prefix_jit = jax.jit(
+            self._write_prefix_impl, donate_argnums=(0, 1))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T", "static_top_k"),
+            static_argnames=("T", "decode_base", "static_top_k"),
             donate_argnums=(1, 2),  # donate kv cache
         )
 
@@ -126,47 +137,73 @@ class Engine:
             h_sum = jnp.zeros((P, self.cfg.hidden_size), jnp.float32)
         return last, cache, h_sum
 
-    def _suffix_prefill_impl(self, params, cache_k, cache_v, ids, mask, start, real_len):
-        """One row with a reused prefix: prefix KV already sits at [0, start).
+    def _write_prefix_impl(self, cache_k, cache_v, pk, pv, row):
+        """Copy one row's reused prefix KV (bucket-padded (L, Pb, nkv, dh))
+        into the batch cache at row ``row`` (traced scalar — one compile per
+        padded-prefix bucket, not per exact length)."""
+        cache_k = jax.lax.dynamic_update_slice(cache_k, pk[:, None], (0, row, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, pv[:, None], (0, row, 0, 0, 0))
+        return cache_k, cache_v
 
-        ids/mask (1, Ls) right-padded suffix; start scalar (prefix length);
-        real_len scalar (suffix real length). Returns (last_logits (1, V),
-        (cache_k, cache_v))."""
+    def _suffix_batch_impl(self, params, cache_k, cache_v, ids, mask, starts, real_lens):
+        """Batched prefix-hit prefill: row i's reused prefix KV already sits
+        at [0, starts[i]); the right-padded suffixes (Hn, Ls) forward in ONE
+        pass with per-row offsets (replaces the one-row-at-a-time host loop
+        that serialized device calls exactly in the deep-tree MCTS case).
+
+        Returns (last_logits (Hn, V), (cache_k, cache_v), h_sum (Hn, H))."""
         S = cache_k.shape[2]
-        kv_valid = (jnp.arange(S)[None, :] < (start + jnp.sum(mask)))
-        positions = start + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        ar = jnp.arange(S)[None, :]
+        kv_valid = ar < (starts + real_lens)[:, None]
+        positions = starts[:, None] + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         logits, hidden, (ck, cv) = qwen2.forward(
             params, self.cfg, ids,
             positions=positions,
             kv_cache=(cache_k, cache_v),
-            cache_pos=start,
+            cache_pos=starts,
             kv_valid=kv_valid,
             return_hidden=self.collect_h0,
         )
-        last = jax.lax.dynamic_slice_in_dim(
-            logits[0], jnp.maximum(real_len - 1, 0), 1, axis=0)
+        last = jnp.take_along_axis(
+            logits, jnp.maximum(real_lens - 1, 0)[:, None, None], axis=1)[:, 0, :]
         if self.collect_h0:
             h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
                                mask.astype(jnp.float32))
         else:
-            h_sum = jnp.zeros((1, self.cfg.hidden_size), jnp.float32)
+            h_sum = jnp.zeros((ids.shape[0], self.cfg.hidden_size), jnp.float32)
         return last, (ck, cv), h_sum
 
     def _decode_impl(
         self, params, cache_k, cache_v, presence, last_logits,
-        kv_valid, positions_next, finished, key,
+        lens, positions_next, slot_next, finished, budget, key,
         temperature, top_k, top_p, min_p, rep_pen,
-        T: int, static_top_k: int = 0,
+        T: int, decode_base: int, static_top_k: int = 0,
     ):
-        """Generate T tokens for all B rows; per-row write offsets.
+        """Generate up to T tokens for all B rows (slot-uniform cache).
+
+        The loop is a ``lax.while_loop`` so the DEVICE exits as soon as all
+        rows are finished — chunks can be long without paying for dead steps,
+        and the host never has to sync mid-chunk. Cache writes/reads go
+        through qwen2.decode_step (unrolled layers, static cache views — see
+        its docstring for the profiling story).
 
         Returns (tokens (B,T), logprobs (B,T), finished, cache, presence,
-        kv_valid, positions, last_logits). Finished rows emit pad(0) tokens
-        with logprob 0 and stop updating presence."""
+        positions, slot, last_logits, h_sum). Finished rows emit pad(0)
+        tokens with logprob 0 and stop updating presence."""
         eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        B = last_logits.shape[0]
+        toks0 = jnp.zeros((B, T), jnp.int32)
+        lps0 = jnp.zeros((B, T), jnp.float32)
+        h0 = jnp.zeros((B, self.cfg.hidden_size), jnp.float32)
 
-        def step(carry, _):
-            ck, cv, pres, logits, kvv, pos, fin, k, hs = carry
+        def cond(st):
+            i = st[0]
+            fin = st[8]
+            # budget <= T (T is the bucketed emit-buffer width)
+            return (i < budget) & ~jnp.all(fin)
+
+        def body(st):
+            i, ck, cv, pres, logits, pos, slot, k, fin, hs, toks, lps = st
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
@@ -177,35 +214,33 @@ class Engine:
                 top_p=top_p,
                 min_p=min_p,
                 static_top_k=static_top_k,
+                approx_top_k=self.approx_top_k,
             )
             is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
             emit = jnp.where(fin, 0, tok)
             emit_lp = jnp.where(fin, 0.0, lp)
             new_fin = fin | is_eos
 
-            B = tok.shape[0]
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
-            kvv = kvv.at[jnp.arange(B), pos].set(True)
-            new_logits, hidden, (ck, cv) = qwen2.forward(
-                params, self.cfg, tok[:, None],
-                positions=pos[:, None],
-                kv_cache=(ck, cv),
-                cache_pos=pos,
-                kv_valid=kvv,
+            new_logits, hidden, ck, cv = qwen2.decode_step(
+                params, self.cfg, tok, pos, ck, cv, slot, lens, decode_base,
                 return_hidden=self.collect_h0,
             )
             if self.collect_h0:
                 # the token sampled this step is forwarded this step; pool it
                 # iff it was emitted (fin False on entry — includes the EOS)
-                hs = hs + hidden[:, 0, :].astype(jnp.float32) * (~fin)[:, None]
-            return (ck, cv, pres, new_logits[:, 0, :], kvv, pos + 1, new_fin, k, hs), (emit, emit_lp)
+                hs = hs + hidden.astype(jnp.float32) * (~fin)[:, None]
+            toks = jax.lax.dynamic_update_slice(toks, emit[:, None], (0, i))
+            lps = jax.lax.dynamic_update_slice(lps, emit_lp[:, None], (0, i))
+            return (i + 1, ck, cv, pres, new_logits, pos + 1, slot + 1, k,
+                    new_fin, hs, toks, lps)
 
-        B0 = last_logits.shape[0]
-        h0 = jnp.zeros((B0, self.cfg.hidden_size), jnp.float32)
-        carry0 = (cache_k, cache_v, presence, last_logits, kv_valid, positions_next, finished, key, h0)
-        carry, (toks, lps) = jax.lax.scan(step, carry0, None, length=T)
-        ck, cv, pres, logits, kvv, pos, fin, _, hs = carry
-        return toks.T, lps.T, fin, (ck, cv), pres, kvv, pos, logits, hs
+        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
+               last_logits, positions_next, slot_next, key, finished, h0,
+               toks0, lps0)
+        st = jax.lax.while_loop(cond, body, st0)
+        (_, ck, cv, pres, logits, pos, slot, _, fin, hs, toks, lps) = st
+        return toks, lps, fin, (ck, cv), pres, pos, slot, logits, hs
 
     # ------------------------------------------------------------------ public API
 
@@ -233,91 +268,108 @@ class Engine:
 
     # ------------------------------------------------------------------ internals
 
+    def _prefill_full_batch(self, enc_rows: list[list[int]], S: int):
+        """Batched full prefill of the given prompts (no prefix reuse)."""
+        P = len(enc_rows)
+        Lp = min(_round_up(max(len(e) for e in enc_rows), self.pad_multiple),
+                 self.max_model_len)
+        Pb = _round_up(P, self.batch_bucket)
+        ids = np.zeros((Pb, Lp), np.int32)
+        mask = np.zeros((Pb, Lp), np.int32)
+        plen = np.zeros((Pb,), np.int32)
+        for i, e in enumerate(enc_rows):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+            plen[i] = len(e)
+        last, cache, h_sum = self._prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(plen), S=S)
+        return last[:P], (cache[0][:, :P], cache[1][:, :P]), h_sum[:P]
+
+    def _prefill_hit_batch(self, enc_rows: list[list[int]], hit_rows: list, S: int):
+        """Batched prefix-hit prefill: copy each reused prefix into a fresh
+        batch cache (one bucketed-shape dus per row), then ONE batched
+        suffix forward with per-row start offsets."""
+        Hn = len(enc_rows)
+        sufs = [toks[h[2]:] for toks, h in zip(enc_rows, hit_rows)]
+        starts = np.asarray([h[2] for h in hit_rows], np.int32)
+        max_suf = max(len(s) for s in sufs)
+        # the padded suffix block is written at offset start_i: it MUST fit
+        # inside S for EVERY row, or dynamic_update_slice clamps the start
+        # back and overwrites the reused prefix KV (silently wrong
+        # generations — found by review repro in round 1)
+        Ls = _round_up(max_suf, min(self.pad_multiple, 128))
+        if int(starts.max()) + Ls > S:
+            Ls = _round_up(max_suf, 16)
+        if int(starts.max()) + Ls > S:
+            Ls = max_suf
+        assert int(starts.max()) + Ls <= S, (starts.max(), Ls, S)
+
+        ck = jnp.zeros((self.cfg.num_hidden_layers, Hn, S,
+                        self.cfg.num_key_value_heads, self.cfg.head_dim_),
+                       self.cfg.dtype)
+        cv = jnp.zeros_like(ck)
+        for i, (k_pref, v_pref, _plen, _h) in enumerate(hit_rows):
+            ck, cv = self._write_prefix_jit(ck, cv, k_pref, v_pref,
+                                            jnp.asarray(i, jnp.int32))
+
+        ids = np.zeros((Hn, Ls), np.int32)
+        mask = np.zeros((Hn, Ls), np.int32)
+        for i, s in enumerate(sufs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        real = np.asarray([len(s) for s in sufs], np.int32)
+        last, (ck, cv), h_suf = self._suffix_batch_jit(
+            self.params, ck, cv, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(starts), jnp.asarray(real))
+        h_pref = jnp.stack([
+            (h[3] if h[3] is not None
+             else jnp.zeros((self.cfg.hidden_size,), jnp.float32))
+            for h in hit_rows])
+        return last, (ck, cv), h_suf + h_pref
+
     def _prefill_rows(self, enc: list[list[int]], S: int):
-        """Prefill all unique prompts; returns (last_logits (P,V) np,
-        cache (L,P,S,..) device). Uses the prefix store when beneficial."""
+        """Prefill all unique prompts; returns (last_logits (P,V),
+        cache (L,P,S,..) device, h_sum (P,H)). Prefix-hit rows and miss rows
+        each prefill as ONE batched device call; results are re-assembled
+        into prompt order with a single gather."""
         P = len(enc)
         store = self.prefix_cache
         hits = [None] * P
-        if store is not None and P <= 8:
+        if store is not None:
             for i, toks in enumerate(enc):
                 hits[i] = store.longest_prefix(
                     toks, max_use=len(toks) - 1,
                     allow_partial=not self.collect_h0)
+        miss_idx = [i for i in range(P) if hits[i] is None]
+        hit_idx = [i for i in range(P) if hits[i] is not None]
 
-        if all(h is None for h in hits):
-            Lp = min(_round_up(max(len(e) for e in enc), self.pad_multiple),
-                     self.max_model_len)
-            Pb = _round_up(P, self.batch_bucket)
-            ids = np.zeros((Pb, Lp), np.int32)
-            mask = np.zeros((Pb, Lp), np.int32)
-            plen = np.zeros((Pb,), np.int32)
-            for i, e in enumerate(enc):
-                ids[i, : len(e)] = e
-                mask[i, : len(e)] = 1
-                plen[i] = len(e)
-            last, cache, h_sum = self._prefill_jit(
-                self.params, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(plen), S=S)
-            last = last[:P]
-            h_sum = h_sum[:P]
-            cache = (cache[0][:, :P], cache[1][:, :P])
+        parts = []  # (row indices, last, (ck, cv), h_sum)
+        if miss_idx:
+            parts.append((miss_idx,) + tuple(
+                self._prefill_full_batch([enc[i] for i in miss_idx], S)))
+        if hit_idx:
+            parts.append((hit_idx,) + tuple(
+                self._prefill_hit_batch([enc[i] for i in hit_idx],
+                                        [hits[i] for i in hit_idx], S)))
+
+        if len(parts) == 1 and parts[0][0] == list(range(P)):
+            _, last, cache, h_sum = parts[0]
         else:
-            # per-row path mixing full and suffix prefills
-            lasts, cks, cvs, hsums = [], [], [], []
-            for i, toks in enumerate(enc):
-                if hits[i] is None:
-                    Lp = min(_round_up(len(toks), self.pad_multiple), self.max_model_len)
-                    ids = np.zeros((1, Lp), np.int32)
-                    mask = np.zeros((1, Lp), np.int32)
-                    ids[0, : len(toks)] = toks
-                    mask[0, : len(toks)] = 1
-                    last, (ck, cv), h_row = self._prefill_jit(
-                        self.params, jnp.asarray(ids), jnp.asarray(mask),
-                        jnp.asarray([len(toks)], np.int32), S=S)
-                else:
-                    k_pref, v_pref, plen_hit, h_pref = hits[i]
-                    ck = jnp.zeros(
-                        (self.cfg.num_hidden_layers, 1, S,
-                         self.cfg.num_key_value_heads, self.cfg.head_dim_),
-                        self.cfg.dtype)
-                    cv = jnp.zeros_like(ck)
-                    ck = ck.at[:, 0, :plen_hit].set(k_pref)
-                    cv = cv.at[:, 0, :plen_hit].set(v_pref)
-                    suffix = toks[plen_hit:]
-                    # the padded suffix block is written at offset plen_hit:
-                    # it MUST fit inside S or dynamic_update_slice clamps the
-                    # start back and overwrites the reused prefix KV
-                    # (silently wrong generations — found by review repro)
-                    Ls = _round_up(len(suffix), min(self.pad_multiple, 128))
-                    if plen_hit + Ls > S:
-                        Ls = _round_up(len(suffix), 16)
-                    if plen_hit + Ls > S:
-                        Ls = len(suffix)
-                    assert plen_hit + Ls <= S, (plen_hit, Ls, S)
-                    ids = np.zeros((1, Ls), np.int32)
-                    mask = np.zeros((1, Ls), np.int32)
-                    ids[0, : len(suffix)] = suffix
-                    mask[0, : len(suffix)] = 1
-                    last, (ck, cv), h_suf = self._suffix_prefill_jit(
-                        self.params, ck, cv, jnp.asarray(ids), jnp.asarray(mask),
-                        jnp.asarray(plen_hit, jnp.int32),
-                        jnp.asarray(len(suffix), jnp.int32))
-                    h_row = h_suf + (h_pref[None, :] if h_pref is not None
-                                     else jnp.zeros((1, self.cfg.hidden_size), jnp.float32))
-                lasts.append(last)
-                cks.append(ck)
-                cvs.append(cv)
-                hsums.append(h_row)
-            last = jnp.concatenate(lasts, axis=0)
-            h_sum = jnp.concatenate(hsums, axis=0)
-            cache = (jnp.concatenate(cks, axis=1), jnp.concatenate(cvs, axis=1))
+            order = [i for part in parts for i in part[0]]
+            inv = jnp.asarray(np.argsort(np.asarray(order)))
+            last = jnp.concatenate([p[1] for p in parts], axis=0)[inv]
+            ck = jnp.concatenate([p[2][0] for p in parts], axis=1)[:, inv]
+            cv = jnp.concatenate([p[2][1] for p in parts], axis=1)[:, inv]
+            h_sum = jnp.concatenate([p[3] for p in parts], axis=0)[inv]
+            cache = (ck, cv)
 
         if store is not None:
             for i, toks in enumerate(enc):
                 if len(toks) >= store.min_reuse:
-                    store.put(toks, (cache[0][:, i, : len(toks)],
-                                     cache[1][:, i, : len(toks)]),
+                    pad_len = min(_round_up(len(toks), store.pad_to), S)
+                    store.put(toks, (cache[0][:, i, :pad_len],
+                                     cache[1][:, i, :pad_len]),
                               h_sum=(h_sum[i] if self.collect_h0 else None))
         return last, cache, h_sum
 
@@ -329,7 +381,10 @@ class Engine:
         P = len(enc)
         max_len = max(len(e) for e in enc)
         max_new = int(getattr(sp, "max_tokens", 256) or 256)
-        S = _round_up(min(self.max_model_len, max_len) + max_new, self.pad_multiple)
+        # slot-uniform layout: ragged prompts live at [0, len_b) inside the
+        # [0, Lp) slab; decode step t writes slot Lp+t for ALL rows
+        Lp = _round_up(min(self.max_model_len, max_len), self.pad_multiple)
+        S = _round_up(Lp + max_new, self.pad_multiple)
 
         last_logits, (ck, cv), h_prompt = self._prefill_rows(enc, S)
 
@@ -345,9 +400,9 @@ class Engine:
         B = Bb
 
         lens = np.asarray([len(enc[r]) for r in row_of], np.int32)
-        kv_valid = jnp.asarray(
-            np.arange(S)[None, :] < lens[:, None])
+        lens_j = jnp.asarray(lens)
         positions_next = jnp.asarray(lens)
+        slot_next = jnp.asarray(Lp, jnp.int32)
         finished = jnp.zeros((B,), jnp.bool_)
         finished = finished.at[P * n :].set(True)  # bucket-padding rows
 
@@ -376,30 +431,31 @@ class Engine:
         seed = sp.seed if getattr(sp, "seed", None) is not None else self._call_counter
         key = jax.random.key(np.uint32(seed))
 
-        all_toks: list[np.ndarray] = []
-        all_lps: list[np.ndarray] = []
+        # one device dispatch covers the whole budget: the while_loop inside
+        # _decode_impl exits as soon as every row is finished, so there is
+        # NO host round-trip per chunk (the remote-TPU tunnel makes each
+        # sync ~10s of ms). decode_chunk survives as the compile-bucket
+        # quantum for the emit-buffer width.
+        budget = min(max_new, S - Lp)
+        T = _round_up(max(budget, 1), self.decode_chunk)  # emit-buffer bucket
         h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
-        steps_done = 0
-        budget = min(max_new, S - int(lens.max()))
-        while steps_done < budget:
-            T = min(self.decode_chunk, budget - steps_done)
+        if budget > 0:
             key, sub = jax.random.split(key)
-            toks, lps, finished, (ck, cv), presence, kv_valid, positions_next, last_logits, hs = self._decode_jit(
-                self.params, ck, cv, presence, last_logits,
-                kv_valid, positions_next, finished, sub,
-                temperature, top_k, top_p, min_p, rep_pen,
-                T=T, static_top_k=static_top_k,
-            )
-            all_toks.append(np.asarray(toks))
-            all_lps.append(np.asarray(lps))
+            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, last_logits, hs = \
+                self._decode_jit(
+                    self.params, ck, cv, presence, last_logits,
+                    lens_j, positions_next, slot_next, finished,
+                    jnp.asarray(budget, jnp.int32), sub,
+                    temperature, top_k, top_p, min_p, rep_pen,
+                    T=T, decode_base=Lp, static_top_k=static_top_k,
+                )
+            toks = np.asarray(toks_d)[:, :budget]
+            lps = np.asarray(lps_d)[:, :budget]
             if self.collect_h0:
-                h_gen += np.asarray(hs)
-            steps_done += T
-            if bool(np.all(np.asarray(finished))):
-                break
-
-        toks = np.concatenate(all_toks, axis=1) if all_toks else np.zeros((B, 0), np.int32)
-        lps = np.concatenate(all_lps, axis=1) if all_lps else np.zeros((B, 0), np.float32)
+                h_gen = np.asarray(hs)
+        else:
+            toks = np.zeros((B, 0), np.int32)
+            lps = np.zeros((B, 0), np.float32)
 
         eos_set = set(self.eos_token_ids)
         results = []

@@ -20,9 +20,16 @@ from ..native import make_prefix_tree
 
 
 class PrefixCacheStore:
-    def __init__(self, max_bytes: int = 1_500_000_000, min_reuse: int = 64):
+    def __init__(self, max_bytes: int = 1_500_000_000, min_reuse: int = 64,
+                 pad_to: int = 128):
         self.max_bytes = int(max_bytes)
         self.min_reuse = int(min_reuse)
+        # KV slices are stored padded to a multiple of pad_to along the
+        # length axis: lookups then return ONE of few bucketed shapes, so
+        # the engine's batched suffix-prefill writes compile once per
+        # bucket instead of once per exact prefix length (remote-TPU
+        # compiles are expensive). The true length travels alongside.
+        self.pad_to = max(1, int(pad_to))
         self._entries: OrderedDict[int, dict] = OrderedDict()  # handle -> entry
         self._key_to_handle: dict[tuple, int] = {}
         self._trie = make_prefix_tree()
@@ -48,12 +55,24 @@ class PrefixCacheStore:
         self._trie.remove(handle)
 
     def put(self, tokens: list[int], kv: tuple[Any, Any], h_sum=None) -> None:
-        """kv: (k, v) arrays of shape (layers, len, n_kv, head_dim);
+        """kv: (k, v) arrays of shape (layers, len, n_kv, head_dim), padded
+        to ``pad_to`` along the length axis (true length = len(tokens));
         h_sum: optional (H,) final-hidden sum over these tokens (collect_h0
         engines reuse it so fused value pooling also skips the prefix)."""
         key = tuple(int(t) for t in tokens)
         if not key:
             return
+        k, v = kv
+        n = len(key)
+        pad_len = -(-n // self.pad_to) * self.pad_to
+        if k.shape[1] < pad_len:
+            import jax.numpy as jnp
+
+            width = [(0, 0)] * k.ndim
+            width[1] = (0, pad_len - k.shape[1])
+            k = jnp.pad(k, width)
+            v = jnp.pad(v, width)
+        kv = (k, v)
         size = int(kv[0].size * kv[0].dtype.itemsize * 2)
         if size > self.max_bytes:
             return
@@ -75,7 +94,11 @@ class PrefixCacheStore:
                        allow_partial: bool = True):
         """Longest stored entry that is a prefix of ``tokens``.
 
-        Returns (kv_k_slice, kv_v_slice, plen, h_sum) or None. ``max_use``
+        Returns (kv_k, kv_v, plen, h_sum) or None, where kv_k/kv_v are the
+        FULL padded stored arrays and ``plen`` is how many leading slots are
+        valid for this lookup — callers must mask/overwrite past plen (no
+        device slicing here: returning the bucket-padded array keeps the
+        consumer's compiled shapes to a handful of buckets). ``max_use``
         caps the reused length (callers keep >=1 suffix token for
         last-logits). ``allow_partial=False`` disables the capped
         exact-match path, where only part of an entry is reused — collect_h0
@@ -101,7 +124,7 @@ class PrefixCacheStore:
         self.tokens_reused += plen
         k, v = ent["kv"]
         h_sum = None if partial else ent.get("h_sum")
-        return k[:, :plen], v[:, :plen], plen, h_sum
+        return k, v, plen, h_sum
 
     def clear(self):
         for handle in list(self._entries):

@@ -44,6 +44,7 @@ def process_logits(
     top_p: jax.Array | None = None,
     min_p: jax.Array | None = None,
     static_top_k: int = 0,
+    approx_top_k: bool = False,
 ) -> jax.Array:
     """Apply the full processing pipeline; returns masked logits (B, V) f32.
 
@@ -56,6 +57,13 @@ def process_logits(
     candidate set instead of a full-vocab sort — the hot path for decode
     (V ~ 150k, the full sort dominates per-token cost otherwise). Exact
     because after top-k masking the nucleus lives inside the candidate set.
+
+    ``approx_top_k`` additionally swaps the exact ``lax.top_k`` candidate
+    scan for the TPU-optimized ``lax.approx_max_k`` (recall_target 0.99 per
+    element; profiled ~10x faster at V=152k). The tail of the candidate set
+    may then miss a near-threshold token, slightly widening the nucleus —
+    vLLM computes exact top-k, so keep this off where exactness matters
+    (tests); the Engine turns it on for decode throughput.
     Do NOT set it when any row has top_k <= 0 (top-k disabled): that row's
     nucleus would be renormalized over only K candidates instead of the
     full vocabulary (the Engine passes one scalar top_k per call and zeroes
@@ -74,7 +82,10 @@ def process_logits(
     if top_k is not None or top_p is not None:
         if static_top_k and static_top_k > 0 and top_k is not None:
             K = min(V, max(int(static_top_k), 1))
-            sorted_x, _ = jax.lax.top_k(x, K)  # (B, K) descending
+            if approx_top_k:
+                sorted_x, _ = jax.lax.approx_max_k(x, K, recall_target=0.99)
+            else:
+                sorted_x, _ = jax.lax.top_k(x, K)  # (B, K) descending
         else:
             sorted_x = jnp.sort(x, axis=-1)[:, ::-1]
             K = V
@@ -110,6 +121,7 @@ def sample(
     top_p: jax.Array | None = None,
     min_p: jax.Array | None = None,
     static_top_k: int = 0,
+    approx_top_k: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample one token per row; returns (token (B,) i32, logprob (B,) f32).
 
@@ -126,6 +138,7 @@ def sample(
         top_p=top_p,
         min_p=min_p,
         static_top_k=static_top_k,
+        approx_top_k=approx_top_k,
     )
     sampled = jax.random.categorical(key, processed, axis=-1)
     if temperature is not None:

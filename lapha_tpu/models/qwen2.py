@@ -348,3 +348,113 @@ def forward(
 def init_kv_cache(cfg: Qwen2Config, batch: int, max_len: int) -> tuple[jax.Array, jax.Array]:
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+
+
+def _layer_params(params: dict, l: int) -> dict:
+    """Static per-layer slice of the stacked layer pytree (zero-copy views;
+    works for quantized {'q','s'} leaves too — both carry the leading L)."""
+    return jax.tree.map(lambda w: w[l], params["layers"])
+
+
+def decode_step(
+    params: dict,
+    cfg: Qwen2Config,
+    tok: jax.Array,        # (B,) int32 — the tokens to forward
+    positions: jax.Array,  # (B,) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, S, nkv, dh)
+    cache_v: jax.Array,
+    slot: jax.Array,       # scalar int32 — uniform cache slot for this step
+    lens: jax.Array,       # (B,) int32 — prompt lengths (prefix validity)
+    decode_base: int,      # static — first decode slot (prefill slab size)
+    return_hidden: bool = False,
+):
+    """One-token decode for all rows — the engine's hot loop body.
+
+    TPU-first decode design, distinct from :func:`forward`'s scan-threaded
+    cache (profiled on v5e: threading the cache through ``lax.scan`` xs/ys
+    plus the per-row scatter copied the full (B,S,nkv,dh) layer slice FOUR
+    times per layer-step — more HBM traffic than the attention itself):
+
+    - the Python loop unrolls the stacked layers, so each layer's K/V is a
+      STATIC slice of the carried (L,B,S,..) cache — a zero-copy view XLA
+      fuses straight into the attention reads;
+    - every row writes this step's K/V at the SAME slot (slot-uniform
+      layout: slots [0, decode_base) hold each row's ragged prompt, slot
+      decode_base+t holds step t for all rows) — one scalar-indexed
+      ``dynamic_update_slice`` of (1,B,1,nkv,dh) per layer instead of a
+      per-row scatter that rewrites the whole slice. Positions stay ragged
+      (RoPE uses ``positions``); attention only needs set-validity, which
+      ``lens``/``slot`` encode, so slots need not be position-ordered.
+
+    Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v).
+    """
+    L = cfg.num_hidden_layers
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    group = nh // nkv
+    B = tok.shape[0]
+    S = cache_k.shape[2]
+    scale = 1.0 / math.sqrt(dh)
+
+    emb = params["embed"]["weight"]
+    if is_quantized(emb):
+        x = emb["q"][tok].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+    else:
+        x = emb[tok].astype(cfg.dtype)  # (B, H)
+
+    cos, sin = rope_freqs(positions, dh, cfg.rope_theta)  # (B, dh/2)
+
+    def rope1(v):  # (B, n, dh)
+        c, s_ = cos[:, None, :], sin[:, None, :]
+        v1, v2 = v[..., : dh // 2].astype(jnp.float32), v[..., dh // 2 :].astype(jnp.float32)
+        return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_], -1).astype(v.dtype)
+
+    ar = jnp.arange(S)[None, :]
+    valid = (ar < lens[:, None]) | ((ar >= decode_base) & (ar <= slot))  # (B, S)
+    neg = jnp.float32(-1e30)
+
+    def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum
+        y = jnp.einsum("bh,hd->bd", h, dequant(w, h.dtype),
+                       preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(h.dtype)
+
+    for l in range(L):
+        p = _layer_params(params, l)
+        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
+        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
+        v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+        q, k = rope1(q), rope1(k)
+
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k[None, :, None], (l, 0, slot, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v[None, :, None], (l, 0, slot, 0, 0))
+        k_all, v_all = cache_k[l], cache_v[l]  # (B, S, nkv, dh) static views
+
+        qg = q.reshape(B, nkv, group, dh)
+        att = jnp.einsum("bkgd,bskd->bkgs", qg, k_all,
+                         preferred_element_type=jnp.float32) * scale
+        att = jnp.where(valid[:, None, None, :], att, neg)
+        probs = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bkgs,bskd->bkgd", probs.astype(v_all.dtype), v_all,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, nh * dh).astype(x.dtype)
+        x = x + proj(o, p["attn"]["o_proj"]["w"])
+
+        h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
+                        preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(gate) * up).astype(x.dtype)
+        x = x + proj(act, p["mlp"]["down_proj"]["w"])
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
+    if is_quantized(head_w):
+        xs = x * head_w["s"][0].astype(x.dtype)
+        logits = jnp.einsum("bh,vh->bv", xs, head_w["q"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bh,vh->bv", x, head_w, preferred_element_type=jnp.float32)
+    return logits, (x if return_hidden else None), cache_k, cache_v

@@ -138,3 +138,22 @@ def test_small_max_tokens_with_prefix_hit_is_correct(engines):
     got = warm.generate([child], sp)[0].outputs[0].token_ids
     assert warm.prefix_cache.stats()["hits"] >= 1
     assert got == ref
+
+
+def test_batched_hit_path_many_prompts(engines):
+    """P=10 prompts (> the old P<=8 lookup guard) sharing a seeded prefix:
+    all rows take the batched suffix-prefill path and match the cold engine
+    greedily, including a mixed batch with one miss row."""
+    cold, warm = engines
+    warm.prefix_cache.clear()
+    parent = "a really long shared stem used by every single child branch. "
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=6)
+    warm.generate([parent], sp)  # seed the store
+    h0 = warm.prefix_cache.stats()["hits"]
+
+    children = [parent + f"child variant {i}" for i in range(9)]
+    children.append("completely unrelated miss prompt that shares nothing")
+    ref = [r.outputs[0].token_ids for r in cold.generate(children, sp)]
+    got = [r.outputs[0].token_ids for r in warm.generate(children, sp)]
+    assert got == ref
+    assert warm.prefix_cache.stats()["hits"] >= h0 + 9  # all 9 rows hit
