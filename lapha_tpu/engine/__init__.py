@@ -8,6 +8,7 @@ from .adapter import (
 from .client import EngineClient, RemoteEngineAdapter
 from .engine import Engine
 from .prefix_cache import PrefixCacheStore
+from .scheduler import ContinuousEngine
 
 __all__ = [
     "CompletionOutput",
@@ -19,4 +20,5 @@ __all__ = [
     "EngineClient",
     "RemoteEngineAdapter",
     "PrefixCacheStore",
+    "ContinuousEngine",
 ]

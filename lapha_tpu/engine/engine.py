@@ -105,7 +105,7 @@ class Engine:
             self._write_prefix_impl, donate_argnums=(0, 1))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T", "decode_base", "static_top_k"),
+            static_argnames=("T", "static_top_k"),
             donate_argnums=(1, 2),  # donate kv cache
         )
 
@@ -175,9 +175,10 @@ class Engine:
 
     def _decode_impl(
         self, params, cache_k, cache_v, presence, last_logits,
-        lens, positions_next, slot_next, finished, budget, key,
+        lens, dstart, positions_next, slot_next, finished,
+        row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
-        T: int, decode_base: int, static_top_k: int = 0,
+        T: int, static_top_k: int = 0,
     ):
         """Generate up to T tokens for all B rows (slot-uniform cache).
 
@@ -187,9 +188,14 @@ class Engine:
         through qwen2.decode_step (unrolled layers, static cache views — see
         its docstring for the profiling story).
 
+        Per-row ``row_budget`` / ``emitted`` carry total-token budgets across
+        calls (continuous batching: rows admitted mid-stream resume with
+        their own counters); a row finishes on EOS or when emitted hits its
+        budget. ``dstart`` (B,) is each row's first valid decode column.
+
         Returns (tokens (B,T), logprobs (B,T), finished, cache, presence,
-        positions, slot, last_logits, h_sum). Finished rows emit pad(0)
-        tokens with logprob 0 and stop updating presence."""
+        positions, slot, emitted, last_logits, h_sum). Finished rows emit
+        pad(0) tokens with logprob 0 and stop updating presence."""
         eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]
         toks0 = jnp.zeros((B, T), jnp.int32)
@@ -199,11 +205,10 @@ class Engine:
         def cond(st):
             i = st[0]
             fin = st[8]
-            # budget <= T (T is the bucketed emit-buffer width)
-            return (i < budget) & ~jnp.all(fin)
+            return (i < T) & ~jnp.all(fin)
 
         def body(st):
-            i, ck, cv, pres, logits, pos, slot, k, fin, hs, toks, lps = st
+            i, ck, cv, pres, logits, pos, slot, k, fin, em, hs, toks, lps = st
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
@@ -219,11 +224,12 @@ class Engine:
             is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
             emit = jnp.where(fin, 0, tok)
             emit_lp = jnp.where(fin, 0.0, lp)
-            new_fin = fin | is_eos
+            em = em + (~fin).astype(jnp.int32)
+            new_fin = fin | is_eos | (em >= row_budget)
 
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
             new_logits, hidden, ck, cv = qwen2.decode_step(
-                params, self.cfg, tok, pos, ck, cv, slot, lens, decode_base,
+                params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                 return_hidden=self.collect_h0,
             )
             if self.collect_h0:
@@ -233,14 +239,14 @@ class Engine:
             toks = jax.lax.dynamic_update_slice(toks, emit[:, None], (0, i))
             lps = jax.lax.dynamic_update_slice(lps, emit_lp[:, None], (0, i))
             return (i + 1, ck, cv, pres, new_logits, pos + 1, slot + 1, k,
-                    new_fin, hs, toks, lps)
+                    new_fin, em, hs, toks, lps)
 
         st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
-               last_logits, positions_next, slot_next, key, finished, h0,
-               toks0, lps0)
+               last_logits, positions_next, slot_next, key, finished,
+               emitted, h0, toks0, lps0)
         st = jax.lax.while_loop(cond, body, st0)
-        (_, ck, cv, pres, logits, pos, slot, _, fin, hs, toks, lps) = st
-        return toks, lps, fin, (ck, cv), pres, pos, slot, logits, hs
+        (_, ck, cv, pres, logits, pos, slot, _, fin, em, hs, toks, lps) = st
+        return toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs
 
     # ------------------------------------------------------------------ public API
 
@@ -441,13 +447,15 @@ class Engine:
         h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
         if budget > 0:
             key, sub = jax.random.split(key)
-            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, last_logits, hs = \
+            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs = \
                 self._decode_jit(
                     self.params, ck, cv, presence, last_logits,
-                    lens_j, positions_next, slot_next, finished,
-                    jnp.asarray(budget, jnp.int32), sub,
+                    lens_j, jnp.full((B,), Lp, jnp.int32),
+                    positions_next, slot_next, finished,
+                    jnp.full((B,), budget, jnp.int32),
+                    jnp.zeros((B,), jnp.int32), sub,
                     temperature, top_k, top_p, min_p, rep_pen,
-                    T=T, decode_base=Lp, static_top_k=static_top_k,
+                    T=T, static_top_k=static_top_k,
                 )
             toks = np.asarray(toks_d)[:, :budget]
             lps = np.asarray(lps_d)[:, :budget]

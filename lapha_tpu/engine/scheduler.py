@@ -1,0 +1,378 @@
+"""Continuous-batching scheduler over the TPU engine (the vLLM capability).
+
+The reference delegates cross-request continuous batching to vLLM (SURVEY
+§2.2 row 8, §7.3 hard part #1 — /root/reference/vllm_start.sh runs the
+server; trainer/vllm_client.py talks to it). Here a scheduler thread owns a
+persistent decode batch over the engine's slot-uniform KV cache:
+
+- requests enter a queue (``submit`` returns a Future); between decode
+  chunks the scheduler admits queued requests into FREE ROWS of the running
+  batch. A request submitted mid-decode of another starts decoding at the
+  next chunk boundary and completes on its own schedule — no waiting for
+  the other's token budget;
+- row occupancy is tracked by the C++ ``SlotAllocator``
+  (native/lapha_native.cpp; python fallback when the extension isn't
+  built);
+- column space: all active rows share the global decode column cursor
+  (that is what makes the KV write a single scalar-indexed
+  dynamic_update_slice per layer). A request is admitted when (a) a row is
+  free and (b) its token budget fits the remaining columns; when the batch
+  fully drains the cursor resets to the prompt-slab boundary. Requests too
+  big for the remaining columns wait for the drain (v1: no mid-wave KV
+  compaction);
+- sampling is per-row vectorized (temperature/top_p/min_p/rep_pen);
+  admission batches sharing the engine instance also share its prefix-KV
+  store, so MCTS-style prefix reuse composes with continuous batching.
+
+Prefills of concurrently-admitted requests are batched through
+``Engine._prefill_rows`` (hit/miss grouped). The decode chunk is the same
+jitted while_loop as the sync path, with per-row budgets/emitted counters.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from concurrent.futures import Future
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import qwen2
+from ..native import make_slot_allocator
+from .adapter import CompletionOutput, RequestOutput, SamplingParams
+from .engine import Engine, _round_up
+
+
+class _Request:
+    __slots__ = ("prompt", "enc", "sp", "n", "future", "rows", "outputs")
+
+    def __init__(self, prompt, enc, sp, n, future):
+        self.prompt = prompt
+        self.enc = enc
+        self.sp = sp
+        self.n = n
+        self.future = future
+        self.rows: list[int] = []
+        self.outputs: dict[int, CompletionOutput] = {}
+
+
+class _Row:
+    __slots__ = ("req", "sample_idx", "toks", "lps", "h_gen", "em")
+
+    def __init__(self, req, sample_idx):
+        self.req = req
+        self.sample_idx = sample_idx
+        self.toks: list[int] = []
+        self.lps: list[float] = []
+        self.h_gen = None
+        self.em = 0
+
+
+class ContinuousEngine:
+    """Cross-request continuous batching on top of an :class:`Engine`.
+
+    ``prompt_slab`` bounds admitted prompt lengths; decode columns live in
+    [prompt_slab, engine.max_model_len). Budgets are capped to the decode
+    region (same rule as the sync path's ``budget = min(max_new, S - Lp)``).
+    """
+
+    def __init__(self, engine: Engine, *, prompt_slab: int | None = None,
+                 chunk: int | None = None):
+        self.engine = engine
+        self.B = engine.max_batch
+        self.S = _round_up(engine.max_model_len, engine.pad_multiple)
+        self.slab = int(prompt_slab or (self.S // 2))
+        assert 0 < self.slab < self.S
+        self.chunk = int(chunk or engine.decode_chunk)
+        self.slots = make_slot_allocator(self.B)
+
+        self._queue: list[_Request] = []
+        self._cv = threading.Condition()
+        self._running = False
+        self._thread: threading.Thread | None = None
+        self._rows: dict[int, _Row] = {}  # row index -> bookkeeping
+        self._seed_counter = 0
+        self._state = None  # device state, created lazily
+        self.steps_executed = 0
+        self.waves = 0
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+            self._thread = None
+
+    # ------------------------------------------------------------- public API
+
+    def submit(self, prompt: str, sampling_params: SamplingParams) -> Future:
+        """Queue one prompt; the Future resolves to a RequestOutput with n
+        samples. Raises immediately if the prompt cannot ever fit."""
+        eng = self.engine
+        enc = list(eng.tokenizer(prompt, add_special_tokens=True)["input_ids"])
+        enc = enc[-(self.slab):]
+        n = max(1, int(getattr(sampling_params, "n", 1)))
+        if n > self.B:
+            raise ValueError(f"n={n} exceeds max_batch={self.B}")
+        fut: Future = Future()
+        req = _Request(prompt, enc, sampling_params, n, fut)
+        with self._cv:
+            if not self._running:
+                raise RuntimeError("ContinuousEngine not started")
+            self._queue.append(req)
+            self._cv.notify_all()
+        return fut
+
+    def generate(self, prompts: Sequence[str], sampling_params: SamplingParams,
+                 use_tqdm: bool = False) -> list[RequestOutput]:
+        """Drop-in synchronous API: submit all, wait for all."""
+        futs = [self.submit(p, sampling_params) for p in prompts]
+        return [f.result() for f in futs]
+
+    # ------------------------------------------------------------- internals
+
+    def _init_state(self):
+        eng = self.engine
+        cfg = eng.cfg
+        B, S = self.B, self.S
+        self._state = dict(
+            ck=jnp.zeros((cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+                          cfg.head_dim_), cfg.dtype),
+            cv=jnp.zeros((cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+                          cfg.head_dim_), cfg.dtype),
+            presence=jnp.zeros((B, cfg.vocab_size), jnp.int8),
+            last_logits=jnp.zeros((B, cfg.vocab_size), jnp.float32),
+            lens=np.zeros((B,), np.int32),
+            dstart=np.full((B,), self.slab, np.int32),
+            pos=np.zeros((B,), np.int32),
+            fin=np.ones((B,), bool),
+            budget=np.zeros((B,), np.int32),
+            emitted=np.zeros((B,), np.int32),
+            temp=np.full((B,), 1.0, np.float32),
+            top_p=np.full((B,), 1.0, np.float32),
+            min_p=np.zeros((B,), np.float32),
+            rep_pen=np.full((B,), 1.0, np.float32),
+            top_k=np.full((B,), -1, np.int32),
+            col=self.slab,
+        )
+
+    def _admissible(self, req: _Request) -> bool:
+        st = self._state
+        free = self.slots.available()
+        if free < req.n:
+            return False
+        budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
+                     self.S - self.slab)
+        return st["col"] + budget <= self.S
+
+    def _admit(self, reqs: list[_Request]):
+        """Prefill the new requests (one batched call, prefix-store aware)
+        and install their rows into the persistent batch state."""
+        eng = self.engine
+        st = self._state
+        enc_rows = [r.enc for r in reqs]
+        last, (ck_g, cv_g), h_sum = eng._prefill_rows(enc_rows, self.S)
+        h_np = np.asarray(h_sum) if eng.collect_h0 else None
+        last_np = np.asarray(last)
+
+        rows_all, group_of = [], []
+        for gi, req in enumerate(reqs):
+            rows = self.slots.acquire(req.n)
+            assert rows is not None, "admission checked availability"
+            req.rows = [int(r) for r in rows]
+            for r in req.rows:
+                self._rows[r] = _Row(req, len(group_of))
+                rows_all.append(r)
+                group_of.append(gi)
+
+        # device-side row installs: KV copy + last logits + presence
+        rows_j = jnp.asarray(np.asarray(rows_all, np.int32))
+        group_j = jnp.asarray(np.asarray(group_of, np.int32))
+        st["ck"], st["cv"] = _install_rows(st["ck"], st["cv"], ck_g, cv_g,
+                                           group_j, rows_j)
+        st["last_logits"] = st["last_logits"].at[rows_j].set(
+            jnp.asarray(last_np)[group_j])
+        pres_rows = np.zeros((len(rows_all), eng.cfg.vocab_size), np.int8)
+        for i, gi in enumerate(group_of):
+            pres_rows[i, np.asarray(reqs[gi].enc, np.int64)] = 1
+        st["presence"] = st["presence"].at[rows_j].set(jnp.asarray(pres_rows))
+
+        for i, (r, gi) in enumerate(zip(rows_all, group_of)):
+            req = reqs[gi]
+            sp = req.sp
+            L = len(req.enc)
+            st["lens"][r] = L
+            st["dstart"][r] = st["col"]
+            st["pos"][r] = L
+            st["fin"][r] = False
+            st["budget"][r] = min(int(getattr(sp, "max_tokens", 256) or 256),
+                                  self.S - self.slab)
+            st["emitted"][r] = 0
+            st["temp"][r] = float(getattr(sp, "temperature", 1.0) or 0.0)
+            st["top_p"][r] = float(getattr(sp, "top_p", 1.0) or 1.0)
+            st["min_p"][r] = float(getattr(sp, "min_p", 0.0) or 0.0)
+            st["rep_pen"][r] = float(getattr(sp, "repetition_penalty", 1.0) or 1.0)
+            tk = getattr(sp, "top_k", -1)
+            st["top_k"][r] = int(-1 if tk is None else tk)
+            row = self._rows[r]
+            if eng.collect_h0:
+                row.h_gen = h_np[gi].astype(np.float32).copy()
+
+    def _decode_chunk(self):
+        eng = self.engine
+        st = self._state
+        if not self._rows:
+            return
+        self._seed_counter += 1
+        key = jax.random.key(np.uint32(self._seed_counter * 2654435761 % (2**32)))
+        tks = st["top_k"][~st["fin"]] if (~st["fin"]).any() else st["top_k"]
+        # static candidate bound only if every ACTIVE row uses finite top-k
+        static_top_k = 0 if (tks <= 0).any() else min(
+            eng.cfg.vocab_size, max(64, int(tks.max())))
+        em_before = st["emitted"].copy()
+
+        out = eng._decode_jit(
+            eng.params, st["ck"], st["cv"], st["presence"], st["last_logits"],
+            jnp.asarray(st["lens"]), jnp.asarray(st["dstart"]),
+            jnp.asarray(st["pos"]), jnp.asarray(st["col"], jnp.int32),
+            jnp.asarray(st["fin"]),
+            jnp.asarray(st["budget"]), jnp.asarray(st["emitted"]), key,
+            jnp.asarray(st["temp"]), jnp.asarray(st["top_k"]),
+            jnp.asarray(st["top_p"]), jnp.asarray(st["min_p"]),
+            jnp.asarray(st["rep_pen"]),
+            T=self.chunk, static_top_k=static_top_k,
+        )
+        toks_d, lps_d, fin_d, (st["ck"], st["cv"]), st["presence"], pos_d, \
+            slot_d, em_d, st["last_logits"], hs_d = out
+
+        toks = np.asarray(toks_d)
+        lps = np.asarray(lps_d)
+        # np.asarray views of jax arrays are read-only; the host state is
+        # mutated at admission, so take owned copies
+        st["fin"] = np.array(fin_d)
+        st["pos"] = np.array(pos_d)
+        st["emitted"] = np.array(em_d)
+        new_col = int(np.asarray(slot_d))
+        steps = new_col - st["col"]
+        st["col"] = new_col
+        self.steps_executed += steps
+        hs = np.asarray(hs_d) if eng.collect_h0 else None
+
+        done_rows = []
+        for r, row in self._rows.items():
+            d = int(st["emitted"][r] - em_before[r])
+            if d > 0:
+                row.toks.extend(int(t) for t in toks[r, :d])
+                row.lps.extend(float(x) for x in lps[r, :d])
+                row.em = int(st["emitted"][r])
+                if hs is not None:
+                    row.h_gen = row.h_gen + hs[r]
+            if st["fin"][r]:
+                done_rows.append(r)
+        for r in done_rows:
+            self._finish_row(r)
+
+        if not self._rows:
+            # wave drained: reset the column cursor
+            st["col"] = self.slab
+            st["fin"][:] = True
+            self.waves += 1
+
+    def _finish_row(self, r: int):
+        eng = self.engine
+        row = self._rows.pop(r)
+        req = row.req
+        eos_set = set(eng.eos_token_ids)
+        ids_out, lps_out = [], []
+        for t, lp in zip(row.toks, row.lps):
+            ids_out.append(t)
+            lps_out.append(lp)
+            if t in eos_set:
+                break
+        finish = "stop" if (ids_out and ids_out[-1] in eos_set) else "length"
+        text = (eng.tokenizer.decode(ids_out, skip_special_tokens=True)
+                if hasattr(eng.tokenizer, "decode") else None)
+        co = CompletionOutput(token_ids=ids_out,
+                              cumulative_logprob=float(np.sum(lps_out) if lps_out else 0.0),
+                              token_logprobs=lps_out, text=text,
+                              finish_reason=finish)
+        if eng.collect_h0 and row.h_gen is not None:
+            n_tok = len(req.enc) + len(ids_out)
+            co.pooled_hidden = row.h_gen / max(1, n_tok)
+        req.outputs[row.sample_idx] = co
+        self.slots.release([r])
+        if len(req.outputs) == req.n:
+            outs = [req.outputs[i] for i in sorted(req.outputs)]
+            req.future.set_result(RequestOutput(
+                outputs=outs, prompt=req.prompt, prompt_token_ids=list(req.enc)))
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while self._running and not self._queue and not self._rows:
+                    self._cv.wait(timeout=0.5)
+                if not self._running:
+                    err = RuntimeError("engine stopped")
+                    for req in self._queue:
+                        req.future.set_exception(err)
+                    self._queue.clear()
+                    for row in self._rows.values():
+                        if not row.req.future.done():
+                            row.req.future.set_exception(err)
+                    self._rows.clear()
+                    return
+                if self._state is None:
+                    self._init_state()
+                admit = []
+                rest = []
+                for req in self._queue:
+                    if self._admissible(req) and not admit:
+                        # one admission group per boundary keeps prefill
+                        # shapes bucketed; grab every admissible request
+                        admit.append(req)
+                    elif admit and self._admissible_with(req, admit):
+                        admit.append(req)
+                    else:
+                        rest.append(req)
+                self._queue = rest
+            try:
+                if admit:
+                    self._admit(admit)
+                self._decode_chunk()
+            except Exception as e:  # resolve futures instead of dying silently
+                for row in list(self._rows.values()):
+                    if not row.req.future.done():
+                        row.req.future.set_exception(e)
+                self._rows.clear()
+                self._state = None
+                self.slots = make_slot_allocator(self.B)
+
+    def _admissible_with(self, req: _Request, pending: list[_Request]) -> bool:
+        taken = sum(p.n for p in pending)
+        if self.slots.available() - taken < req.n:
+            return False
+        budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
+                     self.S - self.slab)
+        return self._state["col"] + budget <= self.S
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _install_rows(ck_big, cv_big, ck_g, cv_g, group_of, rows):
+    """Copy admitted rows' prefilled KV (group cache, (L,P,S,..)) into the
+    persistent batch cache at their allocated row indices (one scatter)."""
+    ck_big = ck_big.at[:, rows].set(ck_g[:, group_of])
+    cv_big = cv_big.at[:, rows].set(cv_g[:, group_of])
+    return ck_big, cv_big

@@ -15,8 +15,10 @@ Covers the reference's external server plane
         them in — the TPU replacement for the NCCL broadcast plane; in
         colocated mode there is no server at all, arrays are shared)
 
-stdlib ThreadingHTTPServer; device work is serialized with a lock (the
-engine itself batches internally).
+stdlib ThreadingHTTPServer. With ``continuous=True`` (the default from
+the CLI) concurrent /generate requests feed one ContinuousEngine scheduler
+and batch TOGETHER on device (cross-request continuous batching); without
+it, device work falls back to a serializing lock.
 """
 
 from __future__ import annotations
@@ -30,10 +32,17 @@ from .adapter import SamplingParams
 
 
 class EngineServer:
-    def __init__(self, engine, model_dir: str | None = None):
+    def __init__(self, engine, model_dir: str | None = None,
+                 continuous: bool = False, prompt_slab: int | None = None):
         self.engine = engine
         self.model_dir = model_dir
         self.lock = threading.Lock()
+        self.scheduler = None
+        if continuous:
+            from .scheduler import ContinuousEngine
+
+            self.scheduler = ContinuousEngine(engine, prompt_slab=prompt_slab)
+            self.scheduler.start()
 
     def handle_generate(self, payload: dict) -> dict:
         prompts = payload.get("prompts") or []
@@ -50,8 +59,12 @@ class EngineServer:
             logprobs=int(payload.get("logprobs") or 0),
             seed=payload.get("seed"),
         )
-        with self.lock:
-            outs = self.engine.generate(prompts, sp)
+        if self.scheduler is not None:
+            # concurrent requests join the running device batch
+            outs = self.scheduler.generate(prompts, sp)
+        else:
+            with self.lock:
+                outs = self.engine.generate(prompts, sp)
         return {
             "completion_ids": [[o.token_ids for o in r.outputs] for r in outs],
             "logprobs": [[o.token_logprobs for o in r.outputs] for r in outs],
@@ -67,6 +80,10 @@ class EngineServer:
             raise ValueError("reload_weights requires a path")
         params, _cfg = loader.load_params(path, dtype=self.engine.cfg.dtype)
         with self.lock:
+            # swap under the running scheduler: in-flight rows keep decoding
+            # against the old arrays until their next chunk picks up params
+            # from engine.params (same semantics as vLLM weight reload:
+            # subsequent steps use the new weights)
             self.engine.update_params(params)
         return {"ok": True, "path": path}
 
@@ -120,8 +137,10 @@ def make_handler(server: EngineServer):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8000,
-          model_dir: str | None = None, background: bool = False):
-    srv = EngineServer(engine, model_dir)
+          model_dir: str | None = None, background: bool = False,
+          continuous: bool = False, prompt_slab: int | None = None):
+    srv = EngineServer(engine, model_dir, continuous=continuous,
+                       prompt_slab=prompt_slab)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -142,6 +161,10 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="weight-only int8 (halves HBM; fits 7B on one v5e)")
+    ap.add_argument("--no-continuous-batching", action="store_true",
+                    help="serialize requests instead of cross-request batching")
+    ap.add_argument("--prompt-slab", type=int, default=None,
+                    help="continuous mode: max prompt length (default len/2)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -156,7 +179,9 @@ def main(argv=None):
     engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
                     max_batch=args.max_batch)
     print(f"engine server on {args.host}:{args.port} (model {args.model})")
-    serve(engine, args.host, args.port, model_dir=args.model)
+    serve(engine, args.host, args.port, model_dir=args.model,
+          continuous=not args.no_continuous_batching,
+          prompt_slab=args.prompt_slab)
 
 
 if __name__ == "__main__":

@@ -365,7 +365,7 @@ def decode_step(
     cache_v: jax.Array,
     slot: jax.Array,       # scalar int32 — uniform cache slot for this step
     lens: jax.Array,       # (B,) int32 — prompt lengths (prefix validity)
-    decode_base: int,      # static — first decode slot (prefill slab size)
+    dstart: jax.Array,     # (B,) int32 — first VALID decode slot per row
     return_hidden: bool = False,
 ):
     """One-token decode for all rows — the engine's hot loop body.
@@ -379,12 +379,15 @@ def decode_step(
       STATIC slice of the carried (L,B,S,..) cache — a zero-copy view XLA
       fuses straight into the attention reads;
     - every row writes this step's K/V at the SAME slot (slot-uniform
-      layout: slots [0, decode_base) hold each row's ragged prompt, slot
-      decode_base+t holds step t for all rows) — one scalar-indexed
-      ``dynamic_update_slice`` of (1,B,1,nkv,dh) per layer instead of a
-      per-row scatter that rewrites the whole slice. Positions stay ragged
-      (RoPE uses ``positions``); attention only needs set-validity, which
-      ``lens``/``slot`` encode, so slots need not be position-ordered.
+      layout: each row's ragged prompt lives at slots [0, lens[b]) inside a
+      shared slab; global decode step t writes one shared column) — one
+      scalar-indexed ``dynamic_update_slice`` of (1,B,1,nkv,dh) per layer
+      instead of a per-row scatter that rewrites the whole slice. Positions
+      stay ragged (RoPE uses ``positions``); attention only needs
+      set-validity: slot j is valid for row b iff j < lens[b] (prompt) or
+      dstart[b] <= j <= slot (the row's decode columns — per-row dstart so
+      a continuously-batched row admitted at a later column ignores the
+      columns written before it joined). Slots need not be position-ordered.
 
     Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v).
     """
@@ -409,7 +412,7 @@ def decode_step(
         return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_], -1).astype(v.dtype)
 
     ar = jnp.arange(S)[None, :]
-    valid = (ar < lens[:, None]) | ((ar >= decode_base) & (ar <= slot))  # (B, S)
+    valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
     neg = jnp.float32(-1e30)
 
     def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum

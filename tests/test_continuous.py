@@ -1,0 +1,86 @@
+"""Continuous batching: cross-request admission into a running decode batch."""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from lapha_tpu.engine import ContinuousEngine, Engine, SamplingParams
+from lapha_tpu.models import Qwen2Config, qwen2
+
+
+class ByteTok:
+    eos_token_id = 0
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=True, **kw):
+        return {"input_ids": [min(b, 255) + 1 for b in text.encode()]}
+
+    def decode(self, ids, **kw):
+        return bytes((i - 1) % 256 for i in ids if i > 0).decode(errors="replace")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(3))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    ce = ContinuousEngine(eng, prompt_slab=128, chunk=4)
+    ce.start()
+    yield eng, ce
+    ce.stop()
+
+
+def test_greedy_matches_sync_engine(setup):
+    eng, ce = setup
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+    prompts = ["hello there general", "another prompt entirely different"]
+    ref = [r.outputs[0].token_ids for r in eng.generate(prompts, sp)]
+    got = [r.outputs[0].token_ids for r in ce.generate(prompts, sp)]
+    assert got == ref
+
+
+def test_n_samples_and_schema(setup):
+    _, ce = setup
+    sp = SamplingParams(n=3, temperature=0.7, max_tokens=6, seed=5)
+    out = ce.generate(["sample me plenty"], sp)[0]
+    assert len(out.outputs) == 3
+    for o in out.outputs:
+        assert len(o.token_ids) == len(o.token_logprobs) <= 6
+        assert np.isfinite(o.cumulative_logprob)
+
+
+def test_late_request_does_not_wait_for_long_one(setup):
+    """Request B (budget 6), submitted mid-decode of A (budget 96), must
+    complete long before A does — the continuous-batching acceptance test
+    (VERDICT round-1 item 5)."""
+    _, ce = setup
+    spA = SamplingParams(n=1, temperature=0.9, max_tokens=96, seed=1)
+    spB = SamplingParams(n=1, temperature=0.9, max_tokens=6, seed=2)
+
+    futA = ce.submit("a very long running request", spA)
+    # wait until A is actually decoding
+    t0 = time.time()
+    while ce.steps_executed == 0 and time.time() - t0 < 60:
+        time.sleep(0.01)
+    assert not futA.done()
+    futB = ce.submit("tiny one", spB)
+    outB = futB.result(timeout=120)
+    done_A_when_B_finished = futA.done()
+    outA = futA.result(timeout=120)
+    assert len(outB.outputs[0].token_ids) == 6
+    assert len(outA.outputs[0].token_ids) == 96
+    assert not done_A_when_B_finished, "B should finish while A still runs"
+
+
+def test_many_concurrent_requests(setup):
+    """More requests than rows: later ones queue and still complete."""
+    _, ce = setup
+    sp = SamplingParams(n=1, temperature=0.5, max_tokens=5, seed=9)
+    futs = [ce.submit(f"prompt number {i} with some words", sp) for i in range(20)]
+    outs = [f.result(timeout=300) for f in futs]
+    assert all(len(o.outputs[0].token_ids) == 5 for o in outs)

@@ -65,3 +65,35 @@ def test_unknown_route_404(served_engine):
 
     assert requests.get(url + "/nope").status_code == 404
     assert requests.post(url + "/nope", json={}).status_code == 404
+
+
+def test_continuous_server_concurrent_requests():
+    """continuous=True: concurrent /generate requests batch on one device
+    scheduler and both complete (no serializing lock on the device)."""
+    import threading
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(4))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=8,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    httpd = engine_server.serve(eng, port=0, background=True,
+                                continuous=True, prompt_slab=64)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        client = EngineClient(url)
+        assert client.check_server(total_timeout=10)
+        results = {}
+
+        def call(name, max_tokens):
+            out = client.generate([f"request {name}"], n=1, temperature=0.5,
+                                  max_tokens=max_tokens)
+            results[name] = out
+
+        ta = threading.Thread(target=call, args=("A", 24))
+        tb = threading.Thread(target=call, args=("B", 5))
+        ta.start(); tb.start(); ta.join(60); tb.join(60)
+        assert len(results["A"]["completion_ids"][0][0]) == 24
+        assert len(results["B"]["completion_ids"][0][0]) == 5
+    finally:
+        httpd.shutdown()
