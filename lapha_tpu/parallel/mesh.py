@@ -35,6 +35,13 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 # TP sharding: qkv/gate/up shard the output (head/ffn) dim; o/down shard the
 # input dim, producing a psum XLA resolves over ``model``. FSDP: embedding
 # and lm_head shard vocab over ``data`` so optimizer state spreads out.
+#
+# KV-head split at 7B (nh=28, nkv=4, dh=128): k/v_proj out dim = nkv*dh =
+# 512 → TP=2 keeps 2 KV heads per shard, TP=4 exactly 1 — the clean v5p-16
+# serving projection is mesh (data=4, model=4) (28 q-heads / 4 = 7 per
+# shard). TP > nkv still lowers (GSPMD reshards the (B, nkv, dh) reshape)
+# but splits inside a KV head — validated by the dryrun's 7B-shape decode
+# parity check (__graft_entry__.dryrun_multichip).
 PARAM_RULES: list[tuple[str, P]] = [
     (r"embed/weight$", P(DATA_AXIS, MODEL_AXIS)),
     (r"lm_head/weight$", P(MODEL_AXIS, DATA_AXIS)),
