@@ -1,0 +1,246 @@
+"""Differential parity vs the IMPORTED reference modules.
+
+Accuracy-parity scaffolding (the pattern test_rewards.py proves): when real
+checkpoints arrive, any pass@1 gap must be attributable to the engine, not
+to the selection math or the reward shaping. These tests run the actual
+reference implementations —
+
+- trainer/agent.py pick_best_leaf (imports standalone),
+- trainer/mtpo_trainer.py compute_action_rewards + hyperbolic geometry
+  (imported with GPU-only deps stubbed: deepspeed/trl/plotly),
+
+— on shared randomized fixtures and require behavioral agreement with ours.
+"""
+
+import copy
+import importlib.machinery
+import sys
+import types
+from collections import defaultdict
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference"
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_agent():
+    sys.path.insert(0, REF_PATH)
+    try:
+        from trainer import agent
+        yield agent
+    finally:
+        sys.path.remove(REF_PATH)
+
+
+@pytest.fixture(scope="module")
+def ref_trainer():
+    ds = _stub("deepspeed")
+    ds.zero = _stub("deepspeed.zero", GatheredParameters=object)
+    _stub("trl")
+    _stub("trl.import_utils", is_vllm_available=lambda: False)
+    _stub("trl.models", prepare_deepspeed=lambda *a, **k: None)
+    try:
+        import plotly.graph_objects  # noqa: F401
+    except ImportError:
+        p = _stub("plotly")
+        p.graph_objects = _stub("plotly.graph_objects", Figure=object, Scatter=object)
+    sys.path.insert(0, REF_PATH)
+    try:
+        from trainer import mtpo_trainer
+        yield mtpo_trainer
+    finally:
+        sys.path.remove(REF_PATH)
+
+
+# ------------------------------------------------------------- fixtures
+
+def _random_tree(rng, breadth=2, depth=3, p_answer=0.5, hid_dim=4):
+    """Random chains in both implementations' step-dict schema. Returns
+    (root_step, chains, hid_points) — hid points indexed by hid_idx."""
+    pts = [np.zeros(hid_dim, np.float32)]
+    root = {
+        "completion": "", "completion_ids": [], "prompt_ids": [1, 2, 3],
+        "current_depth": 0, "hid_idx": 0, "hid": pts[0].tolist(),
+        "v_pred": float(rng.uniform(0, 1)), "state_value": None,
+        "ground_truth": "4", "hostaged": False,
+    }
+    chains = []
+
+    def grow(parent, d, chain):
+        if d > depth:
+            chains.append(chain)
+            return
+        for b in range(breadth):
+            ans = rng.uniform() < p_answer or d == depth
+            correct = ans and rng.uniform() < 0.5
+            body = f"step d{d} b{b} " + ("x" * int(rng.integers(1, 20)))
+            comp = f"STEP-{d}:\n<think>\n{body}</think>"
+            if ans:
+                comp += f" <answer>{'4' if correct else '7'}</answer>"
+            pt = (rng.normal(size=hid_dim) * 0.25).astype(np.float32)
+            pt = pt / max(1.0, np.linalg.norm(pt) / 0.8)
+            pts.append(pt)
+            st = {
+                "completion": comp,
+                "completion_ids": list(rng.integers(2, 100, int(rng.integers(2, 30)))),
+                "prompt_ids": [1, 2, 3],
+                "current_depth": d,
+                "hid_idx": len(pts) - 1,
+                "hid": pt.tolist(),
+                "v_pred": float(rng.uniform(0, 1)),
+                "state_value": float(rng.uniform(0, 1)),
+                "_Q": float(rng.uniform(0, 1)),
+                "_N": int(rng.integers(0, 8)),
+                "cum_logprob": float(-rng.uniform(0.1, 5.0)),
+                "ground_truth": "4",
+                "hostaged": False,
+            }
+            if ans:
+                chains.append(chain + [st])
+            else:
+                grow(st, d + 1, chain + [st])
+
+    grow(root, 1, [])
+    return root, chains, np.stack(pts)
+
+
+# ------------------------------------------------------------- pick_best_leaf
+
+def test_pick_best_leaf_differential(ref_agent):
+    from lapha_tpu.search import pick_best_leaf as ours
+
+    rng = np.random.default_rng(11)
+    mismatches = []
+    for trial in range(30):
+        _, chains, _ = _random_tree(rng, breadth=int(rng.integers(2, 4)),
+                                    depth=int(rng.integers(2, 4)))
+        ref_leaf = ref_agent.pick_best_leaf(copy.deepcopy(chains), prefer_answer=True)
+        our_leaf = ours(copy.deepcopy(chains), prefer_answer=True)
+        if (ref_leaf is None) != (our_leaf is None):
+            mismatches.append(trial)
+        elif ref_leaf is not None and ref_leaf["completion"] != our_leaf["completion"]:
+            mismatches.append(trial)
+    assert not mismatches, f"selection diverged on trials {mismatches}"
+
+
+# ------------------------------------------------------------- geometry
+
+def test_geometry_differential(ref_trainer):
+    import torch
+
+    from lapha_tpu.ops import hyperbolic as ours
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=(16, 8)) * 0.4).astype(np.float32)
+    y = (rng.normal(size=(12, 8)) * 0.3).astype(np.float32)
+
+    ex_ref = ref_trainer.expmap0(torch.tensor(x), c=1.0).numpy()
+    ex_our = np.asarray(ours.expmap0(x, c=1.0))
+    np.testing.assert_allclose(ex_our, ex_ref, rtol=1e-5, atol=1e-6)
+
+    lg_ref = ref_trainer.logmap0(torch.tensor(ex_ref), c=1.0).numpy()
+    lg_our = np.asarray(ours.logmap0(ex_our, c=1.0))
+    np.testing.assert_allclose(lg_our, lg_ref, rtol=1e-4, atol=1e-5)
+
+    yb_ref = ref_trainer.expmap0(torch.tensor(y), c=1.0).numpy()
+    d_ref = ref_trainer.poincare_dist_matrix_stable(
+        torch.tensor(ex_ref), torch.tensor(yb_ref), c=1.0).numpy()
+    d_our = np.asarray(ours.poincare_dist_matrix(ex_our, np.asarray(yb_ref), c=1.0))
+    np.testing.assert_allclose(d_our, d_ref, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------- reward shaping
+
+class _NoopWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+
+def _duck_trainer(ref_trainer, bank, depth, out_dir):
+    import torch
+
+    model = torch.nn.Linear(2, 2)
+    model.c = 1.0
+    model.value_activation = "sigmoid"
+    return SimpleNamespace(
+        model=model,
+        _hid_bank=bank,
+        _metrics=defaultdict(list),
+        args=SimpleNamespace(output_dir=str(out_dir)),
+        depth=depth,
+        state=SimpleNamespace(global_step=0),
+        tokenizer=SimpleNamespace(pad_token_id=0, eos_token_id=None),
+        processing_class=None,
+        value_fn=None,
+        writer=_NoopWriter(),
+    )
+
+
+def test_compute_action_rewards_differential(ref_trainer, tmp_path):
+    """Same random trees + same latent points through BOTH shaping
+    implementations: v_target (the V-map), rewards, leaf/correct/on_path
+    flags, avgAcc and pass@1 must agree."""
+    import torch
+
+    from lapha_tpu.search import LatentBank
+    from lapha_tpu.train.shaping import ShapingConfig, compute_action_rewards as ours
+
+    rng = np.random.default_rng(23)
+    reward_fns = [lambda comp, gt: 1.0 if f"<answer>{gt}</answer>" in comp else 0.0]
+    depth = 3
+
+    for trial in range(6):
+        root, chains, pts = _random_tree(rng, breadth=2, depth=depth)
+
+        sys.path.insert(0, REF_PATH)
+        from trainer.latent_bank import LatentBank as RefBank
+        sys.path.remove(REF_PATH)
+        # the reference stores latents in bf16 (mtpo_trainer.py:1555-1560);
+        # pre-round the shared points so both banks hold identical values
+        # and the comparison tolerance can stay tight
+        pts = torch.tensor(pts).to(torch.bfloat16).float().numpy()
+        ref_bank = RefBank(device="cpu", dtype=torch.bfloat16,
+                           store_cpu_copy=True, normalize=False)
+        for p in pts:
+            ref_bank.add(torch.tensor(p)[None, :])
+
+        our_bank = LatentBank()
+        for p in pts:
+            our_bank.add(p)
+
+        ref_chains = copy.deepcopy(chains)
+        ref_root = copy.deepcopy(root)
+        duck = _duck_trainer(ref_trainer, ref_bank, depth, tmp_path)
+        ref_acc, ref_p1, _ = ref_trainer.MTPOTrainer.compute_action_rewards(
+            duck, ref_chains, reward_fns, "4", tree_id=trial, root_step=ref_root)
+
+        our_chains = copy.deepcopy(chains)
+        our_root = copy.deepcopy(root)
+        cfg = ShapingConfig(depth=depth)
+        our_acc, our_p1, _ = ours(our_chains, reward_fns, "4", cfg,
+                                  bank=our_bank, root_step=our_root)
+
+        assert our_acc == pytest.approx(ref_acc), f"avgAcc trial {trial}"
+        assert our_p1 == pytest.approx(ref_p1), f"pass@1 trial {trial}"
+        for ci, (rc, oc) in enumerate(zip(ref_chains, our_chains)):
+            for si, (rs, os_) in enumerate(zip(rc, oc)):
+                loc = f"trial {trial} chain {ci} step {si}"
+                assert bool(rs.get("is_leaf")) == bool(os_.get("is_leaf")), loc
+                assert bool(rs.get("is_correct")) == bool(os_.get("is_correct")), loc
+                assert bool(rs.get("on_path")) == bool(os_.get("on_path")), loc
+                assert os_.get("v_target", 0.0) == pytest.approx(
+                    rs.get("v_target", 0.0), rel=1e-4, abs=1e-5), loc + " v_target"
+                assert os_.get("reward", 0.0) == pytest.approx(
+                    rs.get("reward", 0.0), rel=1e-4, abs=1e-5), loc + " reward"
