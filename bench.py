@@ -10,10 +10,12 @@ not depend on weight values). Prints ONE JSON line:
    "unit": "tok/s", "vs_baseline": N / 2000.0}
 
 vs_baseline uses 2000 tok/s as the reference point: a single A100 running
-vLLM 0.11 on Qwen2.5-Math-1.5B bf16 at small batch (the reference's rollout
-server configuration, vllm_start.sh TP=2 over two GPUs ≈ 2x that per card)
-— recorded here as the working assumption until the reference stack can be
-measured directly (BASELINE.md notes the repo publishes no numbers).
+vLLM 0.11 on Qwen2.5-Math-1.5B bf16 at the reference's OWN rollout batch
+(B=6: one leaf x breadth-6 per MCTS round, agent.py:664-673). Derivation in
+BASELINE.md ("The denominator"): 3.1 GB weights / 2.04 TB/s HBM x 6 rows =
+3.9k tok/s ideal, x0.5-0.6 small-batch serving efficiency => ~2k. The repo
+publishes no numbers and no GPU exists here, so this is derived, not
+measured.
 
 Env knobs: BENCH_PRESET=tiny|1p5b (default 1p5b on TPU, tiny on CPU),
 BENCH_MAX_TOKENS, BENCH_PROMPT_LEN, BENCH_BREADTH, BENCH_ROUNDS.
