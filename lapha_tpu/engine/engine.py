@@ -105,7 +105,7 @@ class Engine:
             self._write_prefix_impl, donate_argnums=(0, 1))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T", "static_top_k"),
+            static_argnames=("T", "static_top_k", "ragged"),
             donate_argnums=(1, 2),  # donate kv cache
         )
 
@@ -178,7 +178,7 @@ class Engine:
         lens, dstart, positions_next, slot_next, finished,
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
-        T: int, static_top_k: int = 0,
+        T: int, static_top_k: int = 0, ragged: bool = False,
     ):
         """Generate up to T tokens for all B rows (slot-uniform cache).
 
@@ -230,7 +230,7 @@ class Engine:
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
             new_logits, hidden, ck, cv = qwen2.decode_step(
                 params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                return_hidden=self.collect_h0,
+                return_hidden=self.collect_h0, ragged=ragged,
             )
             if self.collect_h0:
                 # the token sampled this step is forwarded this step; pool it
@@ -446,6 +446,9 @@ class Engine:
         T = _round_up(max(budget, 1), self.decode_chunk)  # emit-buffer bucket
         h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
         if budget > 0:
+            # decode cache layout: (L, B, nkv, S, dh) — see qwen2.decode_step
+            ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
+            cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
             key, sub = jax.random.split(key)
             toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs = \
                 self._decode_jit(

@@ -88,6 +88,12 @@ class ContinuousEngine:
         assert 0 < self.slab < self.S
         self.chunk = int(chunk or engine.decode_chunk)
         self.slots = make_slot_allocator(self.B)
+        # ragged Pallas decode attention pays off on the persistent (large
+        # S, low occupancy) cache — qwen2.decode_step docstring has numbers
+        cfg = engine.cfg
+        self.ragged = (jax.default_backend() == "tpu"
+                       and cfg.head_dim_ % 128 == 0 and self.S % 256 == 0
+                       and self.S >= 2048)
 
         self._queue: list[_Request] = []
         self._cv = threading.Condition()
@@ -148,11 +154,12 @@ class ContinuousEngine:
         eng = self.engine
         cfg = eng.cfg
         B, S = self.B, self.S
+        # decode cache layout (L, B, nkv, S, dh) — qwen2.decode_step
         self._state = dict(
-            ck=jnp.zeros((cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
-                          cfg.head_dim_), cfg.dtype),
-            cv=jnp.zeros((cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
-                          cfg.head_dim_), cfg.dtype),
+            ck=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
+                          S, cfg.head_dim_), cfg.dtype),
+            cv=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
+                          S, cfg.head_dim_), cfg.dtype),
             presence=jnp.zeros((B, cfg.vocab_size), jnp.int8),
             last_logits=jnp.zeros((B, cfg.vocab_size), jnp.float32),
             lens=np.zeros((B,), np.int32),
@@ -253,7 +260,7 @@ class ContinuousEngine:
             jnp.asarray(st["temp"]), jnp.asarray(st["top_k"]),
             jnp.asarray(st["top_p"]), jnp.asarray(st["min_p"]),
             jnp.asarray(st["rep_pen"]),
-            T=self.chunk, static_top_k=static_top_k,
+            T=self.chunk, static_top_k=static_top_k, ragged=self.ragged,
         )
         toks_d, lps_d, fin_d, (st["ck"], st["cv"]), st["presence"], pos_d, \
             slot_d, em_d, st["last_logits"], hs_d = out
@@ -371,8 +378,9 @@ class ContinuousEngine:
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _install_rows(ck_big, cv_big, ck_g, cv_g, group_of, rows):
-    """Copy admitted rows' prefilled KV (group cache, (L,P,S,..)) into the
-    persistent batch cache at their allocated row indices (one scatter)."""
-    ck_big = ck_big.at[:, rows].set(ck_g[:, group_of])
-    cv_big = cv_big.at[:, rows].set(cv_g[:, group_of])
+    """Copy admitted rows' prefilled KV (group cache, prefill layout
+    (L,P,S,nkv,dh)) into the persistent batch cache (decode layout
+    (L,B,nkv,S,dh)) at their allocated row indices (one scatter)."""
+    ck_big = ck_big.at[:, rows].set(jnp.transpose(ck_g, (0, 1, 3, 2, 4))[:, group_of])
+    cv_big = cv_big.at[:, rows].set(jnp.transpose(cv_g, (0, 1, 3, 2, 4))[:, group_of])
     return ck_big, cv_big

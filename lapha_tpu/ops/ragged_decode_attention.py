@@ -1,0 +1,178 @@
+"""Pallas ragged decode attention: read only each row's VALID cache slots.
+
+The engine's decode attention (qwen2.decode_step) is HBM-bound at long
+contexts: the dense path reads the full (S, dh) K/V panels per (row,
+kv-head) and masks — at S=4096, B=48, 1.5B that is 5.6 GB/step, more than
+the weight reads. Rows are ragged (prompt len << S early in decode), so
+most of that traffic is masked-out garbage.
+
+This kernel DMAs only the chunks intersecting each row's valid ranges:
+
+  valid(b, j) = j < lens[b]  OR  dstart[b] <= j <= slot
+
+(the engine's slot-uniform layout: [0, lens[b]) is the row's prompt,
+[dstart[b], slot] its decode columns; dstart >= lens always, so the two
+ranges never overlap). Grid (B, nkv); per program the GQA query group
+(nh/nkv rows, padded to 8 sublanes) lives in VMEM with f32 online-softmax
+accumulators while K/V chunks stream HBM->VMEM double-buffered
+(pltpu.make_async_copy), chunk count = ceil(lens/bk) + the decode-range
+chunks — NOT S/bk.
+
+The kernel takes the FULL stacked (L, B, nkv, S, dh) caches plus the layer
+index as a scalar-prefetch arg: inside the engine's unrolled decode loop a
+per-layer ``cache[l]`` slice (or any reshape) would materialize an 88 MB
+copy per layer-step as the pallas operand — exactly the traffic the kernel
+exists to avoid. The (.., nkv, S, dh) axis order keeps the DMA'd (bk, dh)
+windows tile-aligned (slicing an nkv-minor axis of extent 2 to 1 violates
+the (2,128) bf16 tile) and makes each (l, b, h) panel contiguous.
+
+Reference capability replaced: vLLM's paged attention (SURVEY §2.4) — same
+goal (decode attention reads scale with actual sequence length, not
+allocated capacity), TPU-shaped realization (ranged DMA over a dense cache
+instead of page tables; the slot-uniform layout already gives contiguity).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_GPAD = 8  # query-group rows padded to the f32 sublane tile
+
+
+def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
+            o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    G = q_ref.shape[2]
+    dh = q_ref.shape[3]
+
+    n1 = lens_ref[b]          # prompt range [0, n1)
+    d0 = dstart_ref[b]        # decode range [d0, sl]
+    sl = slot_ref[0]
+    l = layer_ref[0]
+
+    nc1 = pl.cdiv(n1, block_k)                # prompt chunks
+    c2_lo = d0 // block_k                     # first decode chunk
+    nc2 = pl.cdiv(sl + 1, block_k) - c2_lo    # decode chunks (sl >= d0)
+    n_chunks = nc1 + nc2
+
+    def chunk_of(i):
+        return jnp.where(i < nc1, i, c2_lo + (i - nc1))
+
+    def start_dma(buf, i):
+        c = chunk_of(i)
+        pltpu.make_async_copy(
+            k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+            k_scr.at[buf], sem.at[buf, 0]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+            v_scr.at[buf], sem.at[buf, 1]).start()
+
+    def wait_dma(buf, i):
+        c = chunk_of(i)
+        pltpu.make_async_copy(
+            k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+            k_scr.at[buf], sem.at[buf, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+            v_scr.at[buf], sem.at[buf, 1]).wait()
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, dh)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_dma(0, 0)
+
+    def body(i, carry):
+        m, lacc, acc = carry
+        buf = i % 2
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            start_dma((i + 1) % 2, i + 1)
+
+        wait_dma(buf, i)
+        k = k_scr[buf].astype(jnp.float32)  # (bk, dh)
+        v = v_scr[buf].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (G, bk)
+        c = chunk_of(i)
+        k_pos = c * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
+        valid = (k_pos < n1) | ((k_pos >= d0) & (k_pos <= sl))
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = lacc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    a0 = jnp.zeros((G, dh), jnp.float32)
+    m, lacc, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    o_ref[0, 0] = (acc / jnp.maximum(lacc, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def ragged_decode_attention(
+    q: jax.Array,        # (B, nh, dh) current-token queries
+    k_cache: jax.Array,  # (L, B, nkv, S, dh) — full stacked decode cache
+    v_cache: jax.Array,
+    layer: jax.Array,    # scalar — which layer's panels to read
+    lens: jax.Array,     # (B,) prompt lengths
+    dstart: jax.Array,   # (B,) first decode column (>= lens everywhere)
+    slot: jax.Array,     # scalar — latest written column (inclusive)
+    *,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, nh, dh) in q.dtype. Cache slots outside
+    [0, lens[b]) ∪ [dstart[b], slot] are never read (ragged HBM savings)."""
+    B, nh, dh = q.shape
+    S = k_cache.shape[3]
+    nkv = k_cache.shape[2]
+    group = nh // nkv
+    scale = 1.0 / math.sqrt(dh)
+    bk = min(block_k, S)
+    assert S % bk == 0, (S, bk)
+
+    qg = q.reshape(B, nkv, group, dh)
+    if group < _GPAD:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, _GPAD - group), (0, 0)))
+    G = qg.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, dh), k_cache.dtype),
+            pltpu.VMEM((2, bk, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_k=bk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, G, dh), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lens.astype(jnp.int32), dstart.astype(jnp.int32),
+      jnp.asarray(slot, jnp.int32).reshape(1),
+      jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache)
+
+    return out[:, :, :group].reshape(B, nh, dh)

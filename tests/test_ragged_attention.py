@@ -1,0 +1,57 @@
+"""Ragged decode-attention kernel vs dense reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapha_tpu.ops.ragged_decode_attention import ragged_decode_attention
+
+
+def dense_ref(q, k, v, lens, dstart, slot):
+    """k/v: (B, nkv, S, dh) single-layer panels."""
+    B, nh, dh = q.shape
+    nkv, S = k.shape[1], k.shape[2]
+    ar = np.arange(S)[None, :]
+    valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))
+    qg = np.asarray(q, np.float32).reshape(B, nkv, nh // nkv, dh)
+    s = np.einsum("bkgd,bksd->bkgs", qg, np.asarray(k, np.float32)) / np.sqrt(dh)
+    s = np.where(valid[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bkgs,bksd->bkgd", p, np.asarray(v, np.float32)).reshape(B, nh, dh)
+
+
+@pytest.mark.parametrize("nh,nkv,dh,bk", [(12, 2, 64, 64), (8, 8, 32, 32), (28, 4, 64, 64)])
+def test_ragged_matches_dense(nh, nkv, dh, bk):
+    rng = np.random.default_rng(1)
+    B, S, L = 4, 256, 3
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([37, 120, 64, 5], jnp.int32)
+    dstart = jnp.asarray([128, 128, 160, 128], jnp.int32)  # per-row admission
+    slot = jnp.asarray(173, jnp.int32)
+    for layer in (0, 2):
+        out = ragged_decode_attention(q, k, v, layer, lens, dstart, slot,
+                                      block_k=bk, interpret=True)
+        ref = dense_ref(q, np.asarray(k)[layer], np.asarray(v)[layer],
+                        np.asarray(lens), np.asarray(dstart), 173)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ragged_first_decode_column():
+    """slot == dstart (first decode step): exactly one decode slot valid."""
+    rng = np.random.default_rng(2)
+    B, S, nh, nkv, dh = 2, 128, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([10, 33], jnp.int32)
+    dstart = jnp.full((B,), 64, jnp.int32)
+    slot = jnp.asarray(64, jnp.int32)
+    out = ragged_decode_attention(q, k, v, 0, lens, dstart, slot, block_k=32,
+                                  interpret=True)
+    ref = dense_ref(q, np.asarray(k)[0], np.asarray(v)[0],
+                    np.asarray(lens), np.asarray(dstart), 64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
