@@ -95,6 +95,10 @@ class MTPOConfig:
     beta: float = 0.0                         # ref-KL weight
     scale_rewards: Any = "group"              # none | batch | group (or bool)
     num_groups: int = 8
+    # PPO epochs per rollout batch (μ). The reference defines this knob
+    # (mtpo_config.py:522) but its trainer hard-codes the on-policy detach;
+    # here >1 caches old logps before the first update so the clip is live.
+    num_iterations: int = 1
 
     # ---- adaptive fmt bonus (reward shaping) ----
     adaptive_fmt_bonus: bool = True
@@ -150,6 +154,8 @@ class MTPOConfig:
             raise ValueError(f"unknown loss_type {self.loss_type!r}")
         if self.importance_sampling_level not in ("token", "sequence"):
             raise ValueError(f"unknown importance_sampling_level {self.importance_sampling_level!r}")
+        if self.num_iterations < 1:
+            raise ValueError("num_iterations must be >= 1")
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "MTPOConfig":

@@ -9,9 +9,13 @@ MSE 2171-2306, GRPO 2311-2412, total 2417-2446) — redesigned TPU-first:
   single padded batch and the whole step (LM forward + logps + pooling +
   value head + both losses + grads) is ONE jitted function over the mesh,
 - advantages/groups are host-computed constants (pure bookkeeping),
-- on-policy single-update semantics: old logps = stop_gradient(new), so the
-  PPO ratio is identically 1 and the clip is inert, exactly like the
-  reference's detach (2314-2316) — kept for future multi-epoch updates.
+- multi-epoch PPO (`num_iterations` > 1): the loss accepts cached
+  ``old_logps`` from before the first update, making the PPO ratio and clip
+  live on later iterations. Default (None) reproduces the reference's
+  on-policy single-update semantics exactly: old = stop_gradient(new), the
+  ratio is identically 1 and the clip inert (mtpo_trainer.py:2370 detach —
+  the reference DEFINES the num_iterations knob, mtpo_config.py:522, but
+  its trainer never uses it; here it is functional).
 """
 
 from __future__ import annotations
@@ -159,6 +163,7 @@ def loss_and_metrics(
     remat: bool = True,
     attn_impl: str | None = None,
     ref_logps: jax.Array | None = None,
+    old_logps: jax.Array | None = None,
 ):
     """Differentiable total loss over a packed batch.
 
@@ -186,7 +191,10 @@ def loss_and_metrics(
 
     # ---- policy loss (GRPO family) ----
     A = batch["advantages"].astype(jnp.float32)[:, None]
-    old = jax.lax.stop_gradient(per_token_logps)
+    if old_logps is None:
+        old = jax.lax.stop_gradient(per_token_logps)  # on-policy: ratio == 1
+    else:
+        old = jax.lax.stop_gradient(old_logps * token_mask)
     log_ratio = per_token_logps - old
     if importance_level == "sequence":
         denom_len = jnp.maximum(token_mask.sum(-1), 1.0)
@@ -244,14 +252,15 @@ def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict
     extra_grads)."""
 
     def step(params, head, opt_state, batch, ref_logps=None, extra_grads=None,
-             value_w_override=None):
+             value_w_override=None, old_logps=None):
         kw = dict(loss_kwargs)
         if value_w_override is not None:
             kw["value_w"] = value_w_override
 
         def lfn(ph):
             return loss_and_metrics(ph[0], ph[1], batch, model_cfg,
-                                    ref_logps=ref_logps, **kw)
+                                    ref_logps=ref_logps, old_logps=old_logps,
+                                    **kw)
 
         (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)((params, head))
         if extra_grads is not None:
@@ -305,8 +314,10 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
 
 @partial(jax.jit, static_argnames=("model_cfg", "temperature"))
 def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: float):
-    """Frozen-reference per-token logps for the KL penalty (jitted; the
-    config is hashable because Qwen2Config is a frozen dataclass)."""
+    """Frozen per-token logps under the GIVEN params: the KL penalty's
+    reference term (beta > 0), and the cached old-policy logps for
+    multi-epoch PPO (num_iterations > 1). Jitted; the config is hashable
+    because Qwen2Config is a frozen dataclass."""
     ids, attn = batch["ids"], batch["attn"]
     logits, _, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn)
     # (no grad flows through the reference forward; flash is fine there)

@@ -553,10 +553,22 @@ class MTPOTrainer:
                                        self.global_step)
 
         t1 = time.perf_counter()
+        # multi-epoch PPO (num_iterations > 1): cache the pre-update policy
+        # logps once so later iterations' PPO ratio/clip are live. The
+        # reference defines this knob but hard-codes the on-policy detach
+        # (mtpo_trainer.py:2370); iteration 1 with old_logps is identical to
+        # on-policy (ratio == 1), so num_iterations=1 skips the extra pass.
+        old_logps = None
+        if self.args.num_iterations > 1:
+            with self.mesh:
+                old_logps = losses.ref_logps_fn(self.params, batch, self.model_cfg,
+                                                self.args.temperature)
         with self.mesh:
-            self.params, self.head, self.opt_state, step_metrics = self._update(
-                self.params, self.head, self.opt_state, batch, ref_logps,
-                extra_grads, value_w_override=value_w_override)
+            for _it in range(max(1, self.args.num_iterations)):
+                self.params, self.head, self.opt_state, step_metrics = self._update(
+                    self.params, self.head, self.opt_state, batch, ref_logps,
+                    extra_grads, value_w_override=value_w_override,
+                    old_logps=old_logps)
         step_metrics = {k: float(v) for k, v in step_metrics.items()}
         metrics.update(step_metrics, update_s=time.perf_counter() - t1)
 

@@ -429,3 +429,84 @@ def test_gradient_accumulation_multisteps():
     assert d1 == 0.0, "params must not move on the first accumulation step"
     assert d3 == d2, "params must not move mid-accumulation"
     assert d4 > 0.0, "params must move at the second optimizer application"
+
+
+def test_multi_epoch_ppo_clip_live():
+    """num_iterations>1: with cached old_logps the PPO ratio departs from 1
+    on the second epoch (the clip is live), and the update stays finite.
+    The reference defines the knob but never uses it (mtpo_config.py:522
+    vs mtpo_trainer.py:2370 detach); here it is functional."""
+    cfg = Qwen2Config.tiny(vocab_size=512)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+
+    rng_l = np.random.default_rng(3)
+    samples = [dict(prompt_ids=rng_l.integers(2, cfg.vocab_size, 6).tolist(),
+                    completion_ids=rng_l.integers(2, cfg.vocab_size, 5).tolist())
+               for _ in range(4)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1, max_prompt_length=32,
+                                 pad_multiple=16, batch_multiple=1)
+    packed.pop("kept")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    Bb = packed["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng_l.normal(size=Bb).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng_l.uniform(size=Bb).astype(np.float32))
+
+    kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
+              importance_level="token", value_w=1.0, beta=0.0,
+              max_completion_length=8, remat=False)
+
+    old = losses.ref_logps_fn(params, batch, cfg, 1.0)
+
+    # epoch 1: old == current policy -> identical loss to on-policy
+    l_on, _ = losses.loss_and_metrics(params, head, batch, cfg, **kw)
+    l_e1, _ = losses.loss_and_metrics(params, head, batch, cfg, old_logps=old, **kw)
+    np.testing.assert_allclose(float(l_e1), float(l_on), rtol=1e-6)
+
+    # move the params (one sgd-ish nudge), then epoch 2 must differ from
+    # the on-policy loss at the SAME params (ratio != 1)
+    g = jax.grad(lambda ph: losses.loss_and_metrics(ph[0], ph[1], batch, cfg, **kw)[0])(
+        (params, head))
+    params2 = jax.tree.map(lambda p, gr: p - 0.05 * gr.astype(p.dtype), params, g[0])
+    l2_on, _ = losses.loss_and_metrics(params2, head, batch, cfg, **kw)
+    l2_e2, m2 = losses.loss_and_metrics(params2, head, batch, cfg, old_logps=old, **kw)
+    assert abs(float(l2_e2) - float(l2_on)) > 1e-6, "old_logps had no effect"
+    assert np.isfinite(float(l2_e2))
+
+
+def test_trainer_num_iterations_runs():
+    cfg = Qwen2Config.tiny(vocab_size=512)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-mi-test", depth=2, breadth=2, num_sim=2,
+        num_pos_sim=99, prune_per=100, num_groups=2, max_model_len=256,
+        max_prompt_length=128, max_completion_length=16,
+        per_device_train_batch_size=1, num_generations=2, save_steps=0,
+        bf16=False, gradient_checkpointing=False, mesh_model=1,
+        debug_print=False, num_iterations=2,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    trainer = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent],
+                          args=args, reward_fns=[lambda c, gt: 1.0],
+                          train_dataset=[], tokenizer=tok)
+    rng_l = np.random.default_rng(0)
+    samples = [dict(prompt_ids=rng_l.integers(2, cfg.vocab_size, 8).tolist(),
+                    completion_ids=rng_l.integers(2, cfg.vocab_size, 6).tolist())
+               for _ in range(4)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1,
+                                 max_prompt_length=64, pad_multiple=16,
+                                 batch_multiple=1)
+    packed.pop("kept")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    Bb = packed["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng_l.normal(size=Bb).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng_l.uniform(size=Bb).astype(np.float32))
+    old = losses.ref_logps_fn(trainer.params, batch, cfg, args.temperature)
+    with trainer.mesh:
+        for _ in range(args.num_iterations):
+            trainer.params, trainer.head, trainer.opt_state, m = trainer._update(
+                trainer.params, trainer.head, trainer.opt_state, batch, None,
+                None, old_logps=old)
+    assert np.isfinite(float(m["loss"]))
