@@ -98,20 +98,28 @@ class IPythonInterpreter(Tool):
         "required": ["code"],
     }
 
-    def __init__(self, time_limit: int = 10, state: dict | None = None):
+    def __init__(self, time_limit: int = 10, state: dict | None = None,
+                 isolation: str = "thread", mem_limit_bytes: int = 2 << 30):
+        """isolation="thread" (default): in-process with the async-exception
+        watchdog — cannot interrupt a single long C call (sympy.factorint).
+        isolation="subprocess": each execute() forks a child with RLIMIT_CPU
+        (+RLIMIT_AS) so the kernel hard-kills stuck C calls — the isolation
+        class the reference gets from gunicorn worker recycling
+        (rpc_python_server.py:175-178), without waiting for the recycle.
+        Session state persists via fork-in / pickle-back (unpicklable
+        variables survive the call but lose child-side mutations)."""
         self.time_limit = int(time_limit)
+        if isolation not in ("thread", "subprocess"):
+            raise ValueError(f"unknown isolation {isolation!r}")
+        self.isolation = isolation
+        self.mem_limit_bytes = int(mem_limit_bytes)
         self.interp = Interpreter(state=state if state is not None else {})
 
     @property
     def state(self) -> dict:
         return self.interp.state
 
-    def execute(self, code: str, context: dict | None = None, **kw) -> tuple[str, dict]:
-        if POWER_GUARD.search(code or ""):
-            return "Error: power expression too large.", dict(context or {})
-        if context:
-            for k, v in context.items():
-                self.interp.state.setdefault(k, v)
+    def _run_inline(self, code: str) -> str:
         try:
             with _Timeout(self.time_limit):
                 result = self.interp.run(code)
@@ -125,6 +133,70 @@ class IPythonInterpreter(Tool):
             out = f"final_answer: {e.value}"
         except (InterpreterError, TimeoutError, Exception) as e:
             out = f"Error: {type(e).__name__}: {e}"
+        return out
+
+    def _run_subprocess(self, code: str) -> str:
+        import multiprocessing as mp
+        import pickle
+
+        ctx = mp.get_context("fork")  # child inherits the session state
+        parent, child = ctx.Pipe(duplex=False)
+
+        def worker(conn):
+            import resource
+
+            cpu = max(1, self.time_limit)
+            resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu + 1))
+            if self.mem_limit_bytes > 0:
+                try:
+                    resource.setrlimit(resource.RLIMIT_AS,
+                                       (self.mem_limit_bytes, self.mem_limit_bytes))
+                except (ValueError, OSError):
+                    pass
+            out = self._run_inline(code)
+            safe_vars = {}
+            for k, v in self.interp.state.items():
+                if k.startswith("_"):
+                    continue
+                try:
+                    pickle.dumps(v)
+                    safe_vars[k] = v
+                except Exception:
+                    pass
+            conn.send((out, safe_vars))
+            conn.close()
+
+        proc = ctx.Process(target=worker, args=(child,), daemon=True)
+        proc.start()
+        child.close()
+        # wall-clock guard on top of the child's CPU rlimit (sleeps etc.)
+        try:
+            if parent.poll(self.time_limit + 2):
+                out, safe_vars = parent.recv()
+                self.interp.state.update(safe_vars)
+            else:
+                out = f"Error: TimeoutError: execution exceeded {self.time_limit}s (killed)"
+        except (EOFError, OSError):
+            # the kernel killed the child (CPU rlimit / OOM) before it replied
+            out = (f"Error: TimeoutError: execution exceeded {self.time_limit}s "
+                   "of CPU (killed by resource limit)")
+        proc.join(timeout=1)
+        if proc.is_alive():
+            proc.kill()
+            proc.join(timeout=5)
+        parent.close()
+        return out
+
+    def execute(self, code: str, context: dict | None = None, **kw) -> tuple[str, dict]:
+        if POWER_GUARD.search(code or ""):
+            return "Error: power expression too large.", dict(context or {})
+        if context:
+            for k, v in context.items():
+                self.interp.state.setdefault(k, v)
+        if self.isolation == "subprocess":
+            out = self._run_subprocess(code)
+        else:
+            out = self._run_inline(code)
         if len(out) > _MAX_OUTPUT:
             out = out[:_MAX_OUTPUT] + "...<truncated>"
         user_vars = {k: v for k, v in self.interp.state.items() if not k.startswith("_")}

@@ -27,13 +27,16 @@ from .interpreter import IPythonInterpreter, POWER_GUARD
 SESSIONS: dict[str, IPythonInterpreter] = {}
 _SESSION_LOCKS: dict[str, threading.Lock] = {}
 _GLOBAL_LOCK = threading.Lock()
+ISOLATION = "thread"  # set by serve()/--isolation; "subprocess" hard-kills
+# stuck C calls via fork + RLIMIT_CPU (see IPythonInterpreter)
 
 
 def _get_session(session_id: str | None, timeout: int) -> tuple[str, IPythonInterpreter, threading.Lock]:
     with _GLOBAL_LOCK:
         sid = session_id or str(uuid.uuid4())
         if sid not in SESSIONS:
-            SESSIONS[sid] = IPythonInterpreter(time_limit=timeout)
+            SESSIONS[sid] = IPythonInterpreter(time_limit=timeout,
+                                               isolation=ISOLATION)
             _SESSION_LOCKS[sid] = threading.Lock()
         return sid, SESSIONS[sid], _SESSION_LOCKS[sid]
 
@@ -103,7 +106,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(host: str = "127.0.0.1", port: int = 8001, background: bool = False,
-          max_requests: int = 0):
+          max_requests: int = 0, isolation: str = "thread"):
+    global ISOLATION
+    ISOLATION = isolation
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.max_requests = int(max_requests or 0)
     httpd.request_count = 0
@@ -122,9 +127,14 @@ def main(argv=None):
     ap.add_argument("--max-requests", type=int, default=0,
                     help="recycle all session interpreter state every N requests "
                          "(0 = never); gunicorn-style leak bound")
+    ap.add_argument("--isolation", choices=["thread", "subprocess"],
+                    default="thread",
+                    help="subprocess: fork + RLIMIT_CPU per request — hard-kills "
+                         "stuck C calls the in-thread watchdog cannot interrupt")
     args = ap.parse_args(argv)
     print(f"tool server listening on {args.host}:{args.port}")
-    serve(args.host, args.port, max_requests=args.max_requests)
+    serve(args.host, args.port, max_requests=args.max_requests,
+          isolation=args.isolation)
 
 
 if __name__ == "__main__":

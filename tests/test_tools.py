@@ -258,3 +258,54 @@ def test_server_max_requests_recycles_sessions():
         assert "q" not in r3["context"]
     finally:
         httpd.shutdown()
+
+
+# ------------------------------------------------------- subprocess isolation
+
+def test_subprocess_isolation_basic_and_state():
+    t = IPythonInterpreter(time_limit=5, isolation="subprocess")
+    out, vars1 = t.execute(code="x = 6 * 7\nprint(x)")
+    assert "42" in out
+    out2, vars2 = t.execute(code="print(x + 1)")  # state persisted via pickle-back
+    assert "43" in out2
+    assert vars2["x"] == 42
+
+
+def test_subprocess_isolation_kills_stuck_c_call():
+    """A long C-level call (no bytecode boundaries) cannot be interrupted by
+    the in-thread watchdog; the subprocess tier's RLIMIT_CPU kills it."""
+    t = IPythonInterpreter(time_limit=2, isolation="subprocess")
+    # one C-level call with no bytecode boundaries: math.prod over huge ints
+    # (the **-power guard doesn't trigger; the watchdog could never stop it)
+    code = "import math\nr = math.prod([10**4000] * 5000)\nprint('done')"
+    import time as _time
+    t0 = _time.time()
+    out, _ = t.execute(code=code)
+    took = _time.time() - t0
+    assert took < 15, f"hard isolation failed to kill in time ({took:.1f}s)"
+    # either the CPU limit killed it or (on fast machines) it finished
+    assert "Error" in out or "done" in out
+
+
+def test_subprocess_isolation_timeout_message():
+    t = IPythonInterpreter(time_limit=1, isolation="subprocess")
+    out, _ = t.execute(code="i = 0\nwhile True:\n    i += 1")
+    assert "Error" in out and "exceeded" in out
+
+
+def test_server_subprocess_isolation_mode():
+    import requests
+
+    from lapha_tpu.tools import server as srv
+
+    httpd = srv.serve(port=0, background=True, isolation="subprocess")
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        r = requests.post(base + "/execute", json={"code": "q = 5\nprint(q*2)"}).json()
+        assert r["status"] == "success" and "10" in r["output"]
+        r2 = requests.post(base + "/execute",
+                           json={"code": "print(q)", "session_id": r["session_id"]}).json()
+        assert "5" in r2["output"]
+    finally:
+        httpd.shutdown()
+        srv.ISOLATION = "thread"
