@@ -282,6 +282,7 @@ def forward(
     kv_valid: jax.Array | None = None,
     remat: bool = False,
     return_hidden: bool = False,
+    compute_logits: bool = True,
 ):
     """Full forward pass.
 
@@ -334,6 +335,11 @@ def forward(
         new_cache = (nk, nv)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    if not compute_logits:
+        # training losses compute selective logps from the hidden states in
+        # sequence chunks (losses._selective_logps_chunked) — materializing
+        # the full (B, L, V) f32 logits is 20 GB at B=8, L=4k, V=152k
+        return None, (x if return_hidden else None), new_cache
     head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
     if is_quantized(head_w):
         # fold the per-H scales into x, keep the big operand int8

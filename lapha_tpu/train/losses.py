@@ -144,6 +144,52 @@ def _selective_logps(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
 
 
+def _head_weight(params: dict, model_cfg) -> jax.Array:
+    return (params["embed"]["weight"] if model_cfg.tie_word_embeddings
+            else params["lm_head"]["weight"])
+
+
+def _selective_logps_chunked(params, model_cfg, hidden, targets, temperature,
+                             chunk: int = 1024) -> jax.Array:
+    """log p(targets | hidden) WITHOUT materializing (B, L, V) logits.
+
+    hidden (B, L, H) post-final-norm; targets (B, L). Scans the sequence in
+    chunks: each iteration computes only a (B, chunk, V) logits block, and
+    jax.checkpoint recomputes it in the backward — peak logits memory drops
+    from B*L*V*4 (20 GB at B=8, L=4k, V=152k) to B*chunk*V*4. This is the
+    TPU replacement for the reference's micro_bs=1 per-sample forward loop
+    (mtpo_trainer.py:1961-2046), keeping one jitted mesh step.
+    """
+    from ..models.quant import is_quantized
+
+    B, L, H = hidden.shape
+    w = _head_weight(params, model_cfg)
+    t = temperature if temperature > 0 else 1.0
+    Lc = -(-L // chunk) * chunk
+    if Lc != L:
+        hidden = jnp.pad(hidden, ((0, 0), (0, Lc - L), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, Lc - L)))
+    n = Lc // chunk
+    h_c = hidden.reshape(B, n, chunk, H).transpose(1, 0, 2, 3)   # (n, B, c, H)
+    t_c = targets.reshape(B, n, chunk).transpose(1, 0, 2)        # (n, B, c)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hc, tc = xs
+        if is_quantized(w):
+            xs_ = hc * w["s"][0].astype(hc.dtype)
+            logits = jnp.einsum("bth,vh->btv", xs_, w["q"].astype(hc.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.einsum("bth,vh->btv", hc, w,
+                                preferred_element_type=jnp.float32)
+        lp = _selective_logps(logits / t, tc)
+        return carry, lp
+
+    _, lps = jax.lax.scan(body, None, (h_c, t_c))
+    return lps.transpose(1, 0, 2).reshape(B, Lc)[:, :L]
+
+
 def loss_and_metrics(
     params: Any,
     head: dict,
@@ -162,6 +208,7 @@ def loss_and_metrics(
     value_activation: str = "sigmoid",
     remat: bool = True,
     attn_impl: str | None = None,
+    logits_chunk: int = 1024,
     ref_logps: jax.Array | None = None,
     old_logps: jax.Array | None = None,
 ):
@@ -180,11 +227,13 @@ def loss_and_metrics(
 
     train_cfg = (_dc.replace(model_cfg, attn_impl=attn_impl)
                  if attn_impl else model_cfg)
-    logits, hidden, _ = qwen2.forward(
-        params, train_cfg, ids, attention_mask=attn, remat=remat, return_hidden=True
+    _, hidden, _ = qwen2.forward(
+        params, train_cfg, ids, attention_mask=attn, remat=remat,
+        return_hidden=True, compute_logits=False,
     )
-    t = temperature if temperature > 0 else 1.0
-    logps_all = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])  # (B, L-1)
+    logps_all = _selective_logps_chunked(
+        params, model_cfg, hidden[:, :-1, :], ids[:, 1:], temperature,
+        chunk=logits_chunk)  # (B, L-1)
     # token at position j is predicted from j-1 → completion token mask shifts by 1
     token_mask = comp_mask[:, 1:] * valid[:, None]
     per_token_logps = logps_all * token_mask
@@ -297,7 +346,8 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
             p, h = ph
             _, hidden, _ = qwen2.forward(p, cfg, batch["ids"],
                                          attention_mask=batch["attn"],
-                                         remat=remat, return_hidden=True)
+                                         remat=remat, return_hidden=True,
+                                         compute_logits=False)
             pm = pool_mask(batch["attn"], batch["resp_mask"], batch["prompt_mask"])
             h0 = masked_mean(hidden, pm)
             v_pred = value_head_apply(h0, h["w"], h["b"], activation=value_activation)
@@ -319,9 +369,9 @@ def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: f
     multi-epoch PPO (num_iterations > 1). Jitted; the config is hashable
     because Qwen2Config is a frozen dataclass."""
     ids, attn = batch["ids"], batch["attn"]
-    logits, _, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn)
-    # (no grad flows through the reference forward; flash is fine there)
-    t = temperature if temperature > 0 else 1.0
-    logps = _selective_logps(logits[:, :-1, :] / t, ids[:, 1:])
+    _, hidden, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn,
+                                 return_hidden=True, compute_logits=False)
+    logps = _selective_logps_chunked(ref_params, model_cfg, hidden[:, :-1, :],
+                                     ids[:, 1:], temperature)
     token_mask = batch["comp_mask"].astype(jnp.float32)[:, 1:]
     return jax.lax.stop_gradient(logps * token_mask)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Training-step throughput: flash vs dense attention at long context.
+
+One GRPO+value update (losses.make_update_fn) on a Qwen2.5-1.5B-architecture
+model with random weights, packed batch of B rows of (prompt_len +
+completion_len) tokens. Env knobs: NL (layers, 28), BB (batch, 8),
+LP (prompt len, 3072), LC (completion len, 1024), OPT (adamw|sgd),
+ATTN (pallas|dense).
+
+Measured on 1x v5e (see BASELINE.md): at 4k context the 28-layer model
+trains with ATTN=pallas at ~4.4k tok/s and does not compile with dense
+(attention temporaries exceed HBM); full-Adam moments for 1.5B need the
+FSDP mesh (the reference needs ZeRO-3 across 6 GPUs for the same reason) —
+OPT=sgd isolates attention cost on one chip.
+"""
+import os
+import sys
+import time
+
+import lapha_tpu
+
+lapha_tpu.enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lapha_tpu.models import Qwen2Config, qwen2, value_model
+from lapha_tpu.parallel import make_mesh, shard_params
+from lapha_tpu.train import losses
+
+
+def main():
+    impl = (sys.argv[1] if len(sys.argv) > 1 else None) or os.getenv("ATTN", "pallas")
+    cfg = Qwen2Config(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_hidden_layers=int(os.getenv("NL", "28")), num_attention_heads=12,
+        num_key_value_heads=2, max_position_embeddings=8192, rope_theta=1e6,
+        dtype=jnp.bfloat16)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    mesh = make_mesh(None, 1)
+    params = shard_params(params, mesh)
+    if os.getenv("OPT", "adamw") == "sgd":
+        optimizer = optax.sgd(1e-6)
+    else:
+        optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-6))
+
+    rng = np.random.default_rng(0)
+    B = int(os.getenv("BB", "8"))
+    Lp, Lc = int(os.getenv("LP", "3072")), int(os.getenv("LC", "1024"))
+    samples = [dict(prompt_ids=rng.integers(2, cfg.vocab_size, Lp).tolist(),
+                    completion_ids=rng.integers(2, cfg.vocab_size, Lc).tolist())
+               for _ in range(B)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1, max_prompt_length=Lp,
+                                 pad_multiple=128, batch_multiple=1)
+    packed.pop("kept")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    Bb = batch["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng.normal(size=Bb).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng.uniform(size=Bb).astype(np.float32))
+
+    update = losses.make_update_fn(cfg, optimizer, loss_kwargs=dict(
+        temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
+        importance_level="token", value_w=1.0, beta=0.0,
+        max_completion_length=Lc, remat=True, attn_impl=impl))
+    o = optimizer.init((params, head))
+    with mesh:
+        p, h, o, m = update(params, head, o, batch, None)
+    print("first loss", float(np.asarray(m["loss"])), flush=True)
+    t0 = time.time()
+    with mesh:
+        for _ in range(3):
+            p, h, o, m = update(p, h, o, batch, None)
+    loss = float(np.asarray(m["loss"]))
+    dt = (time.time() - t0) / 3
+    ntok = int(np.asarray(batch["attn"]).sum())
+    print(f"{impl}: {dt:.2f}s/step ({ntok/dt:.0f} tok/s) loss={loss:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
