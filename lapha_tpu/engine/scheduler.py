@@ -17,9 +17,11 @@ persistent decode batch over the engine's slot-uniform KV cache:
   (that is what makes the KV write a single scalar-indexed
   dynamic_update_slice per layer). A request is admitted when (a) a row is
   free and (b) its token budget fits the remaining columns; when the batch
-  fully drains the cursor resets to the prompt-slab boundary. Requests too
-  big for the remaining columns wait for the drain (v1: no mid-wave KV
-  compaction);
+  fully drains the cursor resets to the prompt-slab boundary. When column
+  space (not rows) blocks an admission, the scheduler COMPACTS: each active
+  row's decode tokens fold into its contiguous prefix with one gather over
+  the cache (K/V vectors carry their RoPE; only set-validity matters), the
+  cursor drops to max(slab, max row occupancy), and admission retries;
 - sampling is per-row vectorized (temperature/top_p/min_p/rep_pen);
   admission batches sharing the engine instance also share its prefix-KV
   store, so MCTS-style prefix reuse composes with continuous batching.
@@ -326,6 +328,40 @@ class ContinuousEngine:
             req.future.set_result(RequestOutput(
                 outputs=outs, prompt=req.prompt, prompt_token_ids=list(req.enc)))
 
+    def _compact(self) -> bool:
+        """Reclaim decode columns: fold each active row's decode tokens
+        [dstart_r, col) into its contiguous prefix ([0, len_r + n_r)) with
+        one per-row gather over the cache, then reset the column cursor to
+        max(slab, max(len_r + n_r)). Attention only needs the K/V vectors
+        (RoPE is baked in at write time) plus set-validity, so slots can be
+        relocated freely. Returns True if columns were actually freed."""
+        st = self._state
+        if not self._rows:
+            return False
+        col = st["col"]
+        new_lens = {}
+        hi = self.slab
+        for r in self._rows:
+            n_r = col - int(st["dstart"][r])
+            new_lens[r] = int(st["lens"][r]) + n_r
+            hi = max(hi, new_lens[r])
+        if hi >= col:
+            return False  # nothing to gain
+        idx = np.tile(np.arange(self.S, dtype=np.int32), (self.B, 1))
+        for r in self._rows:
+            L0 = int(st["lens"][r])
+            d0 = int(st["dstart"][r])
+            n_r = col - d0
+            if n_r > 0:
+                idx[r, L0:L0 + n_r] = np.arange(d0, col, dtype=np.int32)
+        st["ck"], st["cv"] = _gather_columns(st["ck"], st["cv"], jnp.asarray(idx))
+        for r in self._rows:
+            st["lens"][r] = new_lens[r]
+            st["dstart"][r] = hi
+        st["col"] = hi
+        self.compactions = getattr(self, "compactions", 0) + 1
+        return True
+
     def _loop(self):
         while True:
             with self._cv:
@@ -343,17 +379,26 @@ class ContinuousEngine:
                     return
                 if self._state is None:
                     self._init_state()
-                admit = []
-                rest = []
-                for req in self._queue:
-                    if self._admissible(req) and not admit:
-                        # one admission group per boundary keeps prefill
-                        # shapes bucketed; grab every admissible request
-                        admit.append(req)
-                    elif admit and self._admissible_with(req, admit):
-                        admit.append(req)
-                    else:
-                        rest.append(req)
+
+                def pick_admissible():
+                    admit, rest = [], []
+                    for req in self._queue:
+                        if self._admissible(req) and not admit:
+                            # one admission group per boundary keeps prefill
+                            # shapes bucketed; grab every admissible request
+                            admit.append(req)
+                        elif admit and self._admissible_with(req, admit):
+                            admit.append(req)
+                        else:
+                            rest.append(req)
+                    return admit, rest
+
+                admit, rest = pick_admissible()
+                if (not admit and self._queue and self._rows
+                        and self.slots.available() > 0):
+                    # column space (not rows) is the blocker: compact and retry
+                    if self._compact():
+                        admit, rest = pick_admissible()
                 self._queue = rest
             try:
                 if admit:
@@ -374,6 +419,16 @@ class ContinuousEngine:
         budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
                      self.S - self.slab)
         return self._state["col"] + budget <= self.S
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _gather_columns(ck, cv, idx):
+    """Per-row column relocation for compaction: idx (B, S) maps new slot j
+    of row b to old slot idx[b, j]; applied to both stacked caches."""
+    ix = idx[None, :, None, :, None]
+    ck = jnp.take_along_axis(ck, jnp.broadcast_to(ix, ck.shape), axis=3)
+    cv = jnp.take_along_axis(cv, jnp.broadcast_to(ix, cv.shape), axis=3)
+    return ck, cv
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -84,3 +84,37 @@ def test_many_concurrent_requests(setup):
     futs = [ce.submit(f"prompt number {i} with some words", sp) for i in range(20)]
     outs = [f.result(timeout=300) for f in futs]
     assert all(len(o.outputs[0].token_ids) == 5 for o in outs)
+
+
+def test_compaction_reclaims_columns():
+    """When column space blocks an admission, compaction folds active rows'
+    decode tokens into their prefixes and the request admits mid-wave
+    instead of waiting for the drain — greedy outputs stay exact."""
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(5))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=96, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    # slab 32 -> only 64 decode columns; A consumes 40 of them
+    ce = ContinuousEngine(eng, prompt_slab=32, chunk=4)
+    ce.start()
+    try:
+        spA = SamplingParams(n=1, temperature=0.0, max_tokens=60)
+        spB = SamplingParams(n=1, temperature=0.0, max_tokens=40)
+        futA = ce.submit("long A", spA)
+        t0 = time.time()
+        # let A burn >24 columns so B (40 cols) no longer fits: col > 56
+        while ce.steps_executed < 30 and time.time() - t0 < 60:
+            time.sleep(0.01)
+        futB = ce.submit("short b", spB)  # col ~62: 62+40 > 96 -> compaction
+        outB = futB.result(timeout=120)
+        outA = futA.result(timeout=120)
+        assert len(outA.outputs[0].token_ids) == 60
+        assert len(outB.outputs[0].token_ids) == 40
+        assert getattr(ce, "compactions", 0) >= 1, "compaction never triggered"
+        # exactness: same greedy tokens as the sync engine
+        sp = SamplingParams(n=1, temperature=0.0, max_tokens=40)
+        ref = eng.generate(["short b"], sp)[0].outputs[0].token_ids
+        assert outB.outputs[0].token_ids == ref
+    finally:
+        ce.stop()
