@@ -244,3 +244,133 @@ def test_compute_action_rewards_differential(ref_trainer, tmp_path):
                     rs.get("v_target", 0.0), rel=1e-4, abs=1e-5), loc + " v_target"
                 assert os_.get("reward", 0.0) == pytest.approx(
                     rs.get("reward", 0.0), rel=1e-4, abs=1e-5), loc + " reward"
+
+
+# ------------------------------------------------------------- MCTS search
+
+def test_mcts_search_differential(ref_agent, tmp_path):
+    """Run the reference's ACTUAL MCTSAgent.search and ours on the same
+    scripted engine + deterministic value fn: the produced chains (tree
+    structure, priors, terminal flags, state values, visit stats) must
+    agree."""
+    import torch
+
+    from lapha_tpu.engine import FakeEngine, SamplingParams
+    from lapha_tpu.search import LatentBank, MCTSAgent
+    from lapha_tpu.search.value_fn import make_fake_value_fn
+
+    sys.path.insert(0, REF_PATH)
+    from trainer.latent_bank import LatentBank as RefBank
+    sys.path.remove(REF_PATH)
+
+    class ChatTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __init__(self):
+            self.vocab = {"<eos>": 1, "<pad>": 0}
+            self.words = {1: "<eos>", 0: "<pad>"}
+
+        def _id(self, w):
+            if w not in self.vocab:
+                i = len(self.vocab)
+                self.vocab[w] = i
+                self.words[i] = w
+            return self.vocab[w]
+
+        def __call__(self, text, add_special_tokens=True, return_tensors=None, **kw):
+            import re as _re
+
+            toks = _re.findall(r"\n|\S+", text)
+            ids = [self._id(w) for w in toks]
+            if return_tensors == "pt":
+                return {"input_ids": torch.tensor([ids], dtype=torch.long)}
+            return {"input_ids": ids}
+
+        def decode(self, ids, skip_special_tokens=True, **kw):
+            ids = [int(i) for i in ids]
+            words = [self.words.get(i, "?") for i in ids
+                     if not (skip_special_tokens and i in (0, 1))]
+            out = []
+            for w in words:
+                if w == "\n":
+                    out.append("\n")
+                else:
+                    if out and out[-1] != "\n":
+                        out.append(" ")
+                    out.append(w)
+            return "".join(out)
+
+        def apply_chat_template(self, conversation, tools=None, tokenize=False,
+                                add_generation_prompt=True, **kw):
+            parts = [f"<|{m['role']}|> {m.get('content','')}" for m in conversation]
+            if add_generation_prompt:
+                parts.append("<|assistant|>")
+            return "\n".join(parts) + "\n"
+
+    script = [
+        (r"STEP-3", ["finishing </think> <answer>4</answer>",
+                     "wrong end </think> <answer>7</answer>"]),
+        (r"STEP-2", ["deeper reasoning </think> still going",
+                     "shortcut </think> <answer>4</answer>"]),
+        (r".", ["first step thinking </think> onwards",
+                "alternate opening </think> moving"]),
+    ]
+
+    np_vf = make_fake_value_fn(hidden_size=8, seed=3)
+
+    def torch_vf(input_ids, attention_mask, response_mask=None, prompt_mask=None,
+                 root_h0=None, return_h0=False):
+        rh = None if root_h0 is None else np.asarray(root_h0, np.float32)
+        out = np_vf(np.asarray(input_ids), np.asarray(attention_mask),
+                    root_h0=rh, return_h0=return_h0)
+        return tuple(torch.tensor(np.asarray(o)) for o in out)
+
+    class OurAgent(MCTSAgent):
+        TOOLS = {}
+        TOOLS_DESCRIPTION = ""
+        SYSTEM_TEMPLATE = "Solve in at most {step_limit} steps."
+        USER_TEMPLATE = "{support_material_str}\nQ: {question}"
+
+    class RefAgentSub(ref_agent.MCTSAgent):
+        TOOLS = {}
+        TOOLS_DESCRIPTION = None
+        SYSTEM_TEMPLATE = "Solve in at most {step_limit} steps."
+        USER_TEMPLATE = "{support_material_str}\nQ: {question}"
+
+    kw = dict(depth=3, breadth=2, output_dir=str(tmp_path),
+              max_model_len=2048, c_puct=1.0, v_prior=0.0, value_trust=1.0,
+              num_sim=6, prune_per=100, max_expands=2, num_pos_sim=99,
+              passk_threshold=1.0)
+    reward = [lambda c, gt: 1.0 if f"<answer>{gt}</answer>" in c else 0.0]
+
+    # each agent gets its own tok shared with its engine (the incremental
+    # vocab assignment must see the same text order on both sides)
+    tok_a = ChatTok()
+    ours = OurAgent(tokenizer=tok_a, llm=FakeEngine(tok_a, script=script),
+                    sampling_params=SamplingParams(max_tokens=64),
+                    value_fn=np_vf, reward_fns=reward, hid_bank=LatentBank(),
+                    leaves_per_sim=1, **kw)
+    our_chains = ours.search(question="what is 2+2?", ground_truth="4")
+
+    tok_b = ChatTok()
+    ref = RefAgentSub(tokenizer=tok_b, llm=FakeEngine(tok_b, script=script),
+                      sampling_params=SamplingParams(max_tokens=64),
+                      value_fn=torch_vf, reward_fns=reward, **kw)
+    ref.hid_bank = RefBank(device="cpu", dtype=torch.float32,
+                           store_cpu_copy=True, normalize=False)
+    ref_chains = ref.search(question="what is 2+2?", ground_truth="4")
+
+    def summary(chains):
+        out = []
+        for ch in chains:
+            out.append(tuple(
+                (st["completion"], int(st["current_depth"]),
+                 round(float(st.get("p_prior", -1)), 5),
+                 round(float(st.get("v_pred", -1)), 5),
+                 round(float(st.get("state_value", -1)), 5),
+                 int(st.get("_N", -1)), round(float(st.get("_Q", -1)), 5))
+                for st in ch))
+        return sorted(out)
+
+    assert summary(our_chains) == summary(ref_chains)
