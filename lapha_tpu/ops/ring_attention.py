@@ -1,0 +1,121 @@
+"""Ring attention over a `sequence` mesh axis (context parallelism).
+
+The reference has NO sequence parallelism (SURVEY §5.7: it scales search
+breadth, not context, and left-truncates at max_model_len). This op is the
+TPU-native building block that lifts that ceiling: shard the sequence axis
+across devices, keep each device's queries local, and rotate K/V blocks
+around the ring with `jax.lax.ppermute` (ICI neighbor exchange) while
+online-softmax accumulators (m, l, acc) stay resident — attention memory
+per device is O(T/n · T/n) per block instead of O(T²), and the K/V volume
+crosses each link exactly once per step.
+
+Blockwise-attention formulation (Ring Attention, Liu et al. 2023), pure
+jnp inside `shard_map`, so XLA differentiates it — no bespoke backward.
+Causality is handled with GLOBAL positions: block j contributes a full,
+partial, or empty causal mask depending on its ring source index, and the
+NEG_INF + row-ok guards keep fully-masked rows finite (same guard
+structure as ops/flash_attention.py).
+
+Status: building block + parity tests (forward and grad vs dense on a
+virtual sequence mesh). Wiring into qwen2.forward requires running the
+whole model under shard_map with T sharded — future integration; the
+attention layer's (B, T, nh, dh) layout is already compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_attend(q, k, v, valid, m, l, acc, scale):
+    """One blockwise online-softmax update.
+
+    q (B, Tl, nh, dh); k/v (B, Tl, nkv, dh); valid (B, Tl, Tl) mask of
+    (query, key) pairs; carries m/l (B, nh, Tl, 1), acc (B, nh, Tl, dh).
+    """
+    B, Tl, nh, dh = q.shape
+    nkv = k.shape[2]
+    group = nh // nkv
+    qg = q.reshape(B, Tl, nkv, group, dh)
+    s = jnp.einsum("btkgd,bskd->bkgts", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale          # (B,nkv,g,Tl,Tl)
+    s = s.reshape(B, nh, Tl, Tl)
+    s = jnp.where(valid[:, None, :, :], s, NEG_INF)
+
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    # fully-masked-so-far rows: keep the carry finite
+    m_new = jnp.maximum(m_new, NEG_INF)
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(valid[:, None, :, :], p, 0.0)
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pg = p.reshape(B, nkv, group, Tl, Tl)
+    upd = jnp.einsum("bkgts,bskd->btkgd", pg, v.astype(jnp.float32))
+    acc_new = acc * alpha + upd.reshape(B, Tl, nh, dh).transpose(0, 2, 1, 3)
+    return m_new, l_new, acc_new
+
+
+def ring_attention(
+    q: jax.Array,       # (B, T, nh, dh) — T sharded over `axis`
+    k: jax.Array,       # (B, T, nkv, dh)
+    v: jax.Array,
+    mask: jax.Array,    # (B, T) key validity — T sharded over `axis`
+    mesh: Mesh,
+    axis: str = "sequence",
+    causal: bool = True,
+) -> jax.Array:
+    """Full-sequence causal attention with T sharded across `axis`.
+
+    Returns (B, T, nh, dh) sharded like q. Collectives: n-1 ppermute steps
+    of the local K/V block around the ring (each link carries each block
+    once — bandwidth-optimal for ICI)."""
+    from jax.experimental.shard_map import shard_map
+
+    B, T, nh, dh = q.shape
+    n = mesh.shape[axis]
+    assert T % n == 0, (T, n)
+    Tl = T // n
+    scale = 1.0 / math.sqrt(dh)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(q, k, v, mask):
+        # q (B, Tl, nh, dh) local; k/v/mask local blocks
+        idx = jax.lax.axis_index(axis)
+        q_pos = idx * Tl + jnp.arange(Tl)                      # global positions
+
+        def body(j, carry):
+            m, l, acc, kb, vb, maskb = carry
+            src = (idx - j) % n                                 # block's owner
+            k_pos = src * Tl + jnp.arange(Tl)
+            valid = maskb[:, None, :] > 0                       # (B, 1, Tl)
+            valid = jnp.broadcast_to(valid, (B, Tl, Tl))
+            if causal:
+                valid = valid & (k_pos[None, None, :] <= q_pos[None, :, None])
+            m, l, acc = _block_attend(q, kb, vb, valid, m, l, acc, scale)
+            kb = jax.lax.ppermute(kb, axis, perm)
+            vb = jax.lax.ppermute(vb, axis, perm)
+            maskb = jax.lax.ppermute(maskb, axis, perm)
+            return m, l, acc, kb, vb, maskb
+
+        # pvary: the accumulators become axis-varying after the first block
+        # (they depend on axis_index); the loop carry types must match
+        m0 = jax.lax.pvary(jnp.full((B, nh, Tl, 1), NEG_INF, jnp.float32), axis)
+        l0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, 1), jnp.float32), axis)
+        a0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, dh), jnp.float32), axis)
+        m, l, acc, *_ = jax.lax.fori_loop(0, n, body, (m0, l0, a0, k, v, mask))
+        out = acc / jnp.maximum(l, 1e-30)
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)        # (B, Tl, nh, dh)
+
+    spec_q = P(None, axis, None, None)
+    spec_m = P(None, axis)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec_q, spec_q, spec_q, spec_m),
+                   out_specs=spec_q)
+    return fn(q, k, v, mask)
