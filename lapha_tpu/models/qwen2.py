@@ -196,8 +196,13 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask):
     return _attend(q, k, v, mask, cfg)
 
 
-def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None):
-    """One decoder layer; scanned over the stacked layer axis."""
+def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
+                attend_fn=None):
+    """One decoder layer; scanned over the stacked layer axis.
+
+    ``attend_fn(q, k, v) -> att`` overrides the no-cache attention core —
+    used by models/qwen2_seq.forward_seq to substitute ring attention when
+    the layer runs inside a sequence-sharded shard_map."""
     x, cos, sin, mask, cache_k, cache_v, cache_pos = carry
     p = layer_params
     B, T, H = x.shape
@@ -229,7 +234,8 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None):
         att = _attend(q, new_k, new_v, mask, cfg)
     else:
         new_k = new_v = None
-        att = _dispatch_attend(cfg, q, k, v, mask, key_mask)
+        att = (attend_fn(q, k, v) if attend_fn is not None
+               else _dispatch_attend(cfg, q, k, v, mask, key_mask))
 
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
                      preferred_element_type=jnp.float32).astype(x.dtype)

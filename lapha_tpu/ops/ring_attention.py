@@ -16,10 +16,13 @@ partial, or empty causal mask depending on its ring source index, and the
 NEG_INF + row-ok guards keep fully-masked rows finite (same guard
 structure as ops/flash_attention.py).
 
-Status: building block + parity tests (forward and grad vs dense on a
-virtual sequence mesh). Wiring into qwen2.forward requires running the
-whole model under shard_map with T sharded — future integration; the
-attention layer's (B, T, nh, dh) layout is already compatible.
+Two entry points:
+- :func:`ring_attention` — standalone: wraps its own shard_map (tests,
+  single-op use).
+- :func:`ring_attend_local` — the per-device body, callable INSIDE an
+  existing shard_map whose mesh carries `axis`; this is what
+  models/qwen2_seq.forward_seq uses to run the whole decoder stack
+  sequence-parallel with one shard_map around all layers.
 """
 
 from __future__ import annotations
@@ -62,6 +65,60 @@ def _block_attend(q, k, v, valid, m, l, acc, scale):
     return m_new, l_new, acc_new
 
 
+def ring_attend_local(
+    q: jax.Array,       # (B, Tl, nh, dh) — LOCAL sequence block
+    k: jax.Array,       # (B, Tl, nkv, dh)
+    v: jax.Array,
+    mask: jax.Array,    # (B, Tl) local key-validity block
+    axis: str,
+    n: int,
+    causal: bool = True,
+    vary_axes: tuple[str, ...] | None = None,
+) -> jax.Array:
+    """Per-device ring attention body (call inside shard_map over `axis`).
+
+    Global causality is reconstructed from `jax.lax.axis_index(axis)`:
+    query slot = idx·Tl + t, key slot = src·Tl + s where src is the ring
+    source of the block currently held. Returns the local (B, Tl, nh, dh)
+    output block. Collectives: n-1 ppermute steps of the K/V block around
+    the ring (each link carries each block once — bandwidth-optimal ICI).
+
+    ``vary_axes``: ALL mesh axes the q/k/v blocks vary over (default just
+    ``axis``) — the fori_loop accumulators must carry the same varying-
+    manual-axes type or shard_map's vma check rejects the loop (e.g. add
+    "data" when batch is sharded too, models/qwen2_seq.forward_seq)."""
+    B, Tl, nh, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    idx = jax.lax.axis_index(axis)
+    q_pos = idx * Tl + jnp.arange(Tl)                      # global positions
+
+    def body(j, carry):
+        m, l, acc, kb, vb, maskb = carry
+        src = (idx - j) % n                                 # block's owner
+        k_pos = src * Tl + jnp.arange(Tl)
+        valid = maskb[:, None, :] > 0                       # (B, 1, Tl)
+        valid = jnp.broadcast_to(valid, (B, Tl, Tl))
+        if causal:
+            valid = valid & (k_pos[None, None, :] <= q_pos[None, :, None])
+        m, l, acc = _block_attend(q, kb, vb, valid, m, l, acc, scale)
+        kb = jax.lax.ppermute(kb, axis, perm)
+        vb = jax.lax.ppermute(vb, axis, perm)
+        maskb = jax.lax.ppermute(maskb, axis, perm)
+        return m, l, acc, kb, vb, maskb
+
+    # pvary: the accumulators become axis-varying after the first block
+    # (they depend on axis_index and the sharded k/v); the carry types must
+    # match across loop iterations
+    va = tuple(vary_axes) if vary_axes else (axis,)
+    m0 = jax.lax.pvary(jnp.full((B, nh, Tl, 1), NEG_INF, jnp.float32), va)
+    l0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, 1), jnp.float32), va)
+    a0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, dh), jnp.float32), va)
+    m, l, acc, *_ = jax.lax.fori_loop(0, n, body, (m0, l0, a0, k, v, mask))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)        # (B, Tl, nh, dh)
+
+
 def ring_attention(
     q: jax.Array,       # (B, T, nh, dh) — T sharded over `axis`
     k: jax.Array,       # (B, T, nkv, dh)
@@ -73,45 +130,16 @@ def ring_attention(
 ) -> jax.Array:
     """Full-sequence causal attention with T sharded across `axis`.
 
-    Returns (B, T, nh, dh) sharded like q. Collectives: n-1 ppermute steps
-    of the local K/V block around the ring (each link carries each block
-    once — bandwidth-optimal for ICI)."""
+    Returns (B, T, nh, dh) sharded like q. Standalone wrapper around
+    :func:`ring_attend_local` with its own shard_map."""
     from jax.experimental.shard_map import shard_map
 
     B, T, nh, dh = q.shape
     n = mesh.shape[axis]
     assert T % n == 0, (T, n)
-    Tl = T // n
-    scale = 1.0 / math.sqrt(dh)
-    perm = [(i, (i + 1) % n) for i in range(n)]
 
     def local(q, k, v, mask):
-        # q (B, Tl, nh, dh) local; k/v/mask local blocks
-        idx = jax.lax.axis_index(axis)
-        q_pos = idx * Tl + jnp.arange(Tl)                      # global positions
-
-        def body(j, carry):
-            m, l, acc, kb, vb, maskb = carry
-            src = (idx - j) % n                                 # block's owner
-            k_pos = src * Tl + jnp.arange(Tl)
-            valid = maskb[:, None, :] > 0                       # (B, 1, Tl)
-            valid = jnp.broadcast_to(valid, (B, Tl, Tl))
-            if causal:
-                valid = valid & (k_pos[None, None, :] <= q_pos[None, :, None])
-            m, l, acc = _block_attend(q, kb, vb, valid, m, l, acc, scale)
-            kb = jax.lax.ppermute(kb, axis, perm)
-            vb = jax.lax.ppermute(vb, axis, perm)
-            maskb = jax.lax.ppermute(maskb, axis, perm)
-            return m, l, acc, kb, vb, maskb
-
-        # pvary: the accumulators become axis-varying after the first block
-        # (they depend on axis_index); the loop carry types must match
-        m0 = jax.lax.pvary(jnp.full((B, nh, Tl, 1), NEG_INF, jnp.float32), axis)
-        l0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, 1), jnp.float32), axis)
-        a0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, dh), jnp.float32), axis)
-        m, l, acc, *_ = jax.lax.fori_loop(0, n, body, (m0, l0, a0, k, v, mask))
-        out = acc / jnp.maximum(l, 1e-30)
-        return out.transpose(0, 2, 1, 3).astype(q.dtype)        # (B, Tl, nh, dh)
+        return ring_attend_local(q, k, v, mask, axis=axis, n=n, causal=causal)
 
     spec_q = P(None, axis, None, None)
     spec_m = P(None, axis)

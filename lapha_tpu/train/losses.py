@@ -211,6 +211,8 @@ def loss_and_metrics(
     logits_chunk: int = 1024,
     ref_logps: jax.Array | None = None,
     old_logps: jax.Array | None = None,
+    seq_mesh=None,
+    seq_axis: str = "sequence",
 ):
     """Differentiable total loss over a packed batch.
 
@@ -218,6 +220,10 @@ def loss_and_metrics(
     attn_impl selects the training-forward attention (the flash kernel has a
     full Pallas backward, ops/flash_attention.py); None keeps the model
     config's choice ("auto" = flash on TPU, dense elsewhere).
+    seq_mesh: a Mesh carrying `seq_axis` switches the LM forward to the
+    sequence-parallel ring-attention path (models/qwen2_seq.forward_seq) —
+    long-context training sharded over devices; pack with
+    pad_multiple divisible by the axis size.
     """
     ids, attn = batch["ids"], batch["attn"]
     comp_mask = batch["comp_mask"].astype(jnp.float32)
@@ -227,10 +233,18 @@ def loss_and_metrics(
 
     train_cfg = (_dc.replace(model_cfg, attn_impl=attn_impl)
                  if attn_impl else model_cfg)
-    _, hidden, _ = qwen2.forward(
-        params, train_cfg, ids, attention_mask=attn, remat=remat,
-        return_hidden=True, compute_logits=False,
-    )
+    if seq_mesh is not None:
+        from ..models.qwen2_seq import forward_seq
+
+        _, hidden, _ = forward_seq(
+            params, train_cfg, ids, attn, mesh=seq_mesh, seq_axis=seq_axis,
+            remat=remat, return_hidden=True, compute_logits=False,
+        )
+    else:
+        _, hidden, _ = qwen2.forward(
+            params, train_cfg, ids, attention_mask=attn, remat=remat,
+            return_hidden=True, compute_logits=False,
+        )
     logps_all = _selective_logps_chunked(
         params, model_cfg, hidden[:, :-1, :], ids[:, 1:], temperature,
         chunk=logits_chunk)  # (B, L-1)

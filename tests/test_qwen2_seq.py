@@ -1,0 +1,115 @@
+"""Sequence-parallel (ring-attention) forward/training vs the dense path.
+
+Context parallelism is net-new vs the reference (SURVEY §5.7: it only
+left-truncates at max_model_len). These tests pin exact behavioral parity:
+sharding the sequence axis must be a pure implementation detail.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from lapha_tpu.models import Qwen2Config, qwen2
+from lapha_tpu.models.qwen2_seq import forward_seq
+from lapha_tpu.train import losses
+
+
+@pytest.fixture(scope="module")
+def ds_mesh():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("data", "sequence"))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, T = 4, 64
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, T)))
+    mask = np.ones((B, T), np.int32)
+    mask[0, 50:] = 0  # right-padded row
+    return cfg, params, ids, jnp.asarray(mask)
+
+
+def test_forward_seq_matches_dense(ds_mesh, setup):
+    cfg, params, ids, mask = setup
+    ref_logits, ref_hidden, _ = qwen2.forward(
+        params, cfg, ids, attention_mask=mask, return_hidden=True)
+    fwd = jax.jit(lambda p, i, m: forward_seq(
+        p, cfg, i, m, mesh=ds_mesh, return_hidden=True))
+    with ds_mesh:
+        logits, hidden, _ = fwd(params, ids, mask)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(logits)[valid],
+                               np.asarray(ref_logits)[valid],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hidden)[valid],
+                               np.asarray(ref_hidden)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_forward_seq_sequence_only_mesh(setup):
+    cfg, params, ids, mask = setup
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    ref_logits, _, _ = qwen2.forward(params, cfg, ids, attention_mask=mask)
+    with mesh:
+        logits, _, _ = jax.jit(
+            lambda p: forward_seq(p, cfg, ids, mask, mesh=mesh))(params)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(logits)[valid],
+                               np.asarray(ref_logits)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def _packed_batch(cfg, n_seq=4):
+    rng = np.random.default_rng(3)
+    samples = [dict(prompt_ids=rng.integers(2, cfg.vocab_size, 9).tolist(),
+                    completion_ids=rng.integers(2, cfg.vocab_size, 7).tolist())
+               for _ in range(4)]
+    # pad_multiple divisible by the sequence-axis size
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1,
+                                 max_prompt_length=32, pad_multiple=8 * n_seq,
+                                 batch_multiple=2)
+    batch = {k: jnp.asarray(v) for k, v in packed.items() if k != "kept"}
+    B = packed["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng.normal(size=B).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng.uniform(size=B).astype(np.float32))
+    return batch
+
+
+def test_update_step_seq_parallel_matches_dense(ds_mesh, setup):
+    """ONE full GRPO+value update with the LM forward ring-sharded ==
+    the same update on the dense path (loss, grads, updated params)."""
+    cfg, params, *_ = setup
+    from lapha_tpu.models import value_model
+
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    batch = _packed_batch(cfg)
+    opt = optax.adamw(1e-4)
+
+    def run(seq_mesh):
+        kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2,
+                  loss_type="grpo", importance_level="token", value_w=1.0,
+                  beta=0.0, max_completion_length=8, remat=True,
+                  seq_mesh=seq_mesh)
+        update = losses.make_update_fn(cfg, opt, loss_kwargs=kw)
+        # the update donates (params, head, opt_state) — fresh copies per run
+        p, h = jax.tree.map(jnp.array, (params, head))
+        state = opt.init((p, h))
+        if seq_mesh is not None:
+            with seq_mesh:
+                return update(p, h, state, batch, None)
+        return update(p, h, state, batch, None)
+
+    p_ref, h_ref, _, m_ref = run(None)
+    p_seq, h_seq, _, m_seq = run(ds_mesh)
+    np.testing.assert_allclose(float(m_seq["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves((p_seq, h_seq)),
+                    jax.tree.leaves((p_ref, h_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
