@@ -62,6 +62,33 @@ class EngineClient:
         r.raise_for_status()
         return r.json()
 
+    def generate_stream(self, prompts, n=1, repetition_penalty=1.0,
+                        temperature=1.0, top_p=1.0, top_k=-1, min_p=0.0,
+                        max_tokens=16, logprobs=None, timeout: float = 600.0):
+        """Streaming /generate: yields NDJSON event dicts as they arrive.
+
+        Event protocol (engine/server.handle_generate_stream): "delta"
+        events carry incremental token_ids/logprobs per (tag=prompt index,
+        sample); "finish" is authoritative per sample; "request_done" per
+        prompt; a final {"type": "done"} closes the stream. "error" reports
+        a scheduler failure for that prompt."""
+        payload = dict(prompts=list(prompts), n=n, stream=True,
+                       repetition_penalty=repetition_penalty,
+                       temperature=temperature, top_p=top_p, top_k=top_k,
+                       min_p=min_p, max_tokens=max_tokens, logprobs=logprobs)
+        import json as _json
+
+        r = self.session.post(self.base_url + "/generate", json=payload,
+                              timeout=timeout, stream=True)
+        r.raise_for_status()
+        for line in r.iter_lines():
+            if not line:
+                continue
+            ev = _json.loads(line)
+            yield ev
+            if ev.get("type") == "done":
+                break
+
     def update_named_param(self, name: str = "", weights: Any = None,
                            path: str | None = None) -> dict:
         """Weight push: tell the server to reload exported weights from

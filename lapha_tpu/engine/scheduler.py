@@ -49,9 +49,10 @@ from .engine import Engine, _round_up
 
 
 class _Request:
-    __slots__ = ("prompt", "enc", "sp", "n", "future", "rows", "outputs")
+    __slots__ = ("prompt", "enc", "sp", "n", "future", "rows", "outputs",
+                 "stream")
 
-    def __init__(self, prompt, enc, sp, n, future):
+    def __init__(self, prompt, enc, sp, n, future, stream=None):
         self.prompt = prompt
         self.enc = enc
         self.sp = sp
@@ -59,10 +60,13 @@ class _Request:
         self.future = future
         self.rows: list[int] = []
         self.outputs: dict[int, CompletionOutput] = {}
+        # (queue.Queue, tag) — incremental token events (see submit)
+        self.stream = stream
 
 
 class _Row:
-    __slots__ = ("req", "sample_idx", "toks", "lps", "h_gen", "em")
+    __slots__ = ("req", "sample_idx", "toks", "lps", "h_gen", "em", "sent",
+                 "eos_done")
 
     def __init__(self, req, sample_idx):
         self.req = req
@@ -71,6 +75,8 @@ class _Row:
         self.lps: list[float] = []
         self.h_gen = None
         self.em = 0
+        self.sent = 0          # tokens already pushed to the stream queue
+        self.eos_done = False  # stream hit EOS; suppress later deltas
 
 
 class ContinuousEngine:
@@ -126,9 +132,20 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------- public API
 
-    def submit(self, prompt: str, sampling_params: SamplingParams) -> Future:
+    def submit(self, prompt: str, sampling_params: SamplingParams,
+               stream=None) -> Future:
         """Queue one prompt; the Future resolves to a RequestOutput with n
-        samples. Raises immediately if the prompt cannot ever fit."""
+        samples. Raises immediately if the prompt cannot ever fit.
+
+        ``stream``: optional (queue.Queue, tag) pair. Token events are
+        pushed as they decode (chunk granularity), each carrying the tag:
+          {"type": "delta",  "tag", "sample", "token_ids", "logprobs"}
+          {"type": "finish", "tag", "sample", token_ids/logprobs/text/
+                             finish_reason}  — authoritative per sample
+          {"type": "request_done", "tag"}    — all n samples finished
+          {"type": "error",  "tag", "error"} — scheduler failure
+        Deltas are EOS-trimmed; the finish event repeats the full sample.
+        """
         eng = self.engine
         enc = list(eng.tokenizer(prompt, add_special_tokens=True)["input_ids"])
         enc = enc[-(self.slab):]
@@ -136,7 +153,7 @@ class ContinuousEngine:
         if n > self.B:
             raise ValueError(f"n={n} exceeds max_batch={self.B}")
         fut: Future = Future()
-        req = _Request(prompt, enc, sampling_params, n, fut)
+        req = _Request(prompt, enc, sampling_params, n, fut, stream=stream)
         with self._cv:
             if not self._running:
                 raise RuntimeError("ContinuousEngine not started")
@@ -280,6 +297,7 @@ class ContinuousEngine:
         self.steps_executed += steps
         hs = np.asarray(hs_d) if eng.collect_h0 else None
 
+        eos_set = set(eng.eos_token_ids)
         done_rows = []
         for r, row in self._rows.items():
             d = int(st["emitted"][r] - em_before[r])
@@ -289,6 +307,7 @@ class ContinuousEngine:
                 row.em = int(st["emitted"][r])
                 if hs is not None:
                     row.h_gen = row.h_gen + hs[r]
+                self._push_delta(row, eos_set)
             if st["fin"][r]:
                 done_rows.append(r)
         for r in done_rows:
@@ -299,6 +318,24 @@ class ContinuousEngine:
             st["col"] = self.slab
             st["fin"][:] = True
             self.waves += 1
+
+    def _push_delta(self, row: _Row, eos_set: set):
+        """EOS-trimmed incremental token event for a streaming request."""
+        req = row.req
+        seg = list(zip(row.toks[row.sent:], row.lps[row.sent:]))
+        row.sent = len(row.toks)
+        if req.stream is None or row.eos_done or not seg:
+            return
+        out_t, out_l = [], []
+        for t, lp in seg:
+            out_t.append(t)
+            out_l.append(lp)
+            if t in eos_set:
+                row.eos_done = True
+                break
+        q, tag = req.stream
+        q.put({"type": "delta", "tag": tag, "sample": row.sample_idx,
+               "token_ids": out_t, "logprobs": out_l})
 
     def _finish_row(self, r: int):
         eng = self.engine
@@ -323,8 +360,16 @@ class ContinuousEngine:
             co.pooled_hidden = row.h_gen / max(1, n_tok)
         req.outputs[row.sample_idx] = co
         self.slots.release([r])
+        if req.stream is not None:
+            q, tag = req.stream
+            q.put({"type": "finish", "tag": tag, "sample": row.sample_idx,
+                   "token_ids": ids_out, "logprobs": lps_out, "text": text,
+                   "finish_reason": finish})
         if len(req.outputs) == req.n:
             outs = [req.outputs[i] for i in sorted(req.outputs)]
+            if req.stream is not None:
+                q, tag = req.stream
+                q.put({"type": "request_done", "tag": tag})
             req.future.set_result(RequestOutput(
                 outputs=outs, prompt=req.prompt, prompt_token_ids=list(req.enc)))
 
@@ -370,11 +415,10 @@ class ContinuousEngine:
                 if not self._running:
                     err = RuntimeError("engine stopped")
                     for req in self._queue:
-                        req.future.set_exception(err)
+                        _fail_request(req, err)
                     self._queue.clear()
                     for row in self._rows.values():
-                        if not row.req.future.done():
-                            row.req.future.set_exception(err)
+                        _fail_request(row.req, err)
                     self._rows.clear()
                     return
                 if self._state is None:
@@ -406,8 +450,7 @@ class ContinuousEngine:
                 self._decode_chunk()
             except Exception as e:  # resolve futures instead of dying silently
                 for row in list(self._rows.values()):
-                    if not row.req.future.done():
-                        row.req.future.set_exception(e)
+                    _fail_request(row.req, e)
                 self._rows.clear()
                 self._state = None
                 self.slots = make_slot_allocator(self.B)
@@ -419,6 +462,18 @@ class ContinuousEngine:
         budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
                      self.S - self.slab)
         return self._state["col"] + budget <= self.S
+
+
+def _fail_request(req: _Request, err: Exception):
+    """Resolve a request's future AND its stream (if any) with an error.
+    Idempotent per request (a request may own several rows)."""
+    if req.future.done():
+        return
+    req.future.set_exception(err)
+    if req.stream is not None:
+        q, tag = req.stream
+        q.put({"type": "error", "tag": tag,
+               "error": f"{type(err).__name__}: {err}"})
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -9,6 +9,9 @@ Covers the reference's external server plane
   GET  /get_world_size         -> {"world_size": N}   (mesh device count)
   POST /generate               -> {"completion_ids": [[...]xN per prompt],
                                    "logprobs": [[...]], "texts": [[...]]}
+       with {"stream": true}   -> chunked NDJSON token events (delta/
+                                   finish/request_done/done; see
+                                   handle_generate_stream)
   POST /reset_prefix_cache     -> {"ok": true}
   POST /reload_weights {path}  -> {"ok": true}        (weight plane: the
         trainer exports safetensors to shared storage and the server swaps
@@ -48,17 +51,7 @@ class EngineServer:
         prompts = payload.get("prompts") or []
         if isinstance(prompts, str):
             prompts = [prompts]
-        sp = SamplingParams(
-            n=int(payload.get("n", 1)),
-            temperature=float(payload.get("temperature", 1.0)),
-            top_p=float(payload.get("top_p", 1.0)),
-            top_k=int(payload.get("top_k", -1) if payload.get("top_k") is not None else -1),
-            min_p=float(payload.get("min_p", 0.0) or 0.0),
-            repetition_penalty=float(payload.get("repetition_penalty", 1.0)),
-            max_tokens=int(payload.get("max_tokens", 256)),
-            logprobs=int(payload.get("logprobs") or 0),
-            seed=payload.get("seed"),
-        )
+        sp = self._payload_sp(payload)
         if self.scheduler is not None:
             # concurrent requests join the running device batch
             outs = self.scheduler.generate(prompts, sp)
@@ -71,6 +64,59 @@ class EngineServer:
             "texts": [[o.text for o in r.outputs] for r in outs],
             "finish_reasons": [[o.finish_reason for o in r.outputs] for r in outs],
         }
+
+    @staticmethod
+    def _payload_sp(payload: dict) -> SamplingParams:
+        return SamplingParams(
+            n=int(payload.get("n", 1)),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_p=float(payload.get("top_p", 1.0)),
+            top_k=int(payload.get("top_k", -1) if payload.get("top_k") is not None else -1),
+            min_p=float(payload.get("min_p", 0.0) or 0.0),
+            repetition_penalty=float(payload.get("repetition_penalty", 1.0)),
+            max_tokens=int(payload.get("max_tokens", 256)),
+            logprobs=int(payload.get("logprobs") or 0),
+            seed=payload.get("seed"),
+        )
+
+    def handle_generate_stream(self, payload: dict):
+        """Iterator of NDJSON events for ``{"stream": true}`` requests.
+
+        Continuous mode streams token deltas at decode-chunk granularity
+        (scheduler.submit stream protocol, "tag" = prompt index); the
+        serializing fallback cannot observe mid-generation tokens (decode is
+        ONE device dispatch), so it emits the finish events only. Either
+        way the stream ends with {"type": "done"}.
+        """
+        prompts = payload.get("prompts") or []
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        sp = self._payload_sp(payload)
+        if self.scheduler is None:
+            with self.lock:
+                outs = self.engine.generate(prompts, sp)
+            for i, r in enumerate(outs):
+                for k, o in enumerate(r.outputs):
+                    yield {"type": "finish", "tag": i, "sample": k,
+                           "token_ids": o.token_ids,
+                           "logprobs": o.token_logprobs, "text": o.text,
+                           "finish_reason": o.finish_reason}
+                yield {"type": "request_done", "tag": i}
+            yield {"type": "done"}
+            return
+
+        import queue
+
+        q: queue.Queue = queue.Queue()
+        for i, p in enumerate(prompts):
+            self.scheduler.submit(p, sp, stream=(q, i))
+        pending = len(prompts)
+        while pending > 0:
+            ev = q.get()
+            yield ev
+            if ev.get("type") in ("request_done", "error"):
+                pending -= 1
+        yield {"type": "done"}
 
     def handle_reload_weights(self, payload: dict) -> dict:
         from ..models import loader
@@ -103,6 +149,18 @@ def make_handler(server: EngineServer):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_stream(self, events):
+            """Chunked transfer encoding, one NDJSON event per chunk."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for ev in events:
+                data = (json.dumps(ev) + "\n").encode()
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_GET(self):
             if self.path in ("/health", "/health/"):
                 self._reply(200, {"status": "ok"})
@@ -121,7 +179,10 @@ def make_handler(server: EngineServer):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/generate":
-                    self._reply(200, server.handle_generate(payload))
+                    if payload.get("stream"):
+                        self._reply_stream(server.handle_generate_stream(payload))
+                    else:
+                        self._reply(200, server.handle_generate(payload))
                 elif self.path == "/reset_prefix_cache":
                     if server.engine.prefix_cache is not None:
                         server.engine.prefix_cache.clear()

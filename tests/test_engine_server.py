@@ -97,3 +97,52 @@ def test_continuous_server_concurrent_requests():
         assert len(results["B"]["completion_ids"][0][0]) == 5
     finally:
         httpd.shutdown()
+
+
+def test_streaming_generate_continuous():
+    """stream=true over the continuous scheduler: delta events arrive at
+    chunk granularity, concatenated deltas == the finish event's ids, and
+    the stream terminates with done."""
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(5))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=8,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    httpd = engine_server.serve(eng, port=0, background=True,
+                                continuous=True, prompt_slab=64)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        client = EngineClient(url)
+        assert client.check_server(total_timeout=10)
+        events = list(client.generate_stream(
+            ["stream me", "and me too"], n=1, temperature=0.0, max_tokens=12))
+        assert events[-1]["type"] == "done"
+        for tag in (0, 1):
+            deltas = [e for e in events
+                      if e["type"] == "delta" and e["tag"] == tag]
+            finish = [e for e in events
+                      if e["type"] == "finish" and e["tag"] == tag]
+            assert len(finish) == 1
+            assert len(deltas) >= 2  # 12 tokens / chunk 4 => >= 3 chunks
+            cat = [t for e in deltas for t in e["token_ids"]]
+            assert cat == finish[0]["token_ids"]
+            cat_lp = [x for e in deltas for x in e["logprobs"]]
+            assert cat_lp == pytest.approx(finish[0]["logprobs"], abs=1e-6)
+        assert sum(e["type"] == "request_done" for e in events) == 2
+    finally:
+        httpd.shutdown()
+
+
+def test_streaming_generate_sync_fallback(served_engine):
+    """Without the scheduler the decode is one dispatch: the stream degrades
+    to finish events only, still NDJSON-framed and done-terminated."""
+    eng, url = served_engine
+    client = EngineClient(url)
+    events = list(client.generate_stream(["fallback"], n=2, temperature=0.0,
+                                         max_tokens=5))
+    assert events[-1]["type"] == "done"
+    finishes = [e for e in events if e["type"] == "finish"]
+    assert len(finishes) == 2
+    local = eng.generate(["fallback"], SamplingParams(n=2, temperature=0.0,
+                                                      max_tokens=5))[0]
+    assert finishes[0]["token_ids"] == local.outputs[0].token_ids
