@@ -1,6 +1,7 @@
 """HF checkpoint ⇄ lapha_tpu parameter pytree conversion.
 
-Loads public Qwen2-family safetensors checkpoints directly onto a TPU mesh
+Loads public Qwen2-family and Llama-family safetensors checkpoints directly
+onto a TPU mesh
 (so public Qwen2.5 / LaPHA-Math policy checkpoints work unchanged) and
 exports back to HF layout — covering the reference's
 `helpers/split_valuehead.py` policy/value-head split convention
@@ -66,8 +67,13 @@ def load_config(model_dir: str) -> Qwen2Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     mt = cfg.get("model_type", "qwen2")
-    if mt not in ("qwen2", "qwen2_5", "qwen2_moe"):
-        raise ValueError(f"unsupported model_type {mt!r} (qwen2 family only for now)")
+    if mt in ("llama", "mistral") and cfg.get("sliding_window"):
+        raise ValueError(
+            f"{mt} checkpoint uses sliding_window={cfg['sliding_window']}; "
+            "sliding-window attention is not implemented")
+    if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "llama", "mistral"):
+        raise ValueError(
+            f"unsupported model_type {mt!r} (qwen2/llama decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -116,6 +122,16 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
             arr = jnp.swapaxes(arr, -1, -2)
         return arr
 
+    def stack_bias(fmt: str, dim: int):
+        """q/k/v bias, or zeros when the family has none (llama/mistral) —
+        the pytree stays structurally uniform so every compute path is one
+        program; a zero bias add fuses away."""
+        if _has(tensors, fmt.format(i=0)):
+            return stack(fmt)
+        return jnp.zeros((L, dim), dtype)
+
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    dh = cfg.head_dim_
     embed_raw = _get(tensors, "embed_tokens.weight")
     embed = (_quant_int8_host(_host_f32(embed_raw), axis=0) if q8
              else _to_jax(embed_raw, dtype))
@@ -126,11 +142,11 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
             "post_attention_layernorm": {"scale": stack("layers.{i}.post_attention_layernorm.weight")},
             "attn": {
                 "q_proj": {"w": stack("layers.{i}.self_attn.q_proj.weight", transpose=True),
-                           "b": stack("layers.{i}.self_attn.q_proj.bias")},
+                           "b": stack_bias("layers.{i}.self_attn.q_proj.bias", nh * dh)},
                 "k_proj": {"w": stack("layers.{i}.self_attn.k_proj.weight", transpose=True),
-                           "b": stack("layers.{i}.self_attn.k_proj.bias")},
+                           "b": stack_bias("layers.{i}.self_attn.k_proj.bias", nkv * dh)},
                 "v_proj": {"w": stack("layers.{i}.self_attn.v_proj.weight", transpose=True),
-                           "b": stack("layers.{i}.self_attn.v_proj.bias")},
+                           "b": stack_bias("layers.{i}.self_attn.v_proj.bias", nkv * dh)},
                 "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
             },
             "mlp": {
@@ -235,7 +251,8 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
         put(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
         for proj in ("q", "k", "v"):
             put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
-            put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
+            if cfg.attention_bias:  # llama family stores no q/k/v bias
+                put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
         for proj in ("gate", "up", "down"):
             put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)

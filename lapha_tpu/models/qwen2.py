@@ -14,8 +14,11 @@ a pure function over a stacked-parameter pytree, with
 - sharding-friendly layouts: all 2D weights are (in, out); stacked layer
   weights carry a leading layer axis (see parallel/mesh.py PARAM_RULES).
 
-Supported HF checkpoints: Qwen2 / Qwen2.5 (incl. -Math, -Instruct) — loader
-in models/loader.py maps safetensors names onto this pytree.
+Supported HF checkpoints: Qwen2 / Qwen2.5 (incl. -Math, -Instruct) and the
+Llama decoder family (Llama-2/3, Mistral without sliding window) — same
+architecture modulo config knobs (attention_bias, tie_word_embeddings,
+head_dim, rope_theta) — loader in models/loader.py maps safetensors names
+onto this pytree.
 """
 
 from __future__ import annotations
@@ -56,7 +59,11 @@ class Qwen2Config:
 
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
-        """Build from an HF config.json dict (model_type qwen2)."""
+        """Build from an HF config.json dict (model_type qwen2 or llama —
+        same decoder family; llama differs only in knobs this config
+        already carries: no q/k/v bias, usually untied embeddings, big
+        rope_theta)."""
+        mt = cfg.get("model_type", "qwen2")
         return cls(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
@@ -69,6 +76,7 @@ class Qwen2Config:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            attention_bias=cfg.get("attention_bias", mt.startswith("qwen2")),
             dtype=dtype,
         )
 

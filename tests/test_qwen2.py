@@ -209,3 +209,87 @@ def test_value_head_pt_export_roundtrip(tmp_path):
     assert sd["weight"].shape == (1, 64)
     back = loader.load_value_head(p, 64)
     np.testing.assert_allclose(back["w"], head["w"], rtol=1e-6)
+
+
+# --------------------------------------------------------------- llama family
+
+@pytest.fixture(scope="module")
+def tiny_llama_dir(tmp_path_factory):
+    """Tiny random HF Llama model (no q/k/v bias, untied embeddings)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_llama")
+    hf_cfg = LlamaConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=500000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_llama_config_from_hf(tiny_llama_dir):
+    cfg = loader.load_config(tiny_llama_dir)
+    assert not cfg.attention_bias
+    assert not cfg.tie_word_embeddings
+    assert cfg.rope_theta == 500000.0
+
+
+def test_llama_logits_match_hf(tiny_llama_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaForCausalLM
+
+    params, cfg = loader.load_params(tiny_llama_dir, dtype=jnp.float32)
+    # bias slots exist but must be zero (uniform pytree, llama has none)
+    assert float(jnp.abs(params["layers"]["attn"]["q_proj"]["b"]).max()) == 0.0
+    ids = rng.integers(0, 512, size=(2, 13))
+    hf = LlamaForCausalLM.from_pretrained(tiny_llama_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_llama_export_roundtrip(tiny_llama_dir, tmp_path):
+    """export_hf on a llama model writes no bias tensors and reloads."""
+    params, cfg = loader.load_params(tiny_llama_dir, dtype=jnp.float32)
+    out = str(tmp_path / "llama_export")
+    loader.export_hf(params, cfg, out, src_config_dir=tiny_llama_dir)
+    from safetensors import safe_open
+
+    with safe_open(out + "/model.safetensors", framework="numpy") as f:
+        keys = list(f.keys())
+    assert not any(k.endswith("self_attn.q_proj.bias") for k in keys)
+    assert "lm_head.weight" in keys
+    params2, cfg2 = loader.load_params(out, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(1, 9))
+    l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_sliding_window_checkpoint_rejected(tiny_llama_dir, tmp_path):
+    import json as _json
+    import shutil
+
+    d = tmp_path / "mistral_sw"
+    shutil.copytree(tiny_llama_dir, d)
+    with open(d / "config.json") as f:
+        cfg = _json.load(f)
+    cfg["model_type"] = "mistral"
+    cfg["sliding_window"] = 4096
+    with open(d / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    with pytest.raises(ValueError, match="sliding_window"):
+        loader.load_config(str(d))
