@@ -17,33 +17,65 @@ import numpy as np
 from ..ops import expmap0, logmap0, mobius_add
 
 
-def _to_disk_2d(Y: np.ndarray) -> np.ndarray:
-    """(N,D) ball points -> (N,2) disk points via tangent-space reduction."""
+def _to_disk_2d(Y: np.ndarray, root_idx: int | None = None,
+                rho_cap: float = 0.98, perplexity: int = 30) -> np.ndarray:
+    """(N,D) ball points -> (N,2) disk points via tangent-space reduction.
+
+    Reduction pipeline matches the reference (mtpo_trainer.py:2993-3039):
+    logmap0 to the tangent (root row zeroed) -> PCA to min(50, D, N-1)
+    -> t-SNE(init="pca", learning_rate="auto", perplexity clamped to
+    [5, N-1]) with SVD-projection fallback -> re-center on the root ->
+    rescale so max tangent norm lands at atanh(rho_cap) -> expmap0; the
+    root maps exactly to the disk center.
+    """
     import jax.numpy as jnp
 
-    if Y.shape[1] == 2:
-        return Y
-    T = np.asarray(logmap0(jnp.asarray(Y)))  # tangent space
-    # PCA to <=8 dims
-    Tc = T - T.mean(axis=0, keepdims=True)
-    _, _, Vt = np.linalg.svd(Tc, full_matrices=False)
-    k = min(8, Tc.shape[1])
-    red = Tc @ Vt[:k].T
-    if red.shape[1] > 2:
-        if red.shape[0] >= 8:
-            try:
-                from sklearn.manifold import TSNE
+    N, D = Y.shape
+    T = np.array(logmap0(jnp.asarray(Y)), np.float64)  # tangent space (owned copy)
+    if root_idx is not None:
+        T[root_idx] = 0.0
+    target = float(np.arctanh(min(0.999, rho_cap)))
 
-                red = TSNE(n_components=2, perplexity=min(5, red.shape[0] - 1),
-                           init="pca", random_state=0).fit_transform(red)
-            except Exception:
-                red = red[:, :2]
-        else:
-            red = red[:, :2]
-    # normalize scale before mapping back to the disk
-    scale = np.abs(red).max() + 1e-9
-    red = red / scale * 2.0
-    return np.asarray(expmap0(jnp.asarray(red.astype(np.float32))))
+    if D == 2:
+        norms = np.linalg.norm(T, axis=-1)
+        if norms.size and norms.max() > 1e-12:
+            T = T * (target / norms.max())
+        Y2 = np.array(expmap0(jnp.asarray(T.astype(np.float32))))
+        if root_idx is not None:
+            Y2[root_idx] = 0.0
+        return Y2
+
+    m = int(min(50, D, max(2, N - 1)))
+    try:
+        from sklearn.decomposition import PCA
+
+        red = (PCA(n_components=m, random_state=0).fit_transform(T)
+               if m < D else T)
+    except Exception:
+        red = T[:, : min(50, D)]
+    try:
+        from sklearn.manifold import TSNE
+
+        perpl = max(5, min(int(perplexity), max(2, N - 1)))
+        Z2 = TSNE(n_components=2, init="pca", learning_rate="auto",
+                  perplexity=perpl, verbose=False).fit_transform(red)
+    except Exception:  # t-SNE unavailable / too few points: SVD projection
+        try:
+            _, _, Vt = np.linalg.svd(T, full_matrices=False)
+            Z2 = T @ Vt[:2].T
+        except Exception:
+            Z2 = T[:, :2]
+    Z2 = np.asarray(Z2, np.float64)
+    if root_idx is not None:
+        Z2 = Z2 - Z2[root_idx][None, :]
+    else:
+        Z2 = Z2 - Z2.mean(axis=0, keepdims=True)
+    norms = np.linalg.norm(Z2, axis=1)
+    s = target / norms.max() if norms.size and norms.max() > 1e-12 else 1.0
+    Y2 = np.array(expmap0(jnp.asarray((Z2 * s).astype(np.float32))))
+    if root_idx is not None:
+        Y2[root_idx] = 0.0
+    return Y2
 
 
 def _geodesic_arc(p: np.ndarray, q: np.ndarray, n: int = 24) -> np.ndarray:
@@ -111,7 +143,8 @@ def plot_tree_disk(
             r = Y[keep.index(root_sid)]
             Y = np.asarray(mobius_add(jnp.asarray(np.repeat(-r[None], len(Y), 0)),
                                       jnp.asarray(Y)))
-        P2 = _to_disk_2d(Y)
+        ri = keep.index(root_sid) if root_sid in keep else None
+        P2 = _to_disk_2d(Y, root_idx=ri)
         pos = {sid: P2[i] for i, sid in enumerate(keep)}
 
         v_geo = np.asarray([float(steps[s].get("v_target") or 0.0) for s in keep])
