@@ -99,6 +99,7 @@ def main():
         pad_multiple=128, batch_bucket=1,
         eos_token_ids=[],  # force full-length decode for stable measurement
         seed=0,
+        kv_quant=os.getenv("BENCH_KV_QUANT") or None,  # "int8": int8 KV cache
     )
 
     rng = np.random.default_rng(0)

@@ -66,6 +66,7 @@ class Engine:
         prefix_cache_min_reuse: int = 64,
         collect_h0: bool = False,
         approx_top_k: bool = True,
+        kv_quant: str | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -87,6 +88,15 @@ class Engine:
         # (recall 0.99/candidate; ~10x faster than exact lax.top_k at
         # V~152k). Set False for exact vLLM-identical truncation.
         self.approx_top_k = bool(approx_top_k)
+        # kv_quant="int8": decode-time KV cache in int8 with per-vector
+        # scales (qwen2.decode_step cache_scale) — halves the KV read
+        # stream, which rivals the weight stream at large B (the other half
+        # of decode's HBM bound). Prefill stays bf16; quantization happens
+        # once at the decode-layout install. Opt-in: tokens can differ
+        # from the bf16 cache at ~0.5% logit perturbation.
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant={kv_quant!r}")
+        self.kv_quant = kv_quant
         self.prefix_cache = (
             PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse,
                              pad_to=min(self.pad_multiple, 128))
@@ -107,7 +117,24 @@ class Engine:
             self._decode_impl,
             static_argnames=("T", "static_top_k", "ragged"),
             donate_argnums=(1, 2),  # donate kv cache
+            donate_argnames=("cache_scale",),  # int8-KV scale planes
         )
+        self._quantize_cache_jit = jax.jit(self._quantize_cache_impl,
+                                           donate_argnums=(0, 1))
+
+    @staticmethod
+    def _quantize_cache_impl(ck, cv):
+        """bf16 decode-layout caches (L,B,nkv,S,dh) -> int8 + per-vector
+        scales (L,B,nkv,S). Empty slots quantize to 0 with a floor scale."""
+        def q(c):
+            cf = c.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(cf), axis=-1) / 127.0, 1e-12)
+            return (jnp.clip(jnp.round(cf / s[..., None]), -127, 127)
+                    .astype(jnp.int8), s)
+
+        kq, ks = q(ck)
+        vq, vs = q(cv)
+        return kq, vq, (ks, vs)
 
     # ------------------------------------------------------------------ jit bodies
 
@@ -179,6 +206,7 @@ class Engine:
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
         T: int, static_top_k: int = 0, ragged: bool = False,
+        cache_scale=None,
     ):
         """Generate up to T tokens for all B rows (slot-uniform cache).
 
@@ -194,8 +222,10 @@ class Engine:
         budget. ``dstart`` (B,) is each row's first valid decode column.
 
         Returns (tokens (B,T), logprobs (B,T), finished, cache, presence,
-        positions, slot, emitted, last_logits, h_sum). Finished rows emit
-        pad(0) tokens with logprob 0 and stop updating presence."""
+        positions, slot, emitted, last_logits, h_sum, cache_scale). Finished
+        rows emit pad(0) tokens with logprob 0 and stop updating presence.
+        ``cache_scale`` echoes the updated int8-KV scales (() when the cache
+        is bf16) so persistent-batch callers can carry them across chunks."""
         eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]
         toks0 = jnp.zeros((B, T), jnp.int32)
@@ -204,11 +234,11 @@ class Engine:
 
         def cond(st):
             i = st[0]
-            fin = st[8]
+            fin = st[9]
             return (i < T) & ~jnp.all(fin)
 
         def body(st):
-            i, ck, cv, pres, logits, pos, slot, k, fin, em, hs, toks, lps = st
+            i, ck, cv, scl, pres, logits, pos, slot, k, fin, em, hs, toks, lps = st
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
@@ -228,25 +258,33 @@ class Engine:
             new_fin = fin | is_eos | (em >= row_budget)
 
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
-            new_logits, hidden, ck, cv = qwen2.decode_step(
-                params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                return_hidden=self.collect_h0, ragged=ragged,
-            )
+            if cache_scale is not None:
+                new_logits, hidden, ck, cv, scl = qwen2.decode_step(
+                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=self.collect_h0, ragged=False,
+                    cache_scale=scl,
+                )
+            else:
+                new_logits, hidden, ck, cv = qwen2.decode_step(
+                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=self.collect_h0, ragged=ragged,
+                )
             if self.collect_h0:
                 # the token sampled this step is forwarded this step; pool it
                 # iff it was emitted (fin False on entry — includes the EOS)
                 hs = hs + hidden.astype(jnp.float32) * (~fin)[:, None]
             toks = jax.lax.dynamic_update_slice(toks, emit[:, None], (0, i))
             lps = jax.lax.dynamic_update_slice(lps, emit_lp[:, None], (0, i))
-            return (i + 1, ck, cv, pres, new_logits, pos + 1, slot + 1, k,
+            return (i + 1, ck, cv, scl, pres, new_logits, pos + 1, slot + 1, k,
                     new_fin, em, hs, toks, lps)
 
-        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
-               last_logits, positions_next, slot_next, key, finished,
-               emitted, h0, toks0, lps0)
+        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v,
+               cache_scale if cache_scale is not None else (),
+               presence, last_logits, positions_next, slot_next, key,
+               finished, emitted, h0, toks0, lps0)
         st = jax.lax.while_loop(cond, body, st0)
-        (_, ck, cv, pres, logits, pos, slot, _, fin, em, hs, toks, lps) = st
-        return toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs
+        (_, ck, cv, scl, pres, logits, pos, slot, _, fin, em, hs, toks, lps) = st
+        return toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs, scl
 
     # ------------------------------------------------------------------ public API
 
@@ -449,8 +487,11 @@ class Engine:
             # decode cache layout: (L, B, nkv, S, dh) — see qwen2.decode_step
             ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
             cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
+            cache_scale = None
+            if self.kv_quant == "int8":
+                ck, cv, cache_scale = self._quantize_cache_jit(ck, cv)
             key, sub = jax.random.split(key)
-            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs = \
+            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \
                 self._decode_jit(
                     self.params, ck, cv, presence, last_logits,
                     lens_j, jnp.full((B,), Lp, jnp.int32),
@@ -459,6 +500,7 @@ class Engine:
                     jnp.zeros((B,), jnp.int32), sub,
                     temperature, top_k, top_p, min_p, rep_pen,
                     T=T, static_top_k=static_top_k,
+                    cache_scale=cache_scale,
                 )
             toks = np.asarray(toks_d)[:, :budget]
             lps = np.asarray(lps_d)[:, :budget]

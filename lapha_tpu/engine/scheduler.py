@@ -97,11 +97,14 @@ class ContinuousEngine:
         self.chunk = int(chunk or engine.decode_chunk)
         self.slots = make_slot_allocator(self.B)
         # ragged Pallas decode attention pays off on the persistent (large
-        # S, low occupancy) cache — qwen2.decode_step docstring has numbers
+        # S, low occupancy) cache — qwen2.decode_step docstring has numbers.
+        # int8 KV (engine.kv_quant) halves the cache stream instead and is
+        # mutually exclusive with the ragged kernel (bf16 reads only).
         cfg = engine.cfg
+        self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"
                        and cfg.head_dim_ % 128 == 0 and self.S % 256 == 0
-                       and self.S >= 2048)
+                       and self.S >= 2048 and not self.kv_quant)
 
         self._queue: list[_Request] = []
         self._cv = threading.Condition()
@@ -173,12 +176,17 @@ class ContinuousEngine:
         eng = self.engine
         cfg = eng.cfg
         B, S = self.B, self.S
+        kv_dtype = jnp.int8 if self.kv_quant == "int8" else cfg.dtype
         # decode cache layout (L, B, nkv, S, dh) — qwen2.decode_step
         self._state = dict(
             ck=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
-                          S, cfg.head_dim_), cfg.dtype),
+                          S, cfg.head_dim_), kv_dtype),
             cv=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
-                          S, cfg.head_dim_), cfg.dtype),
+                          S, cfg.head_dim_), kv_dtype),
+            scale=(tuple(jnp.full((cfg.num_hidden_layers, B,
+                                   cfg.num_key_value_heads, S), 1e-12,
+                                  jnp.float32) for _ in range(2))
+                   if self.kv_quant == "int8" else None),
             presence=jnp.zeros((B, cfg.vocab_size), jnp.int8),
             last_logits=jnp.zeros((B, cfg.vocab_size), jnp.float32),
             lens=np.zeros((B,), np.int32),
@@ -227,8 +235,12 @@ class ContinuousEngine:
         # device-side row installs: KV copy + last logits + presence
         rows_j = jnp.asarray(np.asarray(rows_all, np.int32))
         group_j = jnp.asarray(np.asarray(group_of, np.int32))
-        st["ck"], st["cv"] = _install_rows(st["ck"], st["cv"], ck_g, cv_g,
-                                           group_j, rows_j)
+        if self.kv_quant == "int8":
+            st["ck"], st["cv"], st["scale"] = _install_rows_q(
+                st["ck"], st["cv"], st["scale"], ck_g, cv_g, group_j, rows_j)
+        else:
+            st["ck"], st["cv"] = _install_rows(st["ck"], st["cv"], ck_g, cv_g,
+                                               group_j, rows_j)
         st["last_logits"] = st["last_logits"].at[rows_j].set(
             jnp.asarray(last_np)[group_j])
         pres_rows = np.zeros((len(rows_all), eng.cfg.vocab_size), np.int8)
@@ -280,9 +292,12 @@ class ContinuousEngine:
             jnp.asarray(st["top_p"]), jnp.asarray(st["min_p"]),
             jnp.asarray(st["rep_pen"]),
             T=self.chunk, static_top_k=static_top_k, ragged=self.ragged,
+            cache_scale=st["scale"],
         )
         toks_d, lps_d, fin_d, (st["ck"], st["cv"]), st["presence"], pos_d, \
-            slot_d, em_d, st["last_logits"], hs_d = out
+            slot_d, em_d, st["last_logits"], hs_d, scl_d = out
+        if st["scale"] is not None:
+            st["scale"] = scl_d
 
         toks = np.asarray(toks_d)
         lps = np.asarray(lps_d)
@@ -400,6 +415,8 @@ class ContinuousEngine:
             if n_r > 0:
                 idx[r, L0:L0 + n_r] = np.arange(d0, col, dtype=np.int32)
         st["ck"], st["cv"] = _gather_columns(st["ck"], st["cv"], jnp.asarray(idx))
+        if st["scale"] is not None:
+            st["scale"] = _gather_scale_columns(st["scale"], jnp.asarray(idx))
         for r in self._rows:
             st["lens"][r] = new_lens[r]
             st["dstart"][r] = hi
@@ -494,3 +511,32 @@ def _install_rows(ck_big, cv_big, ck_g, cv_g, group_of, rows):
     ck_big = ck_big.at[:, rows].set(jnp.transpose(ck_g, (0, 1, 3, 2, 4))[:, group_of])
     cv_big = cv_big.at[:, rows].set(jnp.transpose(cv_g, (0, 1, 3, 2, 4))[:, group_of])
     return ck_big, cv_big
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _install_rows_q(ck_big, cv_big, scale_big, ck_g, cv_g, group_of, rows):
+    """int8-KV variant of :func:`_install_rows`: the bf16 prefill KV is
+    quantized per vector (amax/127) on the way into the persistent int8
+    cache, and the scale planes (L,B,nkv,S) are scattered alongside."""
+    def q(c):
+        cf = c.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(cf), axis=-1) / 127.0, 1e-12)
+        return (jnp.clip(jnp.round(cf / s[..., None]), -127, 127)
+                .astype(jnp.int8), s)
+
+    kq, ks = q(jnp.transpose(ck_g, (0, 1, 3, 2, 4))[:, group_of])
+    vq, vs = q(jnp.transpose(cv_g, (0, 1, 3, 2, 4))[:, group_of])
+    ck_big = ck_big.at[:, rows].set(kq)
+    cv_big = cv_big.at[:, rows].set(vq)
+    ks_big, vs_big = scale_big
+    ks_big = ks_big.at[:, rows].set(ks)
+    vs_big = vs_big.at[:, rows].set(vs)
+    return ck_big, cv_big, (ks_big, vs_big)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gather_scale_columns(scale, idx):
+    """Compaction column relocation for the int8-KV scale planes
+    (L,B,nkv,S): same per-row idx map as :func:`_gather_columns`."""
+    ix = jnp.broadcast_to(idx[None, :, None, :], scale[0].shape)
+    return tuple(jnp.take_along_axis(s, ix, axis=3) for s in scale)

@@ -388,6 +388,7 @@ def decode_step(
     dstart: jax.Array,     # (B,) int32 — first VALID decode slot per row
     return_hidden: bool = False,
     ragged: bool | None = None,
+    cache_scale: tuple[jax.Array, jax.Array] | None = None,
 ):
     """One-token decode for all rows — the engine's hot loop body.
 
@@ -414,7 +415,18 @@ def decode_step(
       a continuously-batched row admitted at a later column ignores the
       columns written before it joined). Slots need not be position-ordered.
 
-    Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v).
+    ``cache_scale=(ks, vs)`` (each (L, B, nkv, S) f32) switches the caches
+    to int8 with per-vector scales (int8 KV cache): decode is HBM-bound and
+    at large B the KV reads rival the weight stream (7B B=48 S=1k: ~2.5 GB
+    bf16 per step vs 7.6 GB int8 weights), so halving them is a direct
+    step-time win. Writes quantize this step's K/V (amax/127 per (b,h)
+    vector); reads fold the K scale into the attention logits and the V
+    scale into the probabilities, so the MXU operands stay bf16 casts of
+    int8 — traffic is int8, compute is exact given the quantized values.
+    Mutually exclusive with ``ragged`` (the Pallas kernel reads bf16).
+
+    Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v) — plus
+    the updated ``cache_scale`` tuple appended when quantized.
     """
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -449,6 +461,9 @@ def decode_step(
         ragged = _os.getenv("LAPHA_RAGGED_DECODE") == "1"
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
                   and dh % 128 == 0 and S % 256 == 0)
+    if cache_scale is not None:
+        assert not use_ragged, "int8 KV cache not supported by the ragged kernel"
+        ks_all, vs_all = cache_scale
     if not use_ragged:
         ar = jnp.arange(S)[None, :]
         valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
@@ -469,10 +484,28 @@ def decode_step(
         v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
         q, k = rope1(q), rope1(k)
 
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k[None, :, :, None, :], (l, 0, 0, slot, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v[None, :, :, None, :], (l, 0, 0, slot, 0))
+        if cache_scale is not None:
+            def q8(x):  # (B, nkv, dh) -> int8 values + (B, nkv) scale
+                xf = x.astype(jnp.float32)
+                s_ = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-12)
+                return (jnp.clip(jnp.round(xf / s_[..., None]), -127, 127)
+                        .astype(jnp.int8), s_)
+
+            kq, sk = q8(k)
+            vq, sv = q8(v)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, kq[None, :, :, None, :], (l, 0, 0, slot, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, vq[None, :, :, None, :], (l, 0, 0, slot, 0))
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, sk[None, :, :, None], (l, 0, 0, slot))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, sv[None, :, :, None], (l, 0, 0, slot))
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k[None, :, :, None, :], (l, 0, 0, slot, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v[None, :, :, None, :], (l, 0, 0, slot, 0))
 
         if use_ragged:
             from ..ops.ragged_decode_attention import ragged_decode_attention
@@ -484,12 +517,23 @@ def decode_step(
         else:
             k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views
             qg = q.reshape(B, nkv, group, dh)
-            att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
-                             preferred_element_type=jnp.float32) * scale
-            att = jnp.where(valid[:, None, None, :], att, neg)
-            probs = jax.nn.softmax(att, axis=-1)
-            o = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v_all.dtype), v_all,
-                           preferred_element_type=jnp.float32)
+            if cache_scale is not None:
+                # int8 reads: cast in registers, fold scales outside the dots
+                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all.astype(x.dtype),
+                                 preferred_element_type=jnp.float32) * scale
+                att = att * ks_all[l][:, :, None, :]
+                att = jnp.where(valid[:, None, None, :], att, neg)
+                probs = jax.nn.softmax(att, axis=-1)
+                pv = (probs * vs_all[l][:, :, None, :]).astype(x.dtype)
+                o = jnp.einsum("bkgs,bksd->bkgd", pv, v_all.astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+            else:
+                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
+                                 preferred_element_type=jnp.float32) * scale
+                att = jnp.where(valid[:, None, None, :], att, neg)
+                probs = jax.nn.softmax(att, axis=-1)
+                o = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v_all.dtype), v_all,
+                               preferred_element_type=jnp.float32)
             o = o.reshape(B, nh * dh).astype(x.dtype)
         x = x + proj(o, p["attn"]["o_proj"]["w"])
 
@@ -509,4 +553,6 @@ def decode_step(
                             preferred_element_type=jnp.float32)
     else:
         logits = jnp.einsum("bh,vh->bv", x, head_w, preferred_element_type=jnp.float32)
+    if cache_scale is not None:
+        return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
     return logits, (x if return_hidden else None), cache_k, cache_v
