@@ -71,9 +71,9 @@ def load_config(model_dir: str) -> Qwen2Config:
         raise ValueError(
             f"{mt} checkpoint uses sliding_window={cfg['sliding_window']}; "
             "sliding-window attention is not implemented")
-    if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "llama", "mistral"):
+    if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "llama", "mistral"):
         raise ValueError(
-            f"unsupported model_type {mt!r} (qwen2/llama decoder family)")
+            f"unsupported model_type {mt!r} (qwen2/qwen3/llama decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -157,6 +157,11 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
         },
         "norm": {"scale": _to_jax(_get(tensors, "norm.weight"), dtype)},
     }
+    if cfg.qk_norm:  # qwen3 per-head q/k RMS norms
+        params["layers"]["attn"]["q_norm"] = {
+            "scale": stack("layers.{i}.self_attn.q_norm.weight")}
+        params["layers"]["attn"]["k_norm"] = {
+            "scale": stack("layers.{i}.self_attn.k_norm.weight")}
     if not cfg.tie_word_embeddings:
         if _has(tensors, "lm_head.weight"):
             lm_raw = _get(tensors, "lm_head.weight")
@@ -251,8 +256,11 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
         put(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
         for proj in ("q", "k", "v"):
             put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
-            if cfg.attention_bias:  # llama family stores no q/k/v bias
+            if cfg.attention_bias:  # llama/qwen3 store no q/k/v bias
                 put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
+        if cfg.qk_norm:
+            put(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
+            put(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
         for proj in ("gate", "up", "down"):
             put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)

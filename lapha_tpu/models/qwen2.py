@@ -47,6 +47,7 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
+    qk_norm: bool = False  # qwen3: per-head RMS norm on q/k before RoPE
     dtype: Any = jnp.bfloat16
     # "auto": pallas flash attention on TPU for the no-cache path, dense
     # otherwise; "pallas" forces the kernel (interpret mode off-TPU);
@@ -64,6 +65,25 @@ class Qwen2Config:
         already carries: no q/k/v bias, usually untied embeddings, big
         rope_theta)."""
         mt = cfg.get("model_type", "qwen2")
+        if mt == "qwen3":
+            # qwen3 = this decoder minus q/k/v bias plus per-head q/k RMS norm
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+                rope_theta=cfg.get("rope_theta", 1e6),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attention_bias=cfg.get("attention_bias", False),
+                qk_norm=True,
+                dtype=dtype,
+            )
         return cls(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
@@ -134,6 +154,9 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
         },
         "norm": {"scale": jnp.ones((H,), cfg.dtype)},
     }
+    if cfg.qk_norm:
+        params["layers"]["attn"]["q_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
+        params["layers"]["attn"]["k_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"weight": init(ks[8], (cfg.vocab_size, H), 0.02)}
     return params
@@ -225,6 +248,9 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     v = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["v_proj"]["w"]), preferred_element_type=jnp.float32)
          + p["attn"]["v_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
 
+    if cfg.qk_norm:  # qwen3: per-head RMS norm over dh, before RoPE
+        q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -482,6 +508,9 @@ def decode_step(
         q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
         k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
         v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+        if cfg.qk_norm:  # qwen3
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
         q, k = rope1(q), rope1(k)
 
         if cache_scale is not None:

@@ -293,3 +293,104 @@ def test_sliding_window_checkpoint_rejected(tiny_llama_dir, tmp_path):
         _json.dump(cfg, f)
     with pytest.raises(ValueError, match="sliding_window"):
         loader.load_config(str(d))
+
+
+# --------------------------------------------------------------- qwen3 family
+
+@pytest.fixture(scope="module")
+def tiny_qwen3_dir(tmp_path_factory):
+    """Tiny random HF Qwen3 (no q/k/v bias, per-head q/k RMS norm)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_qwen3")
+    hf_cfg = HFQwen3Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=24,  # qwen3 decouples head_dim from hidden/heads
+        max_position_embeddings=256,
+        rope_theta=1000000.0,
+        tie_word_embeddings=True,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(2)
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    # break the all-ones init so the q/k norms actually do something
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.mul_(1.5).add_(0.1)
+            layer.self_attn.k_norm.weight.mul_(0.7)
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_qwen3_config_from_hf(tiny_qwen3_dir):
+    cfg = loader.load_config(tiny_qwen3_dir)
+    assert cfg.qk_norm
+    assert not cfg.attention_bias
+    assert cfg.head_dim_ == 24
+
+
+def test_qwen3_logits_match_hf(tiny_qwen3_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3ForCausalLM
+
+    params, cfg = loader.load_params(tiny_qwen3_dir, dtype=jnp.float32)
+    assert "q_norm" in params["layers"]["attn"]
+    ids = rng.integers(0, 512, size=(2, 11))
+    hf = Qwen3ForCausalLM.from_pretrained(tiny_qwen3_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3_decode_matches_prefill(tiny_qwen3_dir):
+    """qk_norm through the engine decode path: KV-cached greedy == HF greedy."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3ForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_qwen3_dir, dtype=jnp.float32)
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    eng = Engine(params, cfg, IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    prompt = [5, 6, 7, 8, 9]
+    out = eng.generate([" ".join(map(str, prompt))],
+                       SamplingParams(n=1, temperature=0.0, max_tokens=6))
+    got = out[0].outputs[0].token_ids
+
+    hf = Qwen3ForCausalLM.from_pretrained(tiny_qwen3_dir).eval()
+    seq = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(6):
+            nxt = hf(seq).logits[0, -1].argmax().item()
+            seq = torch.cat([seq, torch.tensor([[nxt]])], 1)
+    assert got == seq[0, len(prompt):].tolist()
+
+
+def test_qwen3_export_roundtrip(tiny_qwen3_dir, tmp_path):
+    params, cfg = loader.load_params(tiny_qwen3_dir, dtype=jnp.float32)
+    out = str(tmp_path / "qwen3_export")
+    loader.export_hf(params, cfg, out, src_config_dir=tiny_qwen3_dir)
+    params2, cfg2 = loader.load_params(out, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(1, 9))
+    l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
