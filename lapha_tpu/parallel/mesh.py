@@ -17,14 +17,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "sequence"
 
 
-def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+def make_mesh(n_data: int | None = None, n_model: int = 1, n_seq: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model[, sequence]) mesh. Defaults: all devices on the
+    data axis. ``n_seq > 1`` appends a `sequence` axis (context parallelism,
+    models/qwen2_seq) as the FASTEST-varying dimension so ring neighbors are
+    ICI-adjacent; parameters are never sharded over it (PARAM_RULES), so all
+    existing (data, model) specs lower unchanged on the 3-axis mesh."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = devices.size // n_model
-    assert n_data * n_model == devices.size, (n_data, n_model, devices.size)
+        n_data = devices.size // (n_model * n_seq)
+    assert n_data * n_model * n_seq == devices.size, \
+        (n_data, n_model, n_seq, devices.size)
+    if n_seq > 1:
+        return Mesh(devices.reshape(n_data, n_model, n_seq),
+                    (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
     return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 
 

@@ -132,6 +132,10 @@ class MTPOConfig:
     # ---- mesh ----
     mesh_data: int = -1                       # -1: all devices on data axis
     mesh_model: int = 1
+    # context parallelism (net-new vs the reference, SURVEY §5.7): shard the
+    # training-forward sequence axis over this many devices (ring attention,
+    # models/qwen2_seq). Generation/value paths ignore the axis.
+    mesh_sequence: int = 1
 
     def __post_init__(self):
         if self.epsilon_high is None:

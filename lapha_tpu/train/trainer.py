@@ -101,8 +101,9 @@ class MTPOTrainer:
 
         # ---- mesh + sharding ----
         n_model = max(1, args.mesh_model)
+        n_seq = max(1, args.mesh_sequence)
         n_data = args.mesh_data if args.mesh_data > 0 else None
-        self.mesh = mesh or make_mesh(n_data, n_model)
+        self.mesh = mesh or make_mesh(n_data, n_model, n_seq)
         self.params = shard_params(self.params, self.mesh)
 
         # ---- engine + value fn share the training arrays ----
@@ -168,6 +169,10 @@ class MTPOTrainer:
                 value_activation=args.value_activation,
                 remat=args.gradient_checkpointing,
                 attn_impl=args.attn_implementation,
+                # mesh_sequence > 1: LM forward rides the ring-attention
+                # sequence axis of the 3-axis mesh (context parallelism)
+                seq_mesh=(self.mesh if "sequence" in self.mesh.shape
+                          and self.mesh.shape["sequence"] > 1 else None),
             ),
         )
         self.ref_params = None  # set lazily if beta > 0

@@ -113,3 +113,39 @@ def test_update_step_seq_parallel_matches_dense(ds_mesh, setup):
                     jax.tree.leaves((p_ref, h_ref))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_update_step_on_3axis_trainer_mesh(setup):
+    """mesh_sequence config surface: make_mesh(n_data, n_model, n_seq) with
+    FSDP-sharded params — the update runs with the LM forward ring-sharded
+    and the loss matches the dense path (what MTPOTrainer builds when
+    mesh_sequence > 1)."""
+    from lapha_tpu.parallel import make_mesh, shard_params
+
+    cfg, params, *_ = setup
+    from lapha_tpu.models import value_model
+
+    mesh = make_mesh(2, 1, 4)
+    assert mesh.shape == {"data": 2, "model": 1, "sequence": 4}
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    batch = _packed_batch(cfg)
+    opt = optax.adamw(1e-4)
+
+    def run(seq_mesh, p0):
+        kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2,
+                  loss_type="grpo", importance_level="token", value_w=1.0,
+                  beta=0.0, max_completion_length=8, remat=True,
+                  seq_mesh=seq_mesh)
+        update = losses.make_update_fn(cfg, opt, loss_kwargs=kw)
+        h = jax.tree.map(jnp.array, head)
+        state = opt.init((p0, h))
+        if seq_mesh is None:
+            return update(p0, h, state, batch, None)
+        with seq_mesh:
+            return update(p0, h, state, batch, None)
+
+    *_, m_ref = run(None, jax.tree.map(jnp.array, params))
+    sharded = shard_params(jax.tree.map(jnp.array, params), mesh)
+    *_, m_seq = run(mesh, sharded)
+    np.testing.assert_allclose(float(m_seq["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4, atol=1e-5)
