@@ -343,7 +343,8 @@ def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict
 
 def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
                              value_activation="sigmoid", remat=True,
-                             attn_impl: str | None = None):
+                             attn_impl: str | None = None, seq_mesh=None,
+                             seq_axis: str = "sequence"):
     """Jitted (params, head, batch) -> (sum_sq, count, grads-of-sum_sq).
 
     Per-chunk SUM of squared value errors (not mean) so micro-batch grads
@@ -358,10 +359,18 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
     def fn(params, head, batch):
         def lfn(ph):
             p, h = ph
-            _, hidden, _ = qwen2.forward(p, cfg, batch["ids"],
-                                         attention_mask=batch["attn"],
-                                         remat=remat, return_hidden=True,
-                                         compute_logits=False)
+            if seq_mesh is not None:
+                from ..models.qwen2_seq import forward_seq
+
+                _, hidden, _ = forward_seq(p, cfg, batch["ids"], batch["attn"],
+                                           mesh=seq_mesh, seq_axis=seq_axis,
+                                           remat=remat, return_hidden=True,
+                                           compute_logits=False)
+            else:
+                _, hidden, _ = qwen2.forward(p, cfg, batch["ids"],
+                                             attention_mask=batch["attn"],
+                                             remat=remat, return_hidden=True,
+                                             compute_logits=False)
             pm = pool_mask(batch["attn"], batch["resp_mask"], batch["prompt_mask"])
             h0 = masked_mean(hidden, pm)
             v_pred = value_head_apply(h0, h["w"], h["b"], activation=value_activation)

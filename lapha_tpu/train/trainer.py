@@ -180,7 +180,9 @@ class MTPOTrainer:
             self.model_cfg, no_head_scale=args.no_head_scale,
             value_activation=args.value_activation,
             remat=args.gradient_checkpointing,
-            attn_impl=args.attn_implementation)
+            attn_impl=args.attn_implementation,
+            seq_mesh=(self.mesh if "sequence" in self.mesh.shape
+                      and self.mesh.shape["sequence"] > 1 else None))
 
         self.sampling_params = SamplingParams(
             n=args.breadth, temperature=args.temperature, top_p=args.top_p,
