@@ -261,7 +261,7 @@ class Engine:
             if cache_scale is not None:
                 new_logits, hidden, ck, cv, scl = qwen2.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                    return_hidden=self.collect_h0, ragged=False,
+                    return_hidden=self.collect_h0, ragged=ragged,
                     cache_scale=scl,
                 )
             else:

@@ -96,10 +96,15 @@ class ContinuousEngine:
         assert 0 < self.slab < self.S
         self.chunk = int(chunk or engine.decode_chunk)
         self.slots = make_slot_allocator(self.B)
-        # ragged Pallas decode attention pays off on the persistent (large
-        # S, low occupancy) cache — qwen2.decode_step docstring has numbers.
-        # int8 KV (engine.kv_quant) halves the cache stream instead and is
-        # mutually exclusive with the ragged kernel (bf16 reads only).
+        # Persistent-cache attention strategy, A/B-measured at the
+        # S=4096/B=48/lens~500 shape on v5e (BASELINE.md): dense bf16 31.3,
+        # ragged bf16 28.0, dense int8 19.5, ragged int8 27.9 ms/step. The
+        # ragged kernel is program-overhead-bound at grid (B, nkv) (~0.3 ms
+        # per program — traffic-independent), so int8 KV with the DENSE
+        # read path wins decisively; ragged is worth it only for bf16
+        # caches. The int8-aware ragged kernel stays available
+        # (ops/ragged_decode_attention cache_scale) pending a fewer-
+        # programs grid redesign.
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"

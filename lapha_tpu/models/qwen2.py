@@ -449,7 +449,7 @@ def decode_step(
     vector); reads fold the K scale into the attention logits and the V
     scale into the probabilities, so the MXU operands stay bf16 casts of
     int8 — traffic is int8, compute is exact given the quantized values.
-    Mutually exclusive with ``ragged`` (the Pallas kernel reads bf16).
+    Composes with ``ragged`` (the kernel DMAs scale rows with the chunks).
 
     Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v) — plus
     the updated ``cache_scale`` tuple appended when quantized.
@@ -488,7 +488,6 @@ def decode_step(
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
                   and dh % 128 == 0 and S % 256 == 0)
     if cache_scale is not None:
-        assert not use_ragged, "int8 KV cache not supported by the ragged kernel"
         ks_all, vs_all = cache_scale
     if not use_ragged:
         ar = jnp.arange(S)[None, :]
@@ -540,8 +539,12 @@ def decode_step(
             from ..ops.ragged_decode_attention import ragged_decode_attention
 
             # full stacked cache + layer scalar: a per-layer slice here
-            # would materialize an 88 MB pallas operand per layer-step
-            o = ragged_decode_attention(q, cache_k, cache_v, l, lens, dstart, slot)
+            # would materialize an 88 MB pallas operand per layer-step.
+            # int8 caches compose: the kernel DMAs the scale rows too.
+            o = ragged_decode_attention(
+                q, cache_k, cache_v, l, lens, dstart, slot,
+                cache_scale=((ks_all, vs_all) if cache_scale is not None
+                             else None))
             o = o.reshape(B, nh * dh).astype(x.dtype)
         else:
             k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views

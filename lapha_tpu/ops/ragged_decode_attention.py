@@ -48,6 +48,24 @@ _GPAD = 8  # query-group rows padded to the f32 sublane tile
 
 def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
             o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float):
+    """bf16-cache entry (pallas passes refs positionally)."""
+    _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
+                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k, scale=scale)
+
+
+def _kernel_q8(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
+               ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem,
+               *, block_k: int, scale: float):
+    """int8-cache entry: scale planes as two extra inputs + VMEM scratch."""
+    _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
+                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k, scale=scale,
+                 ks_hbm=ks_hbm, vs_hbm=vs_hbm, ks_scr=ks_scr, vs_scr=vs_scr)
+
+
+def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
+                 o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float,
+                 ks_hbm=None, vs_hbm=None, ks_scr=None, vs_scr=None):
+    quantized = ks_hbm is not None
     b = pl.program_id(0)
     h = pl.program_id(1)
     G = q_ref.shape[2]
@@ -66,23 +84,36 @@ def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
     def chunk_of(i):
         return jnp.where(i < nc1, i, c2_lo + (i - nc1))
 
-    def start_dma(buf, i):
+    def _copies(buf, i):
         c = chunk_of(i)
-        pltpu.make_async_copy(
-            k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
-            k_scr.at[buf], sem.at[buf, 0]).start()
-        pltpu.make_async_copy(
-            v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
-            v_scr.at[buf], sem.at[buf, 1]).start()
+        cps = [
+            pltpu.make_async_copy(
+                k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+                k_scr.at[buf], sem.at[buf, 0]),
+            pltpu.make_async_copy(
+                v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+                v_scr.at[buf], sem.at[buf, 1]),
+        ]
+        if quantized:
+            # int8-KV scale rows: the planes arrive pre-viewed as
+            # (L, B, nkv, S/bk, 1, bk) so each chunk is a lane-aligned
+            # (1, bk) window (slicing the raw (.., nkv, S) plane would cut
+            # the nkv sublane dim below its tile — Mosaic rejects it)
+            cps += [
+                pltpu.make_async_copy(ks_hbm.at[l, b, h, c],
+                                      ks_scr.at[buf], sem.at[buf, 2]),
+                pltpu.make_async_copy(vs_hbm.at[l, b, h, c],
+                                      vs_scr.at[buf], sem.at[buf, 3]),
+            ]
+        return cps
+
+    def start_dma(buf, i):
+        for cp in _copies(buf, i):
+            cp.start()
 
     def wait_dma(buf, i):
-        c = chunk_of(i)
-        pltpu.make_async_copy(
-            k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
-            k_scr.at[buf], sem.at[buf, 0]).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
-            v_scr.at[buf], sem.at[buf, 1]).wait()
+        for cp in _copies(buf, i):
+            cp.wait()
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, dh)
 
@@ -103,6 +134,8 @@ def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
         v = v_scr[buf].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (G, bk)
+        if quantized:
+            s = s * ks_scr[buf]             # (1, bk) K scales fold into logits
         c = chunk_of(i)
         k_pos = c * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
         valid = (k_pos < n1) | ((k_pos >= d0) & (k_pos <= sl))
@@ -112,6 +145,8 @@ def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = lacc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_scr[buf]             # V scales fold into probabilities
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
@@ -132,12 +167,19 @@ def ragged_decode_attention(
     lens: jax.Array,     # (B,) prompt lengths
     dstart: jax.Array,   # (B,) first decode column (>= lens everywhere)
     slot: jax.Array,     # scalar — latest written column (inclusive)
+    cache_scale=None,    # int8 caches: ((L,B,nkv,S) K scales, same for V)
     *,
     block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (B, nh, dh) in q.dtype. Cache slots outside
-    [0, lens[b]) ∪ [dstart[b], slot] are never read (ragged HBM savings)."""
+    [0, lens[b]) ∪ [dstart[b], slot] are never read (ragged HBM savings).
+
+    ``cache_scale`` switches to int8-cache mode (composes the ragged read
+    savings with the int8-KV traffic halving): per-chunk scale rows are
+    DMA'd alongside the int8 K/V, the K scale folds into the logits and
+    the V scale into the probabilities — same math as the dense int8 path
+    in qwen2.decode_step."""
     B, nh, dh = q.shape
     S = k_cache.shape[3]
     nkv = k_cache.shape[2]
@@ -151,28 +193,45 @@ def ragged_decode_attention(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, _GPAD - group), (0, 0)))
     G = qg.shape[2]
 
+    quantized = cache_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, bk, dh), k_cache.dtype),
+        pltpu.VMEM((2, bk, dh), v_cache.dtype),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((2, 1, bk), jnp.float32),
+                    pltpu.VMEM((2, 1, bk), jnp.float32)]
+    scratch += [pltpu.SemaphoreType.DMA((2, 4 if quantized else 2))]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, bk, dh), k_cache.dtype),
-            pltpu.VMEM((2, bk, dh), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
+    args = [lens.astype(jnp.int32), dstart.astype(jnp.int32),
+            jnp.asarray(slot, jnp.int32).reshape(1),
+            jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache]
+    if quantized:
+        L = k_cache.shape[0]
+        args += [cache_scale[0].astype(jnp.float32)
+                 .reshape(L, B, nkv, S // bk, 1, bk),
+                 cache_scale[1].astype(jnp.float32)
+                 .reshape(L, B, nkv, S // bk, 1, bk)]
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=bk, scale=scale),
+        functools.partial(_kernel_q8 if quantized else _kernel,
+                          block_k=bk, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, nkv, G, dh), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lens.astype(jnp.int32), dstart.astype(jnp.int32),
-      jnp.asarray(slot, jnp.int32).reshape(1),
-      jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache)
+    )(*args)
 
     return out[:, :, :group].reshape(B, nh, dh)

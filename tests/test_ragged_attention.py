@@ -55,3 +55,34 @@ def test_ragged_first_decode_column():
     ref = dense_ref(q, np.asarray(k)[0], np.asarray(v)[0],
                     np.asarray(lens), np.asarray(dstart), 64)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ragged_int8_cache_matches_dense():
+    """int8 caches + per-vector scales through the kernel == dense attention
+    over the dequantized values (the scale folding is exact)."""
+    rng = np.random.default_rng(3)
+    B, S, L, nh, nkv, dh = 4, 256, 2, 12, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    kf = rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32)
+    vf = rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32)
+
+    def q8(a):
+        s = np.maximum(np.abs(a).max(-1) / 127.0, 1e-12)
+        return np.clip(np.round(a / s[..., None]), -127, 127).astype(np.int8), s
+
+    kq, ks = q8(kf)
+    vq, vs = q8(vf)
+    lens = jnp.asarray([37, 120, 64, 5], jnp.int32)
+    dstart = jnp.asarray([128, 128, 160, 128], jnp.int32)
+    slot = jnp.asarray(173, jnp.int32)
+    for layer in (0, 1):
+        out = ragged_decode_attention(
+            q, jnp.asarray(kq), jnp.asarray(vq), layer, lens, dstart, slot,
+            cache_scale=(jnp.asarray(ks.astype(np.float32)),
+                         jnp.asarray(vs.astype(np.float32))),
+            block_k=64, interpret=True)
+        # dense over the DEQUANTIZED cache — bitwise-equal math
+        kd = kq[layer].astype(np.float32) * ks[layer][..., None]
+        vd = vq[layer].astype(np.float32) * vs[layer][..., None]
+        ref = dense_ref(q, kd, vd, np.asarray(lens), np.asarray(dstart), 173)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
