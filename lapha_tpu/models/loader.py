@@ -108,13 +108,13 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     if quantize not in (None, "int8"):
         raise ValueError(f"unsupported quantize={quantize!r}")
 
-    def stack(fmt: str, transpose: bool = False):
+    def stack(fmt: str, transpose: bool = False, quantizable: bool = True):
         mats = []
         for i in range(L):
             a = _get(tensors, fmt.format(i=i))
             mats.append(a)
         out = np.stack(mats, axis=0)
-        if q8 and transpose:  # transpose==True marks the big matmul weights
+        if q8 and transpose and quantizable:  # the big matmul weights
             host = np.swapaxes(_host_f32(out), -1, -2)  # (L, in, out)
             return _quant_int8_host(host, axis=-2)
         arr = _to_jax(out, dtype)
@@ -149,14 +149,48 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                            "b": stack_bias("layers.{i}.self_attn.v_proj.bias", nkv * dh)},
                 "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
             },
-            "mlp": {
-                "gate_proj": {"w": stack("layers.{i}.mlp.gate_proj.weight", transpose=True)},
-                "up_proj": {"w": stack("layers.{i}.mlp.up_proj.weight", transpose=True)},
-                "down_proj": {"w": stack("layers.{i}.mlp.down_proj.weight", transpose=True)},
-            },
         },
         "norm": {"scale": _to_jax(_get(tensors, "norm.weight"), dtype)},
     }
+    if cfg.num_experts > 0:
+        E = cfg.num_experts
+
+        def stack_experts(fmt: str):
+            """(L, E, in, out) expert weight stack from per-expert HF mats."""
+            mats = []
+            for i in range(L):
+                per = [np.swapaxes(_get(tensors, fmt.format(i=i, e=e)), -1, -2)
+                       for e in range(E)]
+                mats.append(np.stack(per, axis=0))
+            out = np.stack(mats, axis=0)
+            if q8:
+                return _quant_int8_host(_host_f32(out), axis=-2)
+            return _to_jax(out, dtype)
+
+        params["layers"]["moe"] = {
+            # router and shared-expert sigmoid gate stay full-precision under
+            # int8 loading: they are tiny and routing is precision-sensitive
+            "router": {"w": stack("layers.{i}.mlp.gate.weight", transpose=True,
+                                  quantizable=False)},
+            "experts": {
+                "gate_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.gate_proj.weight")},
+                "up_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.up_proj.weight")},
+                "down_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.down_proj.weight")},
+            },
+            "shared": {
+                "gate_proj": {"w": stack("layers.{i}.mlp.shared_expert.gate_proj.weight", transpose=True)},
+                "up_proj": {"w": stack("layers.{i}.mlp.shared_expert.up_proj.weight", transpose=True)},
+                "down_proj": {"w": stack("layers.{i}.mlp.shared_expert.down_proj.weight", transpose=True)},
+                "gate": {"w": stack("layers.{i}.mlp.shared_expert_gate.weight",
+                                    transpose=True, quantizable=False)},
+            },
+        }
+    else:
+        params["layers"]["mlp"] = {
+            "gate_proj": {"w": stack("layers.{i}.mlp.gate_proj.weight", transpose=True)},
+            "up_proj": {"w": stack("layers.{i}.mlp.up_proj.weight", transpose=True)},
+            "down_proj": {"w": stack("layers.{i}.mlp.down_proj.weight", transpose=True)},
+        }
     if cfg.qk_norm:  # qwen3 per-head q/k RMS norms
         params["layers"]["attn"]["q_norm"] = {
             "scale": stack("layers.{i}.self_attn.q_norm.weight")}
@@ -262,8 +296,22 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
             put(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
             put(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
-        for proj in ("gate", "up", "down"):
-            put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)
+        if "moe" in lp:
+            moe = lp["moe"]
+            put(pre + "mlp.gate.weight", moe["router"]["w"][i], transpose=True)
+            E = moe["experts"]["gate_proj"]["w"].shape[1]
+            for e in range(E):
+                for proj in ("gate", "up", "down"):
+                    put(pre + f"mlp.experts.{e}.{proj}_proj.weight",
+                        moe["experts"][f"{proj}_proj"]["w"][i, e], transpose=True)
+            for proj in ("gate", "up", "down"):
+                put(pre + f"mlp.shared_expert.{proj}_proj.weight",
+                    moe["shared"][f"{proj}_proj"]["w"][i], transpose=True)
+            put(pre + "mlp.shared_expert_gate.weight",
+                moe["shared"]["gate"]["w"][i], transpose=True)
+        else:
+            for proj in ("gate", "up", "down"):
+                put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)
     put("model.norm.weight", params["norm"]["scale"])
     if not cfg.tie_word_embeddings and "lm_head" in params:
         put("lm_head.weight", params["lm_head"]["weight"])

@@ -14,11 +14,12 @@ a pure function over a stacked-parameter pytree, with
 - sharding-friendly layouts: all 2D weights are (in, out); stacked layer
   weights carry a leading layer axis (see parallel/mesh.py PARAM_RULES).
 
-Supported HF checkpoints: Qwen2 / Qwen2.5 (incl. -Math, -Instruct) and the
+Supported HF checkpoints: Qwen2 / Qwen2.5 (incl. -Math, -Instruct), the
 Llama decoder family (Llama-2/3, Mistral without sliding window) — same
 architecture modulo config knobs (attention_bias, tie_word_embeddings,
-head_dim, rope_theta) — loader in models/loader.py maps safetensors names
-onto this pytree.
+head_dim, rope_theta) — and Qwen2-MoE (Qwen1.5-MoE-A2.7B / Qwen2-57B-A14B:
+sparse FFN via ops/moe.py, ``num_experts > 0``) — loader in
+models/loader.py maps safetensors names onto this pytree.
 """
 
 from __future__ import annotations
@@ -48,6 +49,16 @@ class Qwen2Config:
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
     qk_norm: bool = False  # qwen3: per-head RMS norm on q/k before RoPE
+    # Mixture-of-experts (qwen2_moe family): num_experts == 0 means dense.
+    # All layers must be sparse (decoder_sparse_step=1, no mlp_only_layers —
+    # true of Qwen1.5-MoE-A2.7B / Qwen2-57B-A14B); mixed stacks are rejected
+    # at load time because the layer scan requires a uniform pytree.
+    num_experts: int = 0
+    num_experts_per_tok: int = 4
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = False
+    moe_impl: str = "gather"  # gather | dense | dispatch (ops/moe.py)
     dtype: Any = jnp.bfloat16
     # "auto": pallas flash attention on TPU for the no-cache path, dense
     # otherwise; "pallas" forces the kernel (interpret mode off-TPU);
@@ -65,6 +76,39 @@ class Qwen2Config:
         already carries: no q/k/v bias, usually untied embeddings, big
         rope_theta)."""
         mt = cfg.get("model_type", "qwen2")
+        if mt == "qwen2_moe":
+            L = cfg["num_hidden_layers"]
+            sparse_step = cfg.get("decoder_sparse_step", 1)
+            mlp_only = cfg.get("mlp_only_layers", []) or []
+            sparse = [i not in mlp_only and cfg.get("num_experts", 0) > 0
+                      and (i + 1) % max(sparse_step, 1) == 0 for i in range(L)]
+            if not all(sparse):
+                raise ValueError(
+                    "qwen2_moe checkpoints with dense layers mixed into the "
+                    f"stack are not supported (decoder_sparse_step="
+                    f"{sparse_step}, mlp_only_layers={mlp_only})")
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=L,
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+                attention_bias=cfg.get("qkv_bias", True),
+                num_experts=cfg["num_experts"],
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 4),
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                shared_expert_intermediate_size=cfg.get(
+                    "shared_expert_intermediate_size", 0),
+                norm_topk_prob=cfg.get("norm_topk_prob", False),
+                dtype=dtype,
+            )
         if mt == "qwen3":
             # qwen3 = this decoder minus q/k/v bias plus per-head q/k RMS norm
             return cls(
@@ -146,14 +190,32 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
                 "v_proj": {"w": init(ks[3], (L, H, nkv * dh)), "b": jnp.zeros((L, nkv * dh), cfg.dtype)},
                 "o_proj": {"w": init(ks[4], (L, nh * dh, H))},
             },
-            "mlp": {
-                "gate_proj": {"w": init(ks[5], (L, H, I))},
-                "up_proj": {"w": init(ks[6], (L, H, I))},
-                "down_proj": {"w": init(ks[7], (L, I, H))},
-            },
         },
         "norm": {"scale": jnp.ones((H,), cfg.dtype)},
     }
+    if cfg.num_experts > 0:
+        E, Im, Is = cfg.num_experts, cfg.moe_intermediate_size, cfg.shared_expert_intermediate_size
+        km = jax.random.split(ks[5], 8)
+        params["layers"]["moe"] = {
+            "router": {"w": init(km[0], (L, H, E), 0.02)},
+            "experts": {
+                "gate_proj": {"w": init(km[1], (L, E, H, Im))},
+                "up_proj": {"w": init(km[2], (L, E, H, Im))},
+                "down_proj": {"w": init(km[3], (L, E, Im, H))},
+            },
+            "shared": {
+                "gate_proj": {"w": init(km[4], (L, H, Is))},
+                "up_proj": {"w": init(km[5], (L, H, Is))},
+                "down_proj": {"w": init(km[6], (L, Is, H))},
+                "gate": {"w": init(km[7], (L, H, 1), 0.02)},
+            },
+        }
+    else:
+        params["layers"]["mlp"] = {
+            "gate_proj": {"w": init(ks[5], (L, H, I))},
+            "up_proj": {"w": init(ks[6], (L, H, I))},
+            "down_proj": {"w": init(ks[7], (L, I, H))},
+        }
     if cfg.qk_norm:
         params["layers"]["attn"]["q_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
         params["layers"]["attn"]["k_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
@@ -276,13 +338,27 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     x = x + att
 
     h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    x = x + _mlp(cfg, p, h)
+    return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
+
+
+def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
+    """Post-attention FFN on normed hidden h (B, T, H) — dense SwiGLU, or
+    the sparse MoE block (ops/moe.py) when the config has experts."""
+    B, T, H = h.shape
+    if cfg.num_experts > 0:
+        from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
+
+        out = moe_block(h.reshape(B * T, H), p["moe"],
+                        top_k=cfg.num_experts_per_tok,
+                        norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
+        return out.reshape(B, T, H)
+    dq = lambda w: dequant(w, h.dtype)
     gate = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["gate_proj"]["w"]), preferred_element_type=jnp.float32)
     up = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["up_proj"]["w"]), preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    down = jnp.einsum("bti,ih->bth", act, dq(p["mlp"]["down_proj"]["w"]),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + down
-    return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
+    act = (jax.nn.silu(gate) * up).astype(h.dtype)
+    return jnp.einsum("bti,ih->bth", act, dq(p["mlp"]["down_proj"]["w"]),
+                      preferred_element_type=jnp.float32).astype(h.dtype)
 
 
 def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None):
@@ -570,12 +646,18 @@ def decode_step(
         x = x + proj(o, p["attn"]["o_proj"]["w"])
 
         h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
-                          preferred_element_type=jnp.float32)
-        up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
-                        preferred_element_type=jnp.float32)
-        act = (jax.nn.silu(gate) * up).astype(x.dtype)
-        x = x + proj(act, p["mlp"]["down_proj"]["w"])
+        if cfg.num_experts > 0:
+            from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
+
+            x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
+                              norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
+        else:
+            gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
+                              preferred_element_type=jnp.float32)
+            up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
+                            preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gate) * up).astype(x.dtype)
+            x = x + proj(act, p["mlp"]["down_proj"]["w"])
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]

@@ -1,0 +1,206 @@
+"""Sparse Mixture-of-Experts FFN (Qwen2-MoE block) — TPU-first.
+
+Widens the model-family surface beyond the reference (which serves only
+dense Qwen2.5 via HF AutoModelForCausalLM, /root/reference/trainer/
+mtpo_trainer.py:643-663): Qwen1.5-MoE-A2.7B / Qwen2-57B-A14B checkpoints
+route each token to ``top_k`` of ``num_experts`` small FFNs plus one
+always-on shared expert (HF Qwen2MoeSparseMoeBlock semantics: softmax over
+ALL expert logits in f32, top-k, optional re-normalisation, sigmoid-gated
+shared expert).
+
+Three interchangeable execution strategies, all pure functions of the same
+stacked weights — chosen by ``impl`` (the semantics differ only where
+documented):
+
+- ``"gather"`` (default): sort token→expert pairs by expert id and run the
+  expert FFNs as grouped GEMMs with ``jax.lax.ragged_dot`` — the MXU sees
+  three large ragged matmuls instead of E small ones. Exact (no token ever
+  dropped); the single-replica hot path for serving and training.
+- ``"dense"``: every expert computes every token, then a (N, E) combine
+  weight matrix zeroes the non-selected terms. FLOP-profligate (E/k× the
+  sparse cost) but exact, trivially differentiable, and — because the
+  expert axis shards cleanly — the simplest expert-parallel program: with
+  experts split over the mesh ``model`` axis each shard runs only its own
+  experts and the combine einsum psums. Used for tiny tests and as the EP
+  reference.
+- ``"dispatch"``: GShard-style capacity-bucketed dispatch/combine einsums
+  (tokens → (groups, E, capacity) buckets → expert GEMMs → combine). The
+  production expert-parallel path: the bucket axis E shards over ``model``
+  and XLA inserts the all-to-alls. APPROXIMATE by design — tokens beyond
+  an expert's per-group capacity are dropped (their combine weight is 0),
+  bounded by ``capacity_factor``; exact when capacity is not exceeded.
+
+Weights may be int8-quantized leaves ({"q","s"}, models/quant.py) — they
+are dequantized at the use site.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..models.quant import dequant
+
+
+def route(x: jax.Array, router_w, top_k: int, norm_topk: bool):
+    """Token routing, HF Qwen2MoeSparseMoeBlock parity.
+
+    x: (N, H). Returns (topw (N, k) in x.dtype, topi (N, k) int32).
+    Softmax over all E logits in f32 FIRST, then top-k of the
+    probabilities (so un-normalized top-k weights don't sum to 1 unless
+    ``norm_topk``)."""
+    logits = jnp.einsum("nh,he->ne", x, dequant(router_w, x.dtype),
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, top_k)
+    if norm_topk:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    return topw.astype(x.dtype), topi.astype(jnp.int32)
+
+
+def _expert_ffn_batched(xe: jax.Array, experts: dict, dtype) -> jax.Array:
+    """(E, C, H) → (E, C, H): every expert's SwiGLU on its own rows."""
+    g = jnp.einsum("ech,ehi->eci", xe, dequant(experts["gate_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("ech,ehi->eci", xe, dequant(experts["up_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dtype)
+    return jnp.einsum("eci,eio->eco", a, dequant(experts["down_proj"]["w"], dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.Array:
+    """Sort + ragged grouped-GEMM execution. x: (N, H) → (N, H), exact."""
+    N, H = x.shape
+    experts = p["experts"]
+    E = experts["gate_proj"]["w"].shape[0] if not isinstance(
+        experts["gate_proj"]["w"], dict) else experts["gate_proj"]["w"]["q"].shape[0]
+    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+
+    flat_e = topi.reshape(N * top_k)
+    order = jnp.argsort(flat_e)                      # stable: ties keep token order
+    tok = order // top_k                             # source token of each pair
+    xs = jnp.take(x, tok, axis=0)                    # (N*k, H)
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    dtype = x.dtype
+    wg = dequant(experts["gate_proj"]["w"], dtype)
+    wu = dequant(experts["up_proj"]["w"], dtype)
+    wd = dequant(experts["down_proj"]["w"], dtype)
+    g = jax.lax.ragged_dot(xs, wg, group_sizes, preferred_element_type=jnp.float32)
+    u = jax.lax.ragged_dot(xs, wu, group_sizes, preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dtype)
+    y = jax.lax.ragged_dot(a, wd, group_sizes, preferred_element_type=jnp.float32)
+
+    w_pair = jnp.take(topw.reshape(N * top_k), order)  # (N*k,)
+    out = jnp.zeros((N, H), jnp.float32).at[tok].add(y * w_pair[:, None].astype(jnp.float32))
+    return out.astype(dtype)
+
+
+def moe_ffn_dense(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.Array:
+    """All-experts execution with sparse combine weights. Exact; the expert
+    axis shards over the mesh ``model`` axis (expert parallelism)."""
+    N, H = x.shape
+    dtype = x.dtype
+    experts = p["experts"]
+    wg = dequant(experts["gate_proj"]["w"], dtype)
+    E = wg.shape[0]
+    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+    cw = jnp.zeros((N, E), jnp.float32).at[
+        jnp.arange(N)[:, None], topi].add(topw.astype(jnp.float32))
+
+    g = jnp.einsum("nh,ehi->nei", x, wg, preferred_element_type=jnp.float32)
+    u = jnp.einsum("nh,ehi->nei", x, dequant(experts["up_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dtype)
+    y = jnp.einsum("nei,eio->neo", a, dequant(experts["down_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("neo,ne->no", y, cw).astype(dtype)
+
+
+def moe_ffn_dispatch(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
+                     capacity_factor: float = 2.0,
+                     group_size: int = 512) -> jax.Array:
+    """Capacity-bucketed dispatch/combine einsums (expert-parallel path).
+
+    Tokens are split into groups of ``group_size`` (bounds the (S, E, C)
+    dispatch tensor); within a group each expert accepts at most
+    ``C = ceil(top_k * S / E * capacity_factor)`` tokens (earlier tokens
+    win; overflow tokens lose that expert's contribution). All shapes are
+    static, so the whole thing jits; with expert weights sharded over
+    ``model`` the e-axis einsums become the EP all-to-alls."""
+    N, H = x.shape
+    dtype = x.dtype
+    experts = p["experts"]
+    wg = dequant(experts["gate_proj"]["w"], dtype)
+    E = wg.shape[0]
+    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+
+    S = min(group_size, N)
+    Np = ((N + S - 1) // S) * S
+    G = Np // S
+    C = max(1, math.ceil(top_k * S / E * capacity_factor))
+    C = min(C, S * top_k)
+    if Np != N:  # pad with tokens whose routing weight is zero
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+        topw = jnp.pad(topw, ((0, Np - N), (0, 0)))
+        topi = jnp.pad(topi, ((0, Np - N), (0, 0)))
+
+    xg = x.reshape(G, S, H)
+    wg_r = topw.reshape(G, S, top_k).astype(jnp.float32)
+    ig = topi.reshape(G, S, top_k)
+
+    sel = jax.nn.one_hot(ig, E, dtype=jnp.float32)           # (G, S, k, E)
+    # position of each (token, choice) in its expert's bucket, token-major
+    # priority (matches "earlier tokens win")
+    pos = jnp.cumsum(sel.reshape(G, S * top_k, E), axis=1).reshape(G, S, top_k, E) - sel
+    keep = (pos < C).astype(jnp.float32) * sel               # (G, S, k, E)
+    posc = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)  # (G,S,k,E,C)
+    dispatch = jnp.einsum("gske,gskec->gsec", keep, posc)    # (G, S, E, C)
+    combine = jnp.einsum("gsk,gske,gskec->gsec", wg_r, keep, posc)
+
+    xe = jnp.einsum("gsec,gsh->gech", dispatch.astype(dtype), xg,
+                    preferred_element_type=jnp.float32).astype(dtype)  # (G,E,C,H)
+    g = jnp.einsum("gech,ehi->geci", xe, wg, preferred_element_type=jnp.float32)
+    u = jnp.einsum("gech,ehi->geci", xe, dequant(experts["up_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dtype)
+    y = jnp.einsum("geci,eio->geco", a, dequant(experts["down_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)                 # (G,E,C,H)
+    out = jnp.einsum("gsec,gech->gsh", combine, y)           # f32
+    return out.reshape(Np, H)[:N].astype(dtype)
+
+
+def shared_expert(x: jax.Array, p: dict) -> jax.Array:
+    """Always-on shared expert with sigmoid gate (HF shared_expert +
+    shared_expert_gate). x: (N, H) → (N, H)."""
+    dtype = x.dtype
+    g = jnp.einsum("nh,hi->ni", x, dequant(p["gate_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    u = jnp.einsum("nh,hi->ni", x, dequant(p["up_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(dtype)
+    y = jnp.einsum("ni,io->no", a, dequant(p["down_proj"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    gate = jax.nn.sigmoid(
+        jnp.einsum("nh,ho->no", x, dequant(p["gate"]["w"], dtype),
+                   preferred_element_type=jnp.float32))
+    return (y * gate).astype(dtype)
+
+
+def moe_block(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
+              impl: str = "gather", capacity_factor: float = 2.0) -> jax.Array:
+    """Full Qwen2-MoE FFN block on flat tokens x (N, H): routed experts +
+    sigmoid-gated shared expert. ``impl``: gather | dense | dispatch."""
+    if impl in ("gather", "auto"):
+        routed = moe_ffn_gather(x, p, top_k=top_k, norm_topk=norm_topk)
+    elif impl == "dense":
+        routed = moe_ffn_dense(x, p, top_k=top_k, norm_topk=norm_topk)
+    elif impl == "dispatch":
+        routed = moe_ffn_dispatch(x, p, top_k=top_k, norm_topk=norm_topk,
+                                  capacity_factor=capacity_factor)
+    else:
+        raise ValueError(f"unknown moe impl {impl!r} (gather|dense|dispatch)")
+    return routed + shared_expert(x, p["shared"])

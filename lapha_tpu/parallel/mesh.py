@@ -52,7 +52,20 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, n_seq: int = 1,
 # shard). TP > nkv still lowers (GSPMD reshards the (B, nkv, dh) reshape)
 # but splits inside a KV head — validated by the dryrun's 7B-shape decode
 # parity check (__graft_entry__.dryrun_multichip).
+#
+# Expert parallelism (qwen2_moe, models/qwen2.py + ops/moe.py) rides the
+# ``model`` axis: routed-expert stacks (L, E, in, out) shard the EXPERT dim
+# over ``model`` (each shard owns E/n_model whole experts — with the
+# "dense"/"dispatch" moe impls the e-axis einsums become the EP
+# collectives), while the always-on shared expert uses the same TP split as
+# a dense MLP. The router and the shared-expert sigmoid gate are tiny and
+# replicated.
 PARAM_RULES: list[tuple[str, P]] = [
+    (r"layers/moe/router/w$", P()),
+    (r"layers/moe/experts/(gate|up|down)_proj/w$", P(None, MODEL_AXIS)),
+    (r"layers/moe/shared/(gate|up)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/moe/shared/down_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"layers/moe/shared/gate/w$", P()),
     (r"embed/weight$", P(DATA_AXIS, MODEL_AXIS)),
     (r"lm_head/weight$", P(MODEL_AXIS, DATA_AXIS)),
     (r"layers/attn/(q|k|v)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
