@@ -67,6 +67,7 @@ class Engine:
         collect_h0: bool = False,
         approx_top_k: bool = True,
         kv_quant: str | None = None,
+        seq_mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -97,6 +98,15 @@ class Engine:
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant={kv_quant!r}")
         self.kv_quant = kv_quant
+        # seq_mesh: a Mesh with a "sequence" axis — engine-side sequence
+        # parallelism. The decode KV cache is sharded over its slot axis and
+        # each step runs qwen2_seq.decode_step_seq (flash-style distributed
+        # softmax, O(B·nh·dh) per-step comms). For serving contexts whose
+        # KV exceeds one chip's HBM. bf16 caches only.
+        if seq_mesh is not None and kv_quant is not None:
+            raise ValueError("kv_quant does not compose with seq_mesh "
+                             "(sharded slots need bf16 caches)")
+        self.seq_mesh = seq_mesh
         self.prefix_cache = (
             PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse,
                              pad_to=min(self.pad_multiple, 128))
@@ -258,7 +268,14 @@ class Engine:
             new_fin = fin | is_eos | (em >= row_budget)
 
             pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
-            if cache_scale is not None:
+            if self.seq_mesh is not None:
+                from ..models import qwen2_seq
+
+                new_logits, hidden, ck, cv = qwen2_seq.decode_step_seq(
+                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    mesh=self.seq_mesh, return_hidden=self.collect_h0,
+                )
+            elif cache_scale is not None:
                 new_logits, hidden, ck, cv, scl = qwen2.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                     return_hidden=self.collect_h0, ragged=ragged,
@@ -429,6 +446,8 @@ class Engine:
         # [0, Lp) slab; decode step t writes slot Lp+t for ALL rows
         Lp = _round_up(min(self.max_model_len, max_len), self.pad_multiple)
         S = _round_up(Lp + max_new, self.pad_multiple)
+        if self.seq_mesh is not None:  # sharded slot axis: S % n_seq == 0
+            S = _round_up(S, self.seq_mesh.shape["sequence"])
 
         last_logits, (ck, cv), h_prompt = self._prefill_rows(enc, S)
 
@@ -487,6 +506,15 @@ class Engine:
             # decode cache layout: (L, B, nkv, S, dh) — see qwen2.decode_step
             ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
             cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
+            if self.seq_mesh is not None:
+                # split slot residency across the sequence shards up front —
+                # inside the decode loop shard_map keeps it resident there
+                from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+                spec = NamedSharding(self.seq_mesh,
+                                     PSpec(None, None, None, "sequence", None))
+                ck = jax.device_put(ck, spec)
+                cv = jax.device_put(cv, spec)
             cache_scale = None
             if self.kv_quant == "int8":
                 ck, cv, cache_scale = self._quantize_cache_jit(ck, cv)

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.ring_attention import ring_attend_local
-from .quant import is_quantized
-from .qwen2 import Qwen2Config, _layer_body, rms_norm, rope_freqs
+from .quant import dequant, is_quantized
+from .qwen2 import Qwen2Config, _layer_body, _layer_params, rms_norm, rope_freqs
 
 
 def forward_seq(
@@ -49,8 +49,8 @@ def forward_seq(
     Semantics match qwen2.forward's no-cache mode (causal over slot order,
     padding-aware positions via cumsum(mask)-1). Returns
     (logits | None, last_hidden | None, None) with outputs sharded
-    P(data?, sequence, ...). No KV-cache mode — decode stays on the
-    engine's single-chip/TP path where sequence sharding has no win.
+    P(data?, sequence, ...). For decode with a KV cache sharded the same
+    way, see :func:`decode_step_seq`.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -95,16 +95,171 @@ def forward_seq(
                    in_specs=(P(), spec2, spec2, spec3, spec3),
                    out_specs=spec3)
     x = fn(params, input_ids, attention_mask, cos, sin)
+    return _head(params, cfg, x, return_hidden, compute_logits)
 
+
+def _head(params, cfg, x, return_hidden, compute_logits):
+    """LM head on hidden x (..., H) — shared by forward_seq / decode_step_seq."""
     if not compute_logits:
         return None, (x if return_hidden else None), None
     head_w = (params["embed"]["weight"] if cfg.tie_word_embeddings
               else params["lm_head"]["weight"])
     if is_quantized(head_w):
         xs = x * head_w["s"][0].astype(x.dtype)
-        logits = jnp.einsum("bth,vh->btv", xs, head_w["q"].astype(x.dtype),
+        logits = jnp.einsum("...h,vh->...v", xs, head_w["q"].astype(x.dtype),
                             preferred_element_type=jnp.float32)
     else:
-        logits = jnp.einsum("bth,vh->btv", x, head_w,
+        logits = jnp.einsum("...h,vh->...v", x, head_w,
                             preferred_element_type=jnp.float32)
     return logits, (x if return_hidden else None), None
+
+
+def decode_step_seq(
+    params: dict,
+    cfg: Qwen2Config,
+    tok: jax.Array,        # (B,) int32
+    positions: jax.Array,  # (B,) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, nkv, S, dh) decode layout, S sharded
+    cache_v: jax.Array,
+    slot: jax.Array,       # scalar int32 — uniform cache slot for this step
+    lens: jax.Array,       # (B,) prompt lengths
+    dstart: jax.Array,     # (B,) first valid decode slot per row
+    *,
+    mesh: Mesh,
+    seq_axis: str = "sequence",
+    return_hidden: bool = False,
+):
+    """One-token decode with the KV cache SHARDED over the ``seq_axis``
+    slot dimension — engine-side sequence parallelism.
+
+    Serving contexts whose KV cache exceeds one chip's HBM (the training
+    side covers long-context via ring attention in :func:`forward_seq`;
+    this covers decode residency): each device holds S/n cache slots, the
+    new token's K/V is written only by the owning shard, and attention runs
+    as a flash-style distributed softmax — local masked logits → global max
+    (``pmax``) → locally rescaled exp-sums and weighted-V partials →
+    ``psum`` — so per-step communication is O(B·nh·dh), NOT O(B·nh·S) (what
+    GSPMD's all-gather-the-logits lowering would pay). Everything
+    position-local (projections, MLP, norms, LM head) is computed
+    replicated on every shard: decode is weight-bandwidth-bound and those
+    reads are the same whether replicated or not.
+
+    Semantics match qwen2.decode_step exactly (same validity rule
+    ``j < lens[b] or dstart[b] <= j <= slot``); bf16 caches only — int8-KV
+    (``cache_scale``) and the single-chip ragged kernel do not compose with
+    sharded slots yet (the engine guards this).
+
+    Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    L = cfg.num_hidden_layers
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    group = nh // nkv
+    B = tok.shape[0]
+    S = cache_k.shape[3]
+    n = mesh.shape[seq_axis]
+    assert S % n == 0, (S, n)
+    Sl = S // n
+    import math
+
+    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+
+    cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta)  # (B, dh/2)
+
+    def local(params, tok, ck, cv, cos, sin, slot, lens, dstart):
+        idx = jax.lax.axis_index(seq_axis)
+        owner = slot // Sl
+        local_slot = slot - owner * Sl
+        own = (idx == owner)
+        j_global = idx * Sl + jnp.arange(Sl)[None, :]          # (1, Sl)
+        valid = ((j_global < lens[:, None])
+                 | ((j_global >= dstart[:, None]) & (j_global <= slot)))  # (B, Sl)
+
+        def rope1(v):
+            c, s_ = cos[:, None, :], sin[:, None, :]
+            v1 = v[..., : dh // 2].astype(jnp.float32)
+            v2 = v[..., dh // 2 :].astype(jnp.float32)
+            return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
+                                   -1).astype(v.dtype)
+
+        emb = params["embed"]["weight"]
+        if is_quantized(emb):
+            x = emb["q"][tok].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+        else:
+            x = emb[tok].astype(cfg.dtype)
+
+        def proj(h, w, b=None):
+            y = jnp.einsum("bh,hd->bd", h, dequant(w, h.dtype),
+                           preferred_element_type=jnp.float32)
+            if b is not None:
+                y = y + b.astype(jnp.float32)
+            return y.astype(h.dtype)
+
+        for l in range(L):
+            p = _layer_params(params, l)
+            h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+            q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
+            k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
+            v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+            if cfg.qk_norm:
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            q, k = rope1(q), rope1(k)
+
+            # only the owner shard keeps the new K/V at its local column
+            old_k = jax.lax.dynamic_slice(ck, (l, 0, 0, local_slot, 0),
+                                          (1, B, nkv, 1, dh))
+            old_v = jax.lax.dynamic_slice(cv, (l, 0, 0, local_slot, 0),
+                                          (1, B, nkv, 1, dh))
+            wk = jnp.where(own, k[None, :, :, None, :], old_k)
+            wv = jnp.where(own, v[None, :, :, None, :], old_v)
+            ck = jax.lax.dynamic_update_slice(ck, wk, (l, 0, 0, local_slot, 0))
+            cv = jax.lax.dynamic_update_slice(cv, wv, (l, 0, 0, local_slot, 0))
+
+            # flash-style distributed softmax over the sharded slot axis
+            k_loc, v_loc = ck[l], cv[l]                      # (B, nkv, Sl, dh)
+            qg = q.reshape(B, nkv, group, dh)
+            att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc,
+                             preferred_element_type=jnp.float32) * inv_sqrt_dh
+            att = jnp.where(valid[:, None, None, :], att, -jnp.inf)
+            m_loc = jnp.max(att, axis=-1)                    # (B, nkv, g)
+            m = jax.lax.pmax(m_loc, seq_axis)
+            # guard rows with no valid local slot: exp(-inf - m) -> 0
+            pexp = jnp.exp(att - m[..., None])
+            pexp = jnp.where(valid[:, None, None, :], pexp, 0.0)
+            den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)   # (B,nkv,g)
+            num = jax.lax.psum(
+                jnp.einsum("bkgs,bksd->bkgd", pexp.astype(v_loc.dtype), v_loc,
+                           preferred_element_type=jnp.float32), seq_axis)
+            o = (num / jnp.maximum(den, 1e-30)[..., None]).reshape(B, nh * dh)
+            x = x + proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"])
+
+            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+            if cfg.num_experts > 0:
+                from ..ops.moe import moe_block
+
+                x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
+                                  norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
+            else:
+                gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
+                                  preferred_element_type=jnp.float32)
+                up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
+                                preferred_element_type=jnp.float32)
+                act = (jax.nn.silu(gate) * up).astype(x.dtype)
+                x = x + proj(act, p["mlp"]["down_proj"]["w"])
+
+        x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+        return x, ck, cv
+
+    cache_spec = P(None, None, None, seq_axis, None)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), cache_spec, cache_spec,
+                             P(), P(), P(), P(), P()),
+                   out_specs=(P(), cache_spec, cache_spec),
+                   check_rep=False)
+    x, cache_k, cache_v = fn(params, tok, cache_k, cache_v,
+                             cos_g, sin_g, jnp.asarray(slot, jnp.int32),
+                             lens, dstart)
+    logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
+    return logits, hidden, cache_k, cache_v

@@ -149,3 +149,78 @@ def test_update_step_on_3axis_trainer_mesh(setup):
     *_, m_seq = run(mesh, sharded)
     np.testing.assert_allclose(float(m_seq["loss"]), float(m_ref["loss"]),
                                rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------- engine-side SP (decode)
+
+def test_decode_step_seq_matches_decode_step(setup):
+    """One-token decode with the KV cache sharded over a sequence mesh ==
+    the single-shard decode_step (same validity rule, flash-style combine)."""
+    from lapha_tpu.models.qwen2_seq import decode_step_seq
+
+    cfg, params, *_ = setup
+    rng = np.random.default_rng(3)
+    B, S = 4, 64
+    L, nkv, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([10, 7, 13, 5], jnp.int32)
+    dstart = jnp.full((B,), 16, jnp.int32)
+    slot = jnp.asarray(18, jnp.int32)
+    tok = jnp.asarray(rng.integers(2, cfg.vocab_size, B), jnp.int32)
+    pos = lens + 2
+
+    ref = qwen2.decode_step(params, cfg, tok, pos, ck, cv, slot, lens, dstart)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    got = decode_step_seq(params, cfg, tok, pos, ck, cv, slot, lens, dstart,
+                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)      # logits
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-5)      # cache_k
+    np.testing.assert_allclose(np.asarray(got[3]), np.asarray(ref[3]),
+                               rtol=1e-5, atol=1e-5)      # cache_v
+
+
+def test_engine_generate_with_seq_mesh():
+    """Engine greedy decode with seq_mesh (KV slots sharded over 8 devices)
+    must emit the same tokens as the unsharded engine."""
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(5))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(seq_mesh):
+        return Engine(params, cfg, IdTok(), max_model_len=64, max_batch=4,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      seq_mesh=seq_mesh)
+
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=8)
+    prompts = ["5 6 7 8 9", "10 11 12"]
+    ref = [[o.token_ids for o in r.outputs] for r in mk(None).generate(prompts, sp)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = [[o.token_ids for o in r.outputs]
+           for r in mk(mesh).generate(prompts, sp)]
+    assert got == ref
+
+
+def test_engine_seq_mesh_rejects_int8_kv():
+    from lapha_tpu.engine import Engine
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    with pytest.raises(ValueError, match="kv_quant does not compose"):
+        Engine(params, cfg, object(), eos_token_ids=[], prefix_cache_bytes=0,
+               kv_quant="int8", seq_mesh=mesh)
