@@ -58,7 +58,7 @@ class Qwen2Config:
     moe_intermediate_size: int = 0
     shared_expert_intermediate_size: int = 0
     norm_topk_prob: bool = False
-    moe_impl: str = "gather"  # gather | dense | dispatch (ops/moe.py)
+    moe_impl: str = "auto"  # auto | gather | dense | dispatch (ops/moe.py)
     dtype: Any = jnp.bfloat16
     # "auto": pallas flash attention on TPU for the no-cache path, dense
     # otherwise; "pallas" forces the kernel (interpret mode off-TPU);

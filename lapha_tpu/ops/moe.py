@@ -71,8 +71,27 @@ def _expert_ffn_batched(xe: jax.Array, experts: dict, dtype) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+def _grouped_gemm(xs: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
+    """(M, K) @ (G, K, N) with rows [off_g, off_g + group_sizes[g]) hitting
+    expert g. On TPU this is the Pallas megablox grouped-matmul kernel
+    (`jax.lax.ragged_dot`'s XLA lowering is unusable there — compile hangs
+    even at G=4, measured in this env); elsewhere ragged_dot. f32 accum."""
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu import megablox as _mb
+
+        M = xs.shape[0]
+        Mp = ((M + 127) // 128) * 128  # megablox tiling wants M % tile == 0
+        if Mp != M:
+            xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
+            group_sizes = group_sizes.at[-1].add(Mp - M)  # pads sort last
+        out = _mb.gmm(xs, w, group_sizes, preferred_element_type=jnp.float32)
+        return out[:M]
+    return jax.lax.ragged_dot(xs, w, group_sizes,
+                              preferred_element_type=jnp.float32)
+
+
 def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.Array:
-    """Sort + ragged grouped-GEMM execution. x: (N, H) → (N, H), exact."""
+    """Sort + grouped-GEMM execution. x: (N, H) → (N, H), exact."""
     N, H = x.shape
     experts = p["experts"]
     E = experts["gate_proj"]["w"].shape[0] if not isinstance(
@@ -89,10 +108,10 @@ def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax
     wg = dequant(experts["gate_proj"]["w"], dtype)
     wu = dequant(experts["up_proj"]["w"], dtype)
     wd = dequant(experts["down_proj"]["w"], dtype)
-    g = jax.lax.ragged_dot(xs, wg, group_sizes, preferred_element_type=jnp.float32)
-    u = jax.lax.ragged_dot(xs, wu, group_sizes, preferred_element_type=jnp.float32)
+    g = _grouped_gemm(xs, wg, group_sizes)
+    u = _grouped_gemm(xs, wu, group_sizes)
     a = (jax.nn.silu(g) * u).astype(dtype)
-    y = jax.lax.ragged_dot(a, wd, group_sizes, preferred_element_type=jnp.float32)
+    y = _grouped_gemm(a, wd, group_sizes)
 
     w_pair = jnp.take(topw.reshape(N * top_k), order)  # (N*k,)
     out = jnp.zeros((N, H), jnp.float32).at[tok].add(y * w_pair[:, None].astype(jnp.float32))
@@ -191,10 +210,17 @@ def shared_expert(x: jax.Array, p: dict) -> jax.Array:
 
 
 def moe_block(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
-              impl: str = "gather", capacity_factor: float = 2.0) -> jax.Array:
+              impl: str = "auto", capacity_factor: float = 2.0) -> jax.Array:
     """Full Qwen2-MoE FFN block on flat tokens x (N, H): routed experts +
-    sigmoid-gated shared expert. ``impl``: gather | dense | dispatch."""
-    if impl in ("gather", "auto"):
+    sigmoid-gated shared expert. ``impl``: auto | gather | dense | dispatch.
+
+    ``auto`` resolves per backend: ``dispatch`` on TPU (every shape static —
+    the safest compile path on this stack, where grouped-GEMM programs with
+    runtime group sizes compile pathologically slowly through the remote
+    compiler), ``gather`` elsewhere (exact, no drops)."""
+    if impl == "auto":
+        impl = "dispatch" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
         routed = moe_ffn_gather(x, p, top_k=top_k, norm_topk=norm_topk)
     elif impl == "dense":
         routed = moe_ffn_dense(x, p, top_k=top_k, norm_topk=norm_topk)

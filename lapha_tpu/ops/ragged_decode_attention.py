@@ -12,11 +12,19 @@ This kernel DMAs only the chunks intersecting each row's valid ranges:
 
 (the engine's slot-uniform layout: [0, lens[b]) is the row's prompt,
 [dstart[b], slot] its decode columns; dstart >= lens always, so the two
-ranges never overlap). Grid (B, nkv); per program the GQA query group
-(nh/nkv rows, padded to 8 sublanes) lives in VMEM with f32 online-softmax
-accumulators while K/V chunks stream HBM->VMEM double-buffered
-(pltpu.make_async_copy), chunk count = ceil(lens/bk) + the decode-range
-chunks — NOT S/bk.
+ranges never overlap). Chunk count per row = ceil(lens/bk) + the decode-
+range chunks — NOT S/bk.
+
+Grid (B/block_rows, nkv): each program owns ``block_rows`` rows and walks
+their chunk lists as ONE flattened loop with double-buffered HBM→VMEM DMA
+(pltpu.make_async_copy) that crosses row boundaries, so the stream never
+stalls between rows. v1 of this kernel used one program per (row, head);
+measured on v5e the per-program fixed cost (~0.3 ms across the 96-program
+grid at B=48) dominated the DMA'd bytes and the kernel barely beat dense —
+batching rows into programs amortizes it by block_rows. Per-row f32
+online-softmax accumulators (the GQA query group, nh/nkv rows padded to 8
+sublanes) are reset in-register at row boundaries and each row's output is
+stored when its last chunk retires.
 
 The kernel takes the FULL stacked (L, B, nkv, S, dh) caches plus the layer
 index as a scalar-prefetch arg: inside the engine's unrolled decode loop a
@@ -47,51 +55,74 @@ _GPAD = 8  # query-group rows padded to the f32 sublane tile
 
 
 def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
-            o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float):
+            o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float,
+            block_rows: int):
     """bf16-cache entry (pallas passes refs positionally)."""
     _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
-                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k, scale=scale)
+                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+                 scale=scale, block_rows=block_rows)
 
 
 def _kernel_q8(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
                ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem,
-               *, block_k: int, scale: float):
+               *, block_k: int, scale: float, block_rows: int):
     """int8-cache entry: scale planes as two extra inputs + VMEM scratch."""
     _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
-                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k, scale=scale,
+                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+                 scale=scale, block_rows=block_rows,
                  ks_hbm=ks_hbm, vs_hbm=vs_hbm, ks_scr=ks_scr, vs_scr=vs_scr)
 
 
 def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
                  o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float,
-                 ks_hbm=None, vs_hbm=None, ks_scr=None, vs_scr=None):
+                 block_rows: int, ks_hbm=None, vs_hbm=None, ks_scr=None,
+                 vs_scr=None):
     quantized = ks_hbm is not None
-    b = pl.program_id(0)
+    pb = pl.program_id(0)
     h = pl.program_id(1)
+    NB = block_rows
     G = q_ref.shape[2]
     dh = q_ref.shape[3]
 
-    n1 = lens_ref[b]          # prompt range [0, n1)
-    d0 = dstart_ref[b]        # decode range [d0, sl]
     sl = slot_ref[0]
     l = layer_ref[0]
+    ndc = (sl + block_k) // block_k  # cdiv(sl+1, bk): decode chunks end
 
-    nc1 = pl.cdiv(n1, block_k)                # prompt chunks
-    c2_lo = d0 // block_k                     # first decode chunk
-    nc2 = pl.cdiv(sl + 1, block_k) - c2_lo    # decode chunks (sl >= d0)
-    n_chunks = nc1 + nc2
+    def row_params(r):
+        """r: traced or static in [0, NB). Scalars from SMEM."""
+        rb = pb * NB + r
+        n1 = lens_ref[rb]          # prompt range [0, n1)
+        d0 = dstart_ref[rb]        # decode range [d0, sl]
+        nc1 = (n1 + block_k - 1) // block_k
+        c2_lo = d0 // block_k
+        nc = nc1 + (ndc - c2_lo)   # >= 1 always (n1 >= 1, d0 <= sl)
+        return n1, d0, nc1, c2_lo, nc
 
-    def chunk_of(i):
+    # flattened chunk count across this program's rows (static unroll of NB)
+    total = row_params(0)[4]
+    for r in range(1, NB):
+        total = total + row_params(r)[4]
+
+    def chunk_of(r, i):
+        n1, d0, nc1, c2_lo, nc = row_params(r)
         return jnp.where(i < nc1, i, c2_lo + (i - nc1))
 
-    def _copies(buf, i):
-        c = chunk_of(i)
+    def next_ri(r, i):
+        """(row, chunk) after (r, i); every row has >= 1 chunk."""
+        nc = row_params(r)[4]
+        last = (i + 1) >= nc
+        return jnp.where(last, r + 1, r), jnp.where(last, 0, i + 1)
+
+    def _copies(buf, r, i):
+        c = chunk_of(r, i)
+        # stub rows past the real batch read row B-1's panels (cheap, dropped)
+        rb = jnp.minimum(pb * NB + r, k_hbm.shape[1] - 1)
         cps = [
             pltpu.make_async_copy(
-                k_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+                k_hbm.at[l, rb, h, pl.ds(c * block_k, block_k), :],
                 k_scr.at[buf], sem.at[buf, 0]),
             pltpu.make_async_copy(
-                v_hbm.at[l, b, h, pl.ds(c * block_k, block_k), :],
+                v_hbm.at[l, rb, h, pl.ds(c * block_k, block_k), :],
                 v_scr.at[buf], sem.at[buf, 1]),
         ]
         if quantized:
@@ -100,43 +131,47 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
             # (1, bk) window (slicing the raw (.., nkv, S) plane would cut
             # the nkv sublane dim below its tile — Mosaic rejects it)
             cps += [
-                pltpu.make_async_copy(ks_hbm.at[l, b, h, c],
+                pltpu.make_async_copy(ks_hbm.at[l, rb, h, c],
                                       ks_scr.at[buf], sem.at[buf, 2]),
-                pltpu.make_async_copy(vs_hbm.at[l, b, h, c],
+                pltpu.make_async_copy(vs_hbm.at[l, rb, h, c],
                                       vs_scr.at[buf], sem.at[buf, 3]),
             ]
         return cps
 
-    def start_dma(buf, i):
-        for cp in _copies(buf, i):
+    def start_dma(buf, r, i):
+        for cp in _copies(buf, r, i):
             cp.start()
 
-    def wait_dma(buf, i):
-        for cp in _copies(buf, i):
+    def wait_dma(buf, r, i):
+        for cp in _copies(buf, r, i):
             cp.wait()
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, dh)
+    start_dma(0, 0, 0)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_dma(0, 0)
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    a0 = jnp.zeros((G, dh), jnp.float32)
 
-    def body(i, carry):
-        m, lacc, acc = carry
-        buf = i % 2
+    def body(t, carry):
+        r, i, m, lacc, acc = carry
+        buf = t % 2
+        nr, ni = next_ri(r, i)
 
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(t + 1 < total)
         def _():
-            start_dma((i + 1) % 2, i + 1)
+            start_dma((t + 1) % 2, nr, ni)
 
-        wait_dma(buf, i)
+        wait_dma(buf, r, i)
+        n1, d0, nc1, c2_lo, nc = row_params(r)
+        q = q_ref[pl.ds(r, 1)][0, 0].astype(jnp.float32) * scale
+
         k = k_scr[buf].astype(jnp.float32)  # (bk, dh)
         v = v_scr[buf].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (G, bk)
         if quantized:
             s = s * ks_scr[buf]             # (1, bk) K scales fold into logits
-        c = chunk_of(i)
+        c = chunk_of(r, i)
         k_pos = c * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
         valid = (k_pos < n1) | ((k_pos >= d0) & (k_pos <= sl))
         s = jnp.where(valid, s, NEG_INF)
@@ -149,16 +184,25 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
             p = p * vs_scr[buf]             # V scales fold into probabilities
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    a0 = jnp.zeros((G, dh), jnp.float32)
-    m, lacc, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
-    o_ref[0, 0] = (acc / jnp.maximum(lacc, 1e-30)).astype(o_ref.dtype)
+        last = (i + 1) >= nc
+
+        @pl.when(last)
+        def _():
+            o = (acc_new / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
+            o_ref[pl.ds(r, 1)] = o[None, None]
+
+        # reset accumulators in-register at row boundaries
+        keep = jnp.where(last, 0.0, 1.0)
+        m_out = jnp.where(last, NEG_INF, m_new)
+        return nr, ni, m_out, l_new * keep, acc_new * keep
+
+    jax.lax.fori_loop(0, total, body,
+                      (jnp.int32(0), jnp.int32(0), m0, l0, a0))
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_rows", "interpret"))
 def ragged_decode_attention(
     q: jax.Array,        # (B, nh, dh) current-token queries
     k_cache: jax.Array,  # (L, B, nkv, S, dh) — full stacked decode cache
@@ -170,6 +214,7 @@ def ragged_decode_attention(
     cache_scale=None,    # int8 caches: ((L,B,nkv,S) K scales, same for V)
     *,
     block_k: int = 256,
+    block_rows: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (B, nh, dh) in q.dtype. Cache slots outside
@@ -179,7 +224,10 @@ def ragged_decode_attention(
     savings with the int8-KV traffic halving): per-chunk scale rows are
     DMA'd alongside the int8 K/V, the K scale folds into the logits and
     the V scale into the probabilities — same math as the dense int8 path
-    in qwen2.decode_step."""
+    in qwen2.decode_step.
+
+    ``block_rows`` rows share one program (grid B/block_rows × nkv);
+    rows padded in (lens=1 stubs) when B isn't a multiple."""
     B, nh, dh = q.shape
     S = k_cache.shape[3]
     nkv = k_cache.shape[2]
@@ -187,15 +235,27 @@ def ragged_decode_attention(
     scale = 1.0 / math.sqrt(dh)
     bk = min(block_k, S)
     assert S % bk == 0, (S, bk)
+    NB = max(1, min(block_rows, B))
 
     qg = q.reshape(B, nkv, group, dh)
     if group < _GPAD:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, _GPAD - group), (0, 0)))
     G = qg.shape[2]
 
+    Bp = ((B + NB - 1) // NB) * NB
+    lens_p, dstart_p = lens.astype(jnp.int32), dstart.astype(jnp.int32)
+    if Bp != B:
+        # stub rows: 1-token prompt + the current decode chunk (2 chunks of
+        # dead DMA each); their outputs are sliced off below. The CACHE is
+        # not padded — stub DMAs clamp to row B-1's panels (pl.ds clamps
+        # like dynamic_slice), reading garbage that lands in dropped rows.
+        qg = jnp.pad(qg, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+        lens_p = jnp.pad(lens_p, (0, Bp - B), constant_values=1)
+        dstart_p = jnp.pad(dstart_p, (0, Bp - B), constant_values=0)
+
     quantized = cache_scale is not None
     in_specs = [
-        pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec((NB, 1, G, dh), lambda pb, h, *_: (pb, h, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
@@ -212,12 +272,12 @@ def ragged_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, nkv),
+        grid=(Bp // NB, nkv),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((NB, 1, G, dh), lambda pb, h, *_: (pb, h, 0, 0)),
         scratch_shapes=scratch,
     )
-    args = [lens.astype(jnp.int32), dstart.astype(jnp.int32),
+    args = [lens_p, dstart_p,
             jnp.asarray(slot, jnp.int32).reshape(1),
             jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache]
     if quantized:
@@ -228,10 +288,10 @@ def ragged_decode_attention(
                  .reshape(L, B, nkv, S // bk, 1, bk)]
     out = pl.pallas_call(
         functools.partial(_kernel_q8 if quantized else _kernel,
-                          block_k=bk, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B, nkv, G, dh), q.dtype),
+                          block_k=bk, scale=scale, block_rows=NB),
+        out_shape=jax.ShapeDtypeStruct((Bp, nkv, G, dh), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*args)
 
-    return out[:, :, :group].reshape(B, nh, dh)
+    return out[:B, :, :group].reshape(B, nh, dh)
