@@ -118,3 +118,26 @@ def test_compaction_reclaims_columns():
         assert outB.outputs[0].token_ids == ref
     finally:
         ce.stop()
+
+
+def test_moe_model_through_scheduler():
+    """Continuous batching with a sparse-MoE model: the scheduler's decode
+    path runs qwen2.decode_step's MoE branch; greedy == sync engine."""
+    cfg = Qwen2Config.tiny(vocab_size=300, num_experts=4, num_experts_per_tok=2,
+                           moe_intermediate_size=32,
+                           shared_expert_intermediate_size=48,
+                           tie_word_embeddings=False)
+    params = qwen2.init_params(cfg, jax.random.key(11))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    ce = ContinuousEngine(eng, prompt_slab=64, chunk=4)
+    ce.start()
+    try:
+        sp = SamplingParams(n=1, temperature=0.0, max_tokens=6)
+        prompts = ["moe scheduling", "expert routing request"]
+        ref = [r.outputs[0].token_ids for r in eng.generate(prompts, sp)]
+        got = [r.outputs[0].token_ids for r in ce.generate(prompts, sp)]
+        assert got == ref
+    finally:
+        ce.stop()

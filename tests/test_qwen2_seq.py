@@ -224,3 +224,28 @@ def test_engine_seq_mesh_rejects_int8_kv():
     with pytest.raises(ValueError, match="kv_quant does not compose"):
         Engine(params, cfg, object(), eos_token_ids=[], prefix_cache_bytes=0,
                kv_quant="int8", seq_mesh=mesh)
+
+
+def test_decode_step_seq_qk_norm():
+    """Sequence-sharded decode with the qwen3 per-head q/k RMS norm branch."""
+    from lapha_tpu.models.qwen2_seq import decode_step_seq
+
+    cfg = Qwen2Config.tiny(qk_norm=True, attention_bias=False,
+                           tie_word_embeddings=False)
+    params = qwen2.init_params(cfg, jax.random.key(8))
+    rng = np.random.default_rng(4)
+    B, S = 2, 32
+    L, nkv, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([6, 9], jnp.int32)
+    dstart = jnp.full((B,), 16, jnp.int32)
+    slot = jnp.asarray(17, jnp.int32)
+    tok = jnp.asarray(rng.integers(2, cfg.vocab_size, B), jnp.int32)
+    pos = lens + 1
+    ref = qwen2.decode_step(params, cfg, tok, pos, ck, cv, slot, lens, dstart)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = decode_step_seq(params, cfg, tok, pos, ck, cv, slot, lens, dstart,
+                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
