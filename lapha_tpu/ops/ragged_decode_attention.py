@@ -173,7 +173,14 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
             s = s * ks_scr[buf]             # (1, bk) K scales fold into logits
         c = chunk_of(r, i)
         k_pos = c * block_k + jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
-        valid = (k_pos < n1) | ((k_pos >= d0) & (k_pos <= sl))
+        # per-SEGMENT validity, not the union: when d0 is not chunk-aligned
+        # (scheduler rows after KV compaction) the prompt's last chunk and
+        # the decode range's first chunk can be the SAME chunk, processed
+        # twice — a union mask would count its positions twice in the
+        # softmax. Each pass admits only its own segment's positions (the
+        # segments are disjoint: d0 >= n1 always).
+        valid = jnp.where(i < nc1, k_pos < n1,
+                          (k_pos >= d0) & (k_pos <= sl))
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))

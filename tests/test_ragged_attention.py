@@ -86,3 +86,33 @@ def test_ragged_int8_cache_matches_dense():
         vd = vq[layer].astype(np.float32) * vs[layer][..., None]
         ref = dense_ref(q, kd, vd, np.asarray(lens), np.asarray(dstart), 173)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_unaligned_dstart_shared_chunk_not_double_counted():
+    """When dstart is not chunk-aligned (scheduler rows after KV
+    compaction), the prompt's last chunk and the decode range's first chunk
+    can be the SAME chunk — it is DMA'd twice, and a union validity mask
+    would count its positions twice in the softmax (regression: per-segment
+    masks in _kernel_impl)."""
+    rng = np.random.default_rng(13)
+    L, B, nkv, S, dh, nh = 2, 2, 2, 128, 64, 4
+    kc = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    # bk=32: prompt [0, 40) spans chunks 0-1; decode [44, 60] starts inside
+    # chunk 1 -> chunk 1 serves both segments
+    lens = jnp.asarray([40, 40], jnp.int32)
+    dstart = jnp.asarray([44, 44], jnp.int32)
+    slot = jnp.asarray(60, jnp.int32)
+    out = ragged_decode_attention(q, kc, vc, 1, lens, dstart, slot,
+                                  block_k=32, interpret=True)
+
+    qg = q.reshape(B, nkv, nh // nkv, dh)
+    att = jnp.einsum("bkgd,bksd->bkgs", qg, kc[1]) / np.sqrt(dh)
+    ar = jnp.arange(S)[None, :]
+    valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))
+    att = jnp.where(valid[:, None, None, :], att, -1e30)
+    p = jax.nn.softmax(att, -1)
+    ref = jnp.einsum("bkgs,bksd->bkgd", p, vc[1]).reshape(B, nh, dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
