@@ -107,6 +107,14 @@ class Engine:
             raise ValueError("kv_quant does not compose with seq_mesh "
                              "(sharded slots need bf16 caches)")
         self.seq_mesh = seq_mesh
+        if seq_mesh is not None:
+            # token-prefix KV reuse stores per-row cache slices; slicing a
+            # slot-sharded cache per row would gather across shards — the
+            # long-context niche this mode serves rarely shares prefixes
+            # at MCTS density, so reuse is disabled rather than slowed
+            prefix_cache_bytes = 0
+        self._prefill_seq_jit = jax.jit(self._prefill_seq_impl,
+                                        static_argnames=("S",))
         self.prefix_cache = (
             PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse,
                              pad_to=min(self.pad_multiple, 128))
@@ -173,6 +181,35 @@ class Engine:
         else:
             h_sum = jnp.zeros((P, self.cfg.hidden_size), jnp.float32)
         return last, cache, h_sum
+
+    def _prefill_seq_impl(self, params, ids, mask, plen, S: int):
+        """Sequence-SHARDED prefill (engine-side SP): the whole prompt
+        forward runs ring-sharded over the seq_mesh (qwen2_seq.forward_seq)
+        and the per-layer post-RoPE K/V seed a prefill-layout cache whose
+        slot axis is sharded — so neither prompt activations nor the KV
+        cache ever materialize on one chip. Same returns as _prefill_impl."""
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..models import qwen2_seq
+
+        P_, Lp = ids.shape
+        logits, hidden, (ks, vs) = qwen2_seq.forward_seq(
+            params, self.cfg, ids, attention_mask=mask, mesh=self.seq_mesh,
+            return_hidden=self.collect_h0, return_kv=True)
+        last = jnp.take_along_axis(
+            logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0, :]
+        # (L, P, Lp, nkv, dh) -> slot-padded prefill layout (L, P, S, nkv, dh)
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, S - Lp), (0, 0), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, S - Lp), (0, 0), (0, 0)))
+        spec = NamedSharding(self.seq_mesh, PSpec(None, None, "sequence", None, None))
+        ks = jax.lax.with_sharding_constraint(ks, spec)
+        vs = jax.lax.with_sharding_constraint(vs, spec)
+        if self.collect_h0:
+            h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
+                               mask.astype(jnp.float32))
+        else:
+            h_sum = jnp.zeros((P_, self.cfg.hidden_size), jnp.float32)
+        return last, (ks, vs), h_sum
 
     def _write_prefix_impl(self, cache_k, cache_v, pk, pv, row):
         """Copy one row's reused prefix KV (bucket-padded (L, Pb, nkv, dh))
@@ -334,6 +371,8 @@ class Engine:
         P = len(enc_rows)
         Lp = min(_round_up(max(len(e) for e in enc_rows), self.pad_multiple),
                  self.max_model_len)
+        if self.seq_mesh is not None:  # ring prefill shards tokens n_seq ways
+            Lp = _round_up(Lp, self.seq_mesh.shape["sequence"])
         Pb = _round_up(P, self.batch_bucket)
         ids = np.zeros((Pb, Lp), np.int32)
         mask = np.zeros((Pb, Lp), np.int32)
@@ -342,7 +381,9 @@ class Engine:
             ids[i, : len(e)] = e
             mask[i, : len(e)] = 1
             plen[i] = len(e)
-        last, cache, h_sum = self._prefill_jit(
+        prefill = (self._prefill_seq_jit if self.seq_mesh is not None
+                   else self._prefill_jit)
+        last, cache, h_sum = prefill(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(plen), S=S)
         return last[:P], (cache[0][:, :P], cache[1][:, :P]), h_sum[:P]

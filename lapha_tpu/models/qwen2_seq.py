@@ -43,14 +43,18 @@ def forward_seq(
     remat: bool = False,
     return_hidden: bool = False,
     compute_logits: bool = True,
+    return_kv: bool = False,
 ):
     """Training/prefill forward with the sequence axis sharded over `mesh`.
 
     Semantics match qwen2.forward's no-cache mode (causal over slot order,
     padding-aware positions via cumsum(mask)-1). Returns
-    (logits | None, last_hidden | None, None) with outputs sharded
-    P(data?, sequence, ...). For decode with a KV cache sharded the same
-    way, see :func:`decode_step_seq`.
+    (logits | None, last_hidden | None, kv | None) with outputs sharded
+    P(data?, sequence, ...); ``return_kv=True`` additionally returns the
+    per-layer post-RoPE K/V as ``(k, v)`` each (L, B, T, nkv, dh) sharded
+    over T — the engine's sequence-sharded prefill uses this to seed a
+    slot-sharded decode cache (:func:`decode_step_seq`). For the decode
+    step itself see :func:`decode_step_seq`.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -75,7 +79,11 @@ def forward_seq(
 
         vary = (da, seq_axis) if da else (seq_axis,)
 
+        kv_out = [] if return_kv else None
+
         def attend(q, k, v):
+            if return_kv:
+                kv_out.append((k, v))
             return ring_attend_local(q, k, v, mask, axis=seq_axis, n=n,
                                      vary_axes=vary)
 
@@ -84,6 +92,19 @@ def forward_seq(
                                       p, attend_fn=attend)
             return x2, None
 
+        if return_kv:
+            # unrolled layers so each layer's K/V is captured (scan would
+            # hide them in the carry); prefill is one-shot, the compile-size
+            # cost is acceptable on the serving path
+            x2 = x
+            for l in range(cfg.num_hidden_layers):
+                p_l = jax.tree.map(lambda w: w[l], params["layers"])
+                x2, _ = body(x2, p_l)
+            x = x2
+            kstack = jnp.stack([k for k, _ in kv_out])  # (L, B, Tl, nkv, dh)
+            vstack = jnp.stack([v for _, v in kv_out])
+            h = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+            return h, kstack, vstack
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         x, _ = jax.lax.scan(body, x, params["layers"])
@@ -91,6 +112,14 @@ def forward_seq(
 
     spec2 = P(da, seq_axis)
     spec3 = P(da, seq_axis, None)
+    if return_kv:
+        kv_spec = P(None, da, seq_axis, None, None)
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), spec2, spec2, spec3, spec3),
+                       out_specs=(spec3, kv_spec, kv_spec))
+        x, kstack, vstack = fn(params, input_ids, attention_mask, cos, sin)
+        logits, hidden, _ = _head(params, cfg, x, return_hidden, compute_logits)
+        return logits, hidden, (kstack, vstack)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), spec2, spec2, spec3, spec3),
                    out_specs=spec3)

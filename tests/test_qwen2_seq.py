@@ -249,3 +249,38 @@ def test_decode_step_seq_qk_norm():
                           mesh=mesh)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_engine_seq_mesh_sharded_prefill_long_prompt():
+    """Engine-side SP end-to-end: a prompt long enough to span every shard
+    prefills ring-sharded (forward_seq return_kv) into a slot-sharded cache
+    and decodes to the same greedy tokens as the unsharded engine."""
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(6))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(seq_mesh):
+        return Engine(params, cfg, IdTok(), max_model_len=160, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      seq_mesh=seq_mesh)
+
+    rng2 = np.random.default_rng(2)
+    prompts = [" ".join(str(i) for i in rng2.integers(2, 300, 100)),
+               " ".join(str(i) for i in rng2.integers(2, 300, 57))]
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=6)
+    ref = [r.outputs[0].token_ids for r in mk(None).generate(prompts, sp)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = [r.outputs[0].token_ids for r in mk(mesh).generate(prompts, sp)]
+    assert got == ref
