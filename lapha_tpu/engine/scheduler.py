@@ -89,6 +89,12 @@ class ContinuousEngine:
 
     def __init__(self, engine: Engine, *, prompt_slab: int | None = None,
                  chunk: int | None = None):
+        if getattr(engine, "seq_mesh", None) is not None:
+            raise ValueError(
+                "ContinuousEngine does not compose with Engine(seq_mesh=...) "
+                "yet: mid-wave KV compaction slices per-row columns, which "
+                "would gather across sequence shards. Use the sync engine "
+                "for sequence-sharded serving.")
         self.engine = engine
         self.B = engine.max_batch
         self.S = _round_up(engine.max_model_len, engine.pad_multiple)
