@@ -178,9 +178,14 @@ def decode_step_seq(
     (``cache_scale``) and the single-chip ragged kernel do not compose with
     sharded slots yet (the engine guards this).
 
+    COMPOSES WITH TENSOR PARALLELISM: only ``seq_axis`` is manual
+    (jax.shard_map ``axis_names``); every other mesh axis stays auto, so on
+    a (data, model, sequence) mesh with TP-sharded params GSPMD partitions
+    the projections/MLP over ``model`` exactly as in the unsharded-decode
+    path while the slot axis rides the manual flash-combine.
+
     Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v).
     """
-    from jax.experimental.shard_map import shard_map
 
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -282,11 +287,11 @@ def decode_step_seq(
         return x, ck, cv
 
     cache_spec = P(None, None, None, seq_axis, None)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), cache_spec, cache_spec,
-                             P(), P(), P(), P(), P()),
-                   out_specs=(P(), cache_spec, cache_spec),
-                   check_rep=False)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), cache_spec, cache_spec,
+                                 P(), P(), P(), P(), P()),
+                       out_specs=(P(), cache_spec, cache_spec),
+                       axis_names={seq_axis}, check_vma=False)
     x, cache_k, cache_v = fn(params, tok, cache_k, cache_v,
                              cos_g, sin_g, jnp.asarray(slot, jnp.int32),
                              lens, dstart)

@@ -284,3 +284,41 @@ def test_engine_seq_mesh_sharded_prefill_long_prompt():
     mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
     got = [r.outputs[0].token_ids for r in mk(mesh).generate(prompts, sp)]
     assert got == ref
+
+
+def test_engine_seq_mesh_composes_with_tp():
+    """TP × SP: a (data=1, model=2, sequence=4) mesh with TP-sharded params
+    and the slot-sharded decode cache — greedy tokens must match the fully
+    unsharded engine (manual seq axis + GSPMD-auto model axis)."""
+    from lapha_tpu.engine import Engine, SamplingParams
+    from lapha_tpu.parallel import make_mesh, shard_params
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(7))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(p, seq_mesh):
+        return Engine(p, cfg, IdTok(), max_model_len=96, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      seq_mesh=seq_mesh)
+
+    rng3 = np.random.default_rng(3)
+    prompts = [" ".join(str(i) for i in rng3.integers(2, 300, 40))]
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=6)
+    ref = [o.token_ids for o in mk(params, None).generate(prompts, sp)[0].outputs]
+    mesh = make_mesh(1, 2, 4)  # (data, model, sequence)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        got = [o.token_ids
+               for o in mk(sharded, mesh).generate(prompts, sp)[0].outputs]
+    assert got == ref
