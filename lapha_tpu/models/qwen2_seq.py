@@ -12,10 +12,12 @@ needs zero communication. Per-device activation memory is O(T/n) and
 attention score memory O((T/n)²) per block, so max trainable context
 scales linearly with the ring size.
 
-Composes with data parallelism: a ``(data, sequence)`` mesh shards batch
-over `data` and tokens over `sequence`. Parameters enter the shard_map
-replicated (in_spec P()); XLA gathers FSDP-sharded params once per step —
-the same traffic FSDP pays anyway. Fully differentiable (the ring is pure
+Composes with data AND tensor parallelism: only the (data?, sequence)
+axes are manual (jax.shard_map ``axis_names``); any other mesh axis — a
+TP ``model`` axis in particular — stays auto, so TP-sharded parameters
+are partitioned by GSPMD inside the shard_map instead of being gathered
+replicated per shard. FSDP-sharded params are gathered once per step (the
+same traffic FSDP pays anyway). Fully differentiable (the ring is pure
 jnp under XLA AD); ``remat=True`` checkpoints per layer exactly like
 qwen2._scan_layers.
 """
@@ -56,8 +58,6 @@ def forward_seq(
     slot-sharded decode cache (:func:`decode_step_seq`). For the decode
     step itself see :func:`decode_step_seq`.
     """
-    from jax.experimental.shard_map import shard_map
-
     B, T = input_ids.shape
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
@@ -112,17 +112,23 @@ def forward_seq(
 
     spec2 = P(da, seq_axis)
     spec3 = P(da, seq_axis, None)
+    # manual over (data?, sequence) ONLY: any other mesh axis (e.g. a TP
+    # `model` axis) stays auto, so TP-sharded params are partitioned by
+    # GSPMD inside instead of being gathered replicated per shard
+    manual = {seq_axis} | ({da} if da else set())
     if return_kv:
         kv_spec = P(None, da, seq_axis, None, None)
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P(), spec2, spec2, spec3, spec3),
-                       out_specs=(spec3, kv_spec, kv_spec))
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(), spec2, spec2, spec3, spec3),
+                           out_specs=(spec3, kv_spec, kv_spec),
+                           axis_names=manual)
         x, kstack, vstack = fn(params, input_ids, attention_mask, cos, sin)
         logits, hidden, _ = _head(params, cfg, x, return_hidden, compute_logits)
         return logits, hidden, (kstack, vstack)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), spec2, spec2, spec3, spec3),
-                   out_specs=spec3)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), spec2, spec2, spec3, spec3),
+                       out_specs=spec3,
+                       axis_names=manual)
     x = fn(params, input_ids, attention_mask, cos, sin)
     return _head(params, cfg, x, return_hidden, compute_logits)
 
@@ -291,7 +297,7 @@ def decode_step_seq(
                        in_specs=(P(), P(), cache_spec, cache_spec,
                                  P(), P(), P(), P(), P()),
                        out_specs=(P(), cache_spec, cache_spec),
-                       axis_names={seq_axis}, check_vma=False)
+                       axis_names={seq_axis})
     x, cache_k, cache_v = fn(params, tok, cache_k, cache_v,
                              cos_g, sin_g, jnp.asarray(slot, jnp.int32),
                              lens, dstart)
