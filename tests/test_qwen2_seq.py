@@ -322,3 +322,40 @@ def test_engine_seq_mesh_composes_with_tp():
         got = [o.token_ids
                for o in mk(sharded, mesh).generate(prompts, sp)[0].outputs]
     assert got == ref
+
+
+def test_engine_seq_mesh_collect_h0_matches():
+    """Fused value scoring under SP: pooled_hidden (prompt+generated mean of
+    final hidden) from the seq-sharded engine == unsharded engine."""
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(9))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(sm):
+        return Engine(params, cfg, IdTok(), max_model_len=96, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      collect_h0=True, seq_mesh=sm)
+
+    rng4 = np.random.default_rng(4)
+    prompts = [" ".join(str(i) for i in rng4.integers(2, 300, 30))]
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=5)
+    ref = mk(None).generate(prompts, sp)[0]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = mk(mesh).generate(prompts, sp)[0]
+    for ro, go in zip(ref.outputs, got.outputs):
+        assert ro.token_ids == go.token_ids
+        np.testing.assert_allclose(np.asarray(go.pooled_hidden),
+                                   np.asarray(ro.pooled_hidden),
+                                   rtol=1e-4, atol=1e-5)
