@@ -226,6 +226,11 @@ def main(argv=None):
                     help="serialize requests instead of cross-request batching")
     ap.add_argument("--prompt-slab", type=int, default=None,
                     help="continuous mode: max prompt length (default len/2)")
+    ap.add_argument("--sequence-parallel", type=int, default=0,
+                    help="shard prefill + the decode KV cache over this many "
+                         "devices (engine-side SP for contexts beyond one "
+                         "chip's HBM; forces the sync engine path and "
+                         "disables --quantize int8 KV composition)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -237,8 +242,17 @@ def main(argv=None):
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.eos_token
     params, cfg = loader.load_params(args.model, quantize=args.quantize)
+    seq_mesh = None
+    if args.sequence_parallel > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        seq_mesh = Mesh(np.array(jax.devices()[: args.sequence_parallel]),
+                        ("sequence",))
+        args.no_continuous_batching = True  # scheduler guards seq_mesh off
     engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
-                    max_batch=args.max_batch)
+                    max_batch=args.max_batch, seq_mesh=seq_mesh)
     print(f"engine server on {args.host}:{args.port} (model {args.model})")
     serve(engine, args.host, args.port, model_dir=args.model,
           continuous=not args.no_continuous_batching,
