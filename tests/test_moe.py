@@ -284,3 +284,24 @@ def test_moe_sharded_update_step(mesh8):
     delta = jnp.max(jnp.abs(p_ref["layers"]["moe"]["experts"]["gate_proj"]["w"]
                             - params["layers"]["moe"]["experts"]["gate_proj"]["w"]))
     assert float(delta) > 0
+
+
+def test_moe_forward_seq_matches_dense():
+    """Sparse-MoE layers under the ring-sharded (sequence-parallel) forward:
+    forward_seq must reproduce the dense qwen2.forward logits (MoE routing
+    is position-local, so context parallelism composes for free)."""
+    from jax.sharding import Mesh
+
+    from lapha_tpu.models import qwen2_seq
+
+    cfg = tiny_moe_cfg()
+    params = qwen2.init_params(cfg, jax.random.key(3))
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 32)))
+    ref, _, _ = qwen2.forward(params, cfg, ids)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    with mesh:
+        got = jax.jit(
+            lambda p, i: qwen2_seq.forward_seq(p, cfg, i, mesh=mesh)[0]
+        )(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
