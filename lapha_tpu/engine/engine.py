@@ -102,10 +102,8 @@ class Engine:
         # parallelism. The decode KV cache is sharded over its slot axis and
         # each step runs qwen2_seq.decode_step_seq (flash-style distributed
         # softmax, O(B·nh·dh) per-step comms). For serving contexts whose
-        # KV exceeds one chip's HBM. bf16 caches only.
-        if seq_mesh is not None and kv_quant is not None:
-            raise ValueError("kv_quant does not compose with seq_mesh "
-                             "(sharded slots need bf16 caches)")
+        # KV exceeds one chip's HBM. Composes with kv_quant="int8" (the
+        # per-vector scale planes shard with the slots).
         self.seq_mesh = seq_mesh
         if seq_mesh is not None:
             # token-prefix KV reuse stores per-row cache slices; slicing a
@@ -308,10 +306,17 @@ class Engine:
             if self.seq_mesh is not None:
                 from ..models import qwen2_seq
 
-                new_logits, hidden, ck, cv = qwen2_seq.decode_step_seq(
-                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                    mesh=self.seq_mesh, return_hidden=self.collect_h0,
-                )
+                if cache_scale is not None:
+                    new_logits, hidden, ck, cv, scl = qwen2_seq.decode_step_seq(
+                        params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                        mesh=self.seq_mesh, return_hidden=self.collect_h0,
+                        cache_scale=scl,
+                    )
+                else:
+                    new_logits, hidden, ck, cv = qwen2_seq.decode_step_seq(
+                        params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                        mesh=self.seq_mesh, return_hidden=self.collect_h0,
+                    )
             elif cache_scale is not None:
                 new_logits, hidden, ck, cv, scl = qwen2.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
@@ -547,6 +552,9 @@ class Engine:
             # decode cache layout: (L, B, nkv, S, dh) — see qwen2.decode_step
             ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
             cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
+            cache_scale = None
+            if self.kv_quant == "int8":
+                ck, cv, cache_scale = self._quantize_cache_jit(ck, cv)
             if self.seq_mesh is not None:
                 # split slot residency across the sequence shards up front —
                 # inside the decode loop shard_map keeps it resident there
@@ -556,9 +564,11 @@ class Engine:
                                      PSpec(None, None, None, "sequence", None))
                 ck = jax.device_put(ck, spec)
                 cv = jax.device_put(cv, spec)
-            cache_scale = None
-            if self.kv_quant == "int8":
-                ck, cv, cache_scale = self._quantize_cache_jit(ck, cv)
+                if cache_scale is not None:
+                    sspec = NamedSharding(self.seq_mesh,
+                                          PSpec(None, None, None, "sequence"))
+                    cache_scale = (jax.device_put(cache_scale[0], sspec),
+                                   jax.device_put(cache_scale[1], sspec))
             key, sub = jax.random.split(key)
             toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \
                 self._decode_jit(

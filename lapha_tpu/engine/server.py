@@ -229,8 +229,7 @@ def main(argv=None):
     ap.add_argument("--sequence-parallel", type=int, default=0,
                     help="shard prefill + the decode KV cache over this many "
                          "devices (engine-side SP for contexts beyond one "
-                         "chip's HBM; forces the sync engine path and "
-                         "disables --quantize int8 KV composition)")
+                         "chip's HBM; forces the sync engine path)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer

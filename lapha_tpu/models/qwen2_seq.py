@@ -163,6 +163,7 @@ def decode_step_seq(
     mesh: Mesh,
     seq_axis: str = "sequence",
     return_hidden: bool = False,
+    cache_scale=None,
 ):
     """One-token decode with the KV cache SHARDED over the ``seq_axis``
     slot dimension — engine-side sequence parallelism.
@@ -180,9 +181,13 @@ def decode_step_seq(
     reads are the same whether replicated or not.
 
     Semantics match qwen2.decode_step exactly (same validity rule
-    ``j < lens[b] or dstart[b] <= j <= slot``); bf16 caches only — int8-KV
-    (``cache_scale``) and the single-chip ragged kernel do not compose with
-    sharded slots yet (the engine guards this).
+    ``j < lens[b] or dstart[b] <= j <= slot``). ``cache_scale=(ks, vs)``
+    (each (L, B, nkv, S) f32, slot-sharded like the caches) switches to the
+    int8 KV cache: writes quantize this step's K/V per (b, h) vector on the
+    owner shard, reads fold the K scale into the local logits and the V
+    scale into the local probabilities — the same math as
+    qwen2.decode_step's dense int8 path, distributed. The single-chip
+    ragged kernel does not apply here (each shard's panel is dense).
 
     COMPOSES WITH TENSOR PARALLELISM: only ``seq_axis`` is manual
     (jax.shard_map ``axis_names``); every other mesh axis stays auto, so on
@@ -190,7 +195,8 @@ def decode_step_seq(
     the projections/MLP over ``model`` exactly as in the unsharded-decode
     path while the slot axis rides the manual flash-combine.
 
-    Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v).
+    Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v)
+    — plus the updated ``(ks, vs)`` appended when quantized.
     """
 
     L = cfg.num_hidden_layers
@@ -207,7 +213,9 @@ def decode_step_seq(
 
     cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta)  # (B, dh/2)
 
-    def local(params, tok, ck, cv, cos, sin, slot, lens, dstart):
+    quantized = cache_scale is not None
+
+    def local(params, tok, ck, cv, ks_all, vs_all, cos, sin, slot, lens, dstart):
         idx = jax.lax.axis_index(seq_axis)
         owner = slot // Sl
         local_slot = slot - owner * Sl
@@ -248,6 +256,26 @@ def decode_step_seq(
             q, k = rope1(q), rope1(k)
 
             # only the owner shard keeps the new K/V at its local column
+            if quantized:
+                def q8(y):  # (B, nkv, dh) -> int8 + (B, nkv) scale
+                    yf = y.astype(jnp.float32)
+                    s_ = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1) / 127.0,
+                                     1e-12)
+                    return (jnp.clip(jnp.round(yf / s_[..., None]), -127, 127)
+                            .astype(jnp.int8), s_)
+
+                k, sk = q8(k)
+                v, sv = q8(v)
+                old_sk = jax.lax.dynamic_slice(ks_all, (l, 0, 0, local_slot),
+                                               (1, B, nkv, 1))
+                old_sv = jax.lax.dynamic_slice(vs_all, (l, 0, 0, local_slot),
+                                               (1, B, nkv, 1))
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, jnp.where(own, sk[None, :, :, None], old_sk),
+                    (l, 0, 0, local_slot))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, jnp.where(own, sv[None, :, :, None], old_sv),
+                    (l, 0, 0, local_slot))
             old_k = jax.lax.dynamic_slice(ck, (l, 0, 0, local_slot, 0),
                                           (1, B, nkv, 1, dh))
             old_v = jax.lax.dynamic_slice(cv, (l, 0, 0, local_slot, 0),
@@ -260,8 +288,13 @@ def decode_step_seq(
             # flash-style distributed softmax over the sharded slot axis
             k_loc, v_loc = ck[l], cv[l]                      # (B, nkv, Sl, dh)
             qg = q.reshape(B, nkv, group, dh)
-            att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc,
-                             preferred_element_type=jnp.float32) * inv_sqrt_dh
+            if quantized:  # int8 reads: cast in registers, fold scales
+                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc.astype(x.dtype),
+                                 preferred_element_type=jnp.float32) * inv_sqrt_dh
+                att = att * ks_all[l][:, :, None, :]
+            else:
+                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc,
+                                 preferred_element_type=jnp.float32) * inv_sqrt_dh
             att = jnp.where(valid[:, None, None, :], att, -jnp.inf)
             m_loc = jnp.max(att, axis=-1)                    # (B, nkv, g)
             m = jax.lax.pmax(m_loc, seq_axis)
@@ -269,9 +302,15 @@ def decode_step_seq(
             pexp = jnp.exp(att - m[..., None])
             pexp = jnp.where(valid[:, None, None, :], pexp, 0.0)
             den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)   # (B,nkv,g)
-            num = jax.lax.psum(
-                jnp.einsum("bkgs,bksd->bkgd", pexp.astype(v_loc.dtype), v_loc,
-                           preferred_element_type=jnp.float32), seq_axis)
+            if quantized:
+                pv = (pexp * vs_all[l][:, :, None, :]).astype(x.dtype)
+                num = jax.lax.psum(
+                    jnp.einsum("bkgs,bksd->bkgd", pv, v_loc.astype(x.dtype),
+                               preferred_element_type=jnp.float32), seq_axis)
+            else:
+                num = jax.lax.psum(
+                    jnp.einsum("bkgs,bksd->bkgd", pexp.astype(v_loc.dtype), v_loc,
+                               preferred_element_type=jnp.float32), seq_axis)
             o = (num / jnp.maximum(den, 1e-30)[..., None]).reshape(B, nh * dh)
             x = x + proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"])
 
@@ -290,16 +329,26 @@ def decode_step_seq(
                 x = x + proj(act, p["mlp"]["down_proj"]["w"])
 
         x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
-        return x, ck, cv
+        return x, ck, cv, ks_all, vs_all
 
     cache_spec = P(None, None, None, seq_axis, None)
+    scale_spec = P(None, None, None, seq_axis)
+    if quantized:
+        ks_in, vs_in = cache_scale
+    else:  # tiny placeholders keep one shard_map signature (never read)
+        ks_in = jnp.zeros((1, 1, 1, n), jnp.float32)
+        vs_in = ks_in
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(), cache_spec, cache_spec,
+                                 scale_spec, scale_spec,
                                  P(), P(), P(), P(), P()),
-                       out_specs=(P(), cache_spec, cache_spec),
+                       out_specs=(P(), cache_spec, cache_spec,
+                                  scale_spec, scale_spec),
                        axis_names={seq_axis})
-    x, cache_k, cache_v = fn(params, tok, cache_k, cache_v,
-                             cos_g, sin_g, jnp.asarray(slot, jnp.int32),
-                             lens, dstart)
+    x, cache_k, cache_v, ks_out, vs_out = fn(
+        params, tok, cache_k, cache_v, ks_in, vs_in,
+        cos_g, sin_g, jnp.asarray(slot, jnp.int32), lens, dstart)
     logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
+    if quantized:
+        return logits, hidden, cache_k, cache_v, (ks_out, vs_out)
     return logits, hidden, cache_k, cache_v

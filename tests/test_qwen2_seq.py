@@ -215,15 +215,38 @@ def test_engine_generate_with_seq_mesh():
     assert got == ref
 
 
-def test_engine_seq_mesh_rejects_int8_kv():
-    from lapha_tpu.engine import Engine
+def test_engine_seq_mesh_with_int8_kv_matches_unsharded():
+    """int8 KV cache + sequence-sharded decode: the per-vector scale planes
+    shard with the slots; greedy tokens must match the single-shard int8
+    engine (same quantized math, distributed)."""
+    from lapha_tpu.engine import Engine, SamplingParams
 
-    cfg = Qwen2Config.tiny()
-    params = qwen2.init_params(cfg, jax.random.key(0))
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(10))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(seq_mesh):
+        return Engine(params, cfg, IdTok(), max_model_len=64, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      kv_quant="int8", seq_mesh=seq_mesh)
+
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=8)
+    prompts = ["5 6 7 8 9", "10 11 12"]
+    ref = [[o.token_ids for o in r.outputs] for r in mk(None).generate(prompts, sp)]
     mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
-    with pytest.raises(ValueError, match="kv_quant does not compose"):
-        Engine(params, cfg, object(), eos_token_ids=[], prefix_cache_bytes=0,
-               kv_quant="int8", seq_mesh=mesh)
+    got = [[o.token_ids for o in r.outputs]
+           for r in mk(mesh).generate(prompts, sp)]
+    assert got == ref
 
 
 def test_decode_step_seq_qk_norm():
