@@ -71,7 +71,8 @@ def load_config(model_dir: str) -> Qwen2Config:
         raise ValueError(
             f"{mt} checkpoint uses sliding_window={cfg['sliding_window']}; "
             "sliding-window attention is not implemented")
-    if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "llama", "mistral"):
+    if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
+                  "llama", "mistral"):
         raise ValueError(
             f"unsupported model_type {mt!r} (qwen2/qwen3/llama decoder family)")
     return Qwen2Config.from_hf(cfg)
@@ -177,14 +178,15 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                 "up_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.up_proj.weight")},
                 "down_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.down_proj.weight")},
             },
-            "shared": {
+        }
+        if cfg.shared_expert_intermediate_size > 0:  # qwen2_moe only
+            params["layers"]["moe"]["shared"] = {
                 "gate_proj": {"w": stack("layers.{i}.mlp.shared_expert.gate_proj.weight", transpose=True)},
                 "up_proj": {"w": stack("layers.{i}.mlp.shared_expert.up_proj.weight", transpose=True)},
                 "down_proj": {"w": stack("layers.{i}.mlp.shared_expert.down_proj.weight", transpose=True)},
                 "gate": {"w": stack("layers.{i}.mlp.shared_expert_gate.weight",
                                     transpose=True, quantizable=False)},
-            },
-        }
+            }
     else:
         params["layers"]["mlp"] = {
             "gate_proj": {"w": stack("layers.{i}.mlp.gate_proj.weight", transpose=True)},
@@ -304,11 +306,12 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
                 for proj in ("gate", "up", "down"):
                     put(pre + f"mlp.experts.{e}.{proj}_proj.weight",
                         moe["experts"][f"{proj}_proj"]["w"][i, e], transpose=True)
-            for proj in ("gate", "up", "down"):
-                put(pre + f"mlp.shared_expert.{proj}_proj.weight",
-                    moe["shared"][f"{proj}_proj"]["w"][i], transpose=True)
-            put(pre + "mlp.shared_expert_gate.weight",
-                moe["shared"]["gate"]["w"][i], transpose=True)
+            if "shared" in moe:  # qwen2_moe; qwen3_moe has no shared expert
+                for proj in ("gate", "up", "down"):
+                    put(pre + f"mlp.shared_expert.{proj}_proj.weight",
+                        moe["shared"][f"{proj}_proj"]["w"][i], transpose=True)
+                put(pre + "mlp.shared_expert_gate.weight",
+                    moe["shared"]["gate"]["w"][i], transpose=True)
         else:
             for proj in ("gate", "up", "down"):
                 put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)

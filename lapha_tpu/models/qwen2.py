@@ -76,7 +76,10 @@ class Qwen2Config:
         already carries: no q/k/v bias, usually untied embeddings, big
         rope_theta)."""
         mt = cfg.get("model_type", "qwen2")
-        if mt == "qwen2_moe":
+        if mt in ("qwen2_moe", "qwen3_moe"):
+            # qwen2_moe (Qwen1.5-MoE-A2.7B): qkv bias + sigmoid-gated shared
+            # expert. qwen3_moe (Qwen3-30B-A3B): per-head q/k RMS norm, no
+            # bias, NO shared expert. Same router/top-k semantics otherwise.
             L = cfg["num_hidden_layers"]
             sparse_step = cfg.get("decoder_sparse_step", 1)
             mlp_only = cfg.get("mlp_only_layers", []) or []
@@ -84,9 +87,10 @@ class Qwen2Config:
                       and (i + 1) % max(sparse_step, 1) == 0 for i in range(L)]
             if not all(sparse):
                 raise ValueError(
-                    "qwen2_moe checkpoints with dense layers mixed into the "
+                    f"{mt} checkpoints with dense layers mixed into the "
                     f"stack are not supported (decoder_sparse_step="
                     f"{sparse_step}, mlp_only_layers={mlp_only})")
+            q3 = mt == "qwen3_moe"
             return cls(
                 vocab_size=cfg["vocab_size"],
                 hidden_size=cfg["hidden_size"],
@@ -97,15 +101,17 @@ class Qwen2Config:
                                             cfg["num_attention_heads"]),
                 head_dim=cfg.get("head_dim"),
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
-                rope_theta=cfg.get("rope_theta", 10000.0),
+                rope_theta=cfg.get("rope_theta", 1e6 if q3 else 10000.0),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
-                attention_bias=cfg.get("qkv_bias", True),
+                attention_bias=(cfg.get("attention_bias", False) if q3
+                                else cfg.get("qkv_bias", True)),
+                qk_norm=q3,
                 num_experts=cfg["num_experts"],
                 num_experts_per_tok=cfg.get("num_experts_per_tok", 4),
                 moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
-                shared_expert_intermediate_size=cfg.get(
-                    "shared_expert_intermediate_size", 0),
+                shared_expert_intermediate_size=(0 if q3 else cfg.get(
+                    "shared_expert_intermediate_size", 0)),
                 norm_topk_prob=cfg.get("norm_topk_prob", False),
                 dtype=dtype,
             )
@@ -203,13 +209,14 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
                 "up_proj": {"w": init(km[2], (L, E, H, Im))},
                 "down_proj": {"w": init(km[3], (L, E, Im, H))},
             },
-            "shared": {
+        }
+        if Is > 0:  # qwen2_moe's always-on shared expert; qwen3_moe has none
+            params["layers"]["moe"]["shared"] = {
                 "gate_proj": {"w": init(km[4], (L, H, Is))},
                 "up_proj": {"w": init(km[5], (L, H, Is))},
                 "down_proj": {"w": init(km[6], (L, Is, H))},
                 "gate": {"w": init(km[7], (L, H, 1), 0.02)},
-            },
-        }
+            }
     else:
         params["layers"]["mlp"] = {
             "gate_proj": {"w": init(ks[5], (L, H, I))},

@@ -229,4 +229,6 @@ def moe_block(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
                                   capacity_factor=capacity_factor)
     else:
         raise ValueError(f"unknown moe impl {impl!r} (gather|dense|dispatch)")
-    return routed + shared_expert(x, p["shared"])
+    if "shared" in p:  # qwen2_moe; qwen3_moe has no shared expert
+        routed = routed + shared_expert(x, p["shared"])
+    return routed

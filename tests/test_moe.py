@@ -305,3 +305,94 @@ def test_moe_forward_seq_matches_dense():
         )(params, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------- qwen3_moe
+
+@pytest.fixture(scope="module")
+def tiny_hf_qwen3_moe_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_qwen3_moe")
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=24, max_position_embeddings=256, rope_theta=1e6,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        tie_word_embeddings=False, torch_dtype="float32",
+    )
+    torch.manual_seed(2)
+    model = Qwen3MoeForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_qwen3_moe_config_from_hf(tiny_hf_qwen3_moe_dir):
+    cfg = loader.load_config(tiny_hf_qwen3_moe_dir)
+    assert cfg.num_experts == 8
+    assert cfg.qk_norm                        # per-head q/k RMS norm
+    assert not cfg.attention_bias
+    assert cfg.shared_expert_intermediate_size == 0  # no shared expert
+    assert cfg.norm_topk_prob
+    assert cfg.head_dim_ == 24
+
+
+def test_qwen3_moe_logits_match_hf(tiny_hf_qwen3_moe_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeForCausalLM
+
+    params, cfg = loader.load_params(tiny_hf_qwen3_moe_dir, dtype=jnp.float32)
+    assert "shared" not in params["layers"]["moe"]
+    ids = rng.integers(0, 512, size=(2, 11))
+    hf = Qwen3MoeForCausalLM.from_pretrained(tiny_hf_qwen3_moe_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3_moe_engine_greedy_matches_hf(tiny_hf_qwen3_moe_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_hf_qwen3_moe_dir, dtype=jnp.float32)
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    eng = Engine(params, cfg, IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    prompt = [5, 6, 7, 8, 9]
+    got = eng.generate([" ".join(map(str, prompt))],
+                       SamplingParams(n=1, temperature=0.0, max_tokens=6)
+                       )[0].outputs[0].token_ids
+    hf = Qwen3MoeForCausalLM.from_pretrained(tiny_hf_qwen3_moe_dir).eval()
+    seq = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(6):
+            nxt = hf(seq).logits[0, -1].argmax().item()
+            seq = torch.cat([seq, torch.tensor([[nxt]])], 1)
+    assert got == seq[0, len(prompt):].tolist()
+
+
+def test_qwen3_moe_export_roundtrip(tiny_hf_qwen3_moe_dir, tmp_path):
+    params, cfg = loader.load_params(tiny_hf_qwen3_moe_dir, dtype=jnp.float32)
+    out = str(tmp_path / "q3moe_export")
+    loader.export_hf(params, cfg, out, src_config_dir=tiny_hf_qwen3_moe_dir)
+    params2, cfg2 = loader.load_params(out, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(1, 9))
+    l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
