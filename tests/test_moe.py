@@ -396,3 +396,47 @@ def test_qwen3_moe_export_roundtrip(tiny_hf_qwen3_moe_dir, tmp_path):
     l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
     l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_qwen3_moe_int8_load(tiny_hf_qwen3_moe_dir):
+    """int8 loading on the shared-expert-less layout: experts quantized,
+    router full precision, no shared subtree, logits close to f32."""
+    from lapha_tpu.models.quant import is_quantized
+
+    params, cfg = loader.load_params(tiny_hf_qwen3_moe_dir, dtype=jnp.float32)
+    q, qcfg = loader.load_params(tiny_hf_qwen3_moe_dir, dtype=jnp.float32,
+                                 quantize="int8")
+    moe_p = q["layers"]["moe"]
+    assert is_quantized(moe_p["experts"]["down_proj"]["w"])
+    assert not is_quantized(moe_p["router"]["w"])
+    assert "shared" not in moe_p
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 10)))
+    l1, _, _ = qwen2.forward(params, cfg, ids)
+    l2, _, _ = qwen2.forward(q, qcfg, ids)
+    assert float(jnp.max(jnp.abs(l1 - l2))) < 0.15
+
+
+def test_moe_decode_step_seq_matches(tiny_moe_model):
+    """Sequence-sharded one-token decode with MoE layers == single-shard
+    decode_step (the engine's SP path on a sparse model)."""
+    from jax.sharding import Mesh
+
+    from lapha_tpu.models import qwen2_seq
+
+    params, cfg = tiny_moe_model
+    rng2 = np.random.default_rng(6)
+    B, S = 4, 64
+    L, nkv, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    ck = jnp.asarray(rng2.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng2.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([9, 5, 12, 7], jnp.int32)
+    dstart = jnp.full((B,), 16, jnp.int32)
+    slot = jnp.asarray(17, jnp.int32)
+    tok = jnp.asarray(rng2.integers(2, cfg.vocab_size, B), jnp.int32)
+    pos = lens + 1
+    ref = qwen2.decode_step(params, cfg, tok, pos, ck, cv, slot, lens, dstart)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    got = qwen2_seq.decode_step_seq(params, cfg, tok, pos, ck, cv, slot,
+                                    lens, dstart, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
