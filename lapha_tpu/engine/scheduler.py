@@ -104,13 +104,14 @@ class ContinuousEngine:
         self.slots = make_slot_allocator(self.B)
         # Persistent-cache attention strategy, A/B-measured at the
         # S=4096/B=48/lens~500 shape on v5e (BASELINE.md): dense bf16 31.3,
-        # ragged bf16 28.0, dense int8 19.5, ragged int8 27.9 ms/step. The
-        # ragged kernel is program-overhead-bound at grid (B, nkv) (~0.3 ms
-        # per program — traffic-independent), so int8 KV with the DENSE
-        # read path wins decisively; ragged is worth it only for bf16
-        # caches. The int8-aware ragged kernel stays available
-        # (ops/ragged_decode_attention cache_scale) pending a fewer-
-        # programs grid redesign.
+        # ragged v1 bf16 28.0, dense int8 19.5, ragged v1 int8 27.9
+        # ms/step. The v1 kernel was program-overhead-bound at grid
+        # (B, nkv) (~0.3 ms per program — traffic-independent), so int8 KV
+        # with the DENSE read path won decisively; ragged stayed on only
+        # for bf16 caches. Kernel v2 (multi-row programs, cross-row DMA
+        # pipeline) removes that bottleneck in design; flip this choice to
+        # prefer ragged int8 once the v2 A/B lands (ROADMAP round-3 #1 —
+        # blocked this round by the degraded remote compile service).
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"
