@@ -252,13 +252,18 @@ def ragged_decode_attention(
     Bp = ((B + NB - 1) // NB) * NB
     lens_p, dstart_p = lens.astype(jnp.int32), dstart.astype(jnp.int32)
     if Bp != B:
-        # stub rows: 1-token prompt + the current decode chunk (2 chunks of
-        # dead DMA each); their outputs are sliced off below. The CACHE is
-        # not padded — stub DMAs clamp to row B-1's panels (pl.ds clamps
-        # like dynamic_slice), reading garbage that lands in dropped rows.
+        # stub rows: 1-token prompt + dstart aligned to slot's chunk, so
+        # each stub walks exactly 2 chunks of dead DMA (chunk 0 for the
+        # 1-token prompt, slot's chunk for the decode range) — a dstart of
+        # 0 would make the decode range span every chunk up to slot. Their
+        # outputs are sliced off below. The CACHE is not padded — stub DMAs
+        # clamp to row B-1's panels (pl.ds clamps like dynamic_slice),
+        # reading garbage that lands in dropped rows.
         qg = jnp.pad(qg, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
         lens_p = jnp.pad(lens_p, (0, Bp - B), constant_values=1)
-        dstart_p = jnp.pad(dstart_p, (0, Bp - B), constant_values=0)
+        stub_d = (jnp.asarray(slot, jnp.int32) // bk) * bk
+        dstart_p = jnp.concatenate(
+            [dstart_p, jnp.full((Bp - B,), stub_d, jnp.int32)])
 
     quantized = cache_scale is not None
     in_specs = [

@@ -317,6 +317,45 @@ class MTPOTrainer:
                 st["hid"] = np.asarray(y[i], np.float16).tolist()
         return len(missing)
 
+    def _embed_cot_anchor(self, cot, root_step) -> Optional[np.ndarray]:
+        """Embed the dataset's reference CoT as an extra "correct leaf"
+        anchor for d_goal (reference mtpo_trainer.py:2506-2518, 2788-2811):
+        tokenize it (str) or accept pre-tokenized ids, append EOS so the
+        trace looks finish-like, left-truncate prompt||cot to max_model_len
+        with completion-pooling masks, and run value_fn with the root
+        centering. Returns (1, H) float32 ball point or None."""
+        if cot is None or root_step is None:
+            return None
+        p_ids = root_step.get("prompt_ids")
+        if not p_ids:
+            return None
+        if isinstance(cot, str):
+            c_ids = [int(t) for t in
+                     self.tokenizer(cot, add_special_tokens=False)["input_ids"]]
+        else:
+            c_ids = [int(t) for t in cot]
+        eos_id = getattr(self.tokenizer, "eos_token_id", None)
+        if eos_id is not None and (not c_ids or c_ids[-1] != int(eos_id)):
+            c_ids.append(int(eos_id))
+        if not c_ids:
+            return None
+        p_ids = [int(t) for t in p_ids]
+        full = p_ids + c_ids
+        resp = [0] * len(p_ids) + [1] * len(c_ids)
+        pm = [1] * len(p_ids) + [0] * len(c_ids)
+        mx = int(self.args.max_model_len or 0)
+        if mx > 0 and len(full) > mx:
+            full, resp, pm = full[-mx:], resp[-mx:], pm[-mx:]
+        ids = np.asarray([full], np.int64)
+        root_h0 = None
+        if root_step.get("root_h0") is not None:
+            root_h0 = np.asarray(root_step["root_h0"], np.float32).reshape(-1)
+        y, _v = self.value_fn(input_ids=ids, attention_mask=np.ones_like(ids),
+                              response_mask=np.asarray([resp], np.int64),
+                              prompt_mask=np.asarray([pm], np.int64),
+                              root_h0=root_h0, return_h0=False)
+        return np.asarray(y, np.float32).reshape(1, -1)
+
     def rollout_batch(self, inputs: list[dict]) -> dict:
         """MCTS per question -> shaped rewards -> grouped training samples.
 
@@ -345,13 +384,23 @@ class MTPOTrainer:
                 question=inp["question"],
                 support_material_path=inp.get("support_material_path"),
                 ground_truth=inp["ground_truth"],
-                cot=None,  # CoT column forwarded to shaping only (SURVEY §7.4)
+                # search gets no CoT (reference call site mtpo_trainer.py:
+                # 1581-1586, SURVEY §7.4); shaping gets it as a d_goal
+                # anchor below (reference 1603, 2788-2811)
+                cot=None,
             )
             self._ensure_hid_idx_coverage(chains, hid_bank,
                                            root_step=agent._root_step)
+            cot_anchor = self._embed_cot_anchor(inp.get("cot"), agent._root_step)
             avg_acc, pass1, diag = compute_action_rewards(
                 chains, self.reward_fns, inp["ground_truth"], self.shaping_cfg,
-                bank=hid_bank, root_step=agent._root_step)
+                bank=hid_bank, root_step=agent._root_step,
+                cot_anchor=cot_anchor)
+            if "vmap_mean" in diag:  # per-tree, reference 2833-2838
+                self.writer.add_scalar("VMap/mean", diag["vmap_mean"],
+                                       self.global_step)
+                self.writer.add_scalar("VMap/std", diag["vmap_std"],
+                                       self.global_step)
             avg_accs.append(avg_acc)
             pass1s.append(pass1)
             viz_payload.append((chains, agent._root_step, hid_bank))
@@ -587,6 +636,14 @@ class MTPOTrainer:
                           ("Loss/Loss", "loss"), ("Metrics/KL", "kl")):
             if key in step_metrics:
                 self.writer.add_scalar(name, step_metrics[key], self.global_step)
+
+        # Metrics/ContextLength: mean prompt+completion length over the
+        # step's ANSWERED samples (reference mtpo_trainer.py:2420-2444)
+        ctx = [len(s["prompt_ids"]) + len(s["completion_ids"])
+               for s in samples if s.get("has_answer", False)]
+        avg_ctx = float(np.mean(ctx)) if ctx else 0.0
+        metrics["context_length"] = avg_ctx
+        self.writer.add_scalar("Metrics/ContextLength", avg_ctx, self.global_step)
 
         self.global_step += 1
         if self.args.save_steps > 0 and self.global_step % self.args.save_steps == 0:

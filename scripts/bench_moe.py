@@ -51,10 +51,17 @@ def main():
     preset = os.getenv("BENCH_PRESET") or ("a2.7b" if platform != "cpu" else "tiny")
 
     if preset == "a2.7b":
-        # Qwen1.5-MoE-A2.7B architecture (24 layers, H2048, 60 experts top-4)
+        # Qwen1.5-MoE-A2.7B architecture (H2048, 60 experts top-4). The
+        # full 24-layer model is 14.3B params = 28.6 GB bf16 — it does NOT
+        # fit one 16 GB v5e (measured: compile-stage OOM, 28.76G needed),
+        # it's a multi-chip EP model. For the single-chip dispatch-vs-dense
+        # impl A/B the per-LAYER expert math is what matters, so default to
+        # an 8-layer stack of the exact A2.7B layer shape (~5.4 GB weights)
+        # and let BENCH_LAYERS override on bigger chips.
+        n_layers = int(os.getenv("BENCH_LAYERS", "8" if platform != "cpu" else "24"))
         cfg = Qwen2Config(
             vocab_size=151936, hidden_size=2048, intermediate_size=5632,
-            num_hidden_layers=24, num_attention_heads=16, num_key_value_heads=16,
+            num_hidden_layers=n_layers, num_attention_heads=16, num_key_value_heads=16,
             max_position_embeddings=8192, rope_theta=1e6,
             num_experts=60, num_experts_per_tok=4, moe_intermediate_size=1408,
             shared_expert_intermediate_size=5632, norm_topk_prob=False,
@@ -105,6 +112,7 @@ def main():
         "value": round(total / dt, 2),
         "unit": "tok/s",
         "preset": preset,
+        "layers": cfg.num_hidden_layers,
         "moe_impl": cfg.moe_impl,
     }))
 

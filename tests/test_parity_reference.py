@@ -374,3 +374,118 @@ def test_mcts_search_differential(ref_agent, tmp_path):
         return sorted(out)
 
     assert summary(our_chains) == summary(ref_chains)
+
+
+def test_cot_anchor_differential(ref_trainer, tmp_path):
+    """CoT -> d_goal anchor parity: the reference tokenizes the dataset's
+    `cot`, appends EOS, left-truncates prompt||cot to max_model_len and
+    embeds it via value_fn as an extra "correct leaf" anchor for d_goal
+    (mtpo_trainer.py:2506-2518, 2788-2811). Our trainer does the embedding
+    in MTPOTrainer._embed_cot_anchor and hands shaping the ball point.
+    Both sides share a fake tokenizer + a deterministic fake value_fn keyed
+    on the exact (ids, masks, root_h0) it receives — so any divergence in
+    tokenization, EOS handling, truncation, masks OR anchor math fails."""
+    import torch
+
+    from lapha_tpu.search import LatentBank
+    from lapha_tpu.train.shaping import ShapingConfig, compute_action_rewards as ours
+    from lapha_tpu.train.trainer import MTPOTrainer as OurTrainer
+
+    HID, MAXLEN, EOS = 4, 32, 99
+
+    class FakeTok:
+        pad_token_id = 0
+        eos_token_id = EOS
+
+        def __call__(self, text, return_tensors=None, add_special_tokens=True):
+            assert not add_special_tokens
+            ids = [101 + (ord(c) % 23) for c in text]
+            if return_tensors == "pt":
+                return {"input_ids": torch.tensor([ids], dtype=torch.long)}
+            return {"input_ids": ids}
+
+    def _point(ids, resp, pm, root_h0):
+        ids, resp, pm = (np.asarray(a).reshape(-1) for a in (ids, resp, pm))
+        seed = int((np.sum(ids * (1 + resp) * (2 + pm))
+                    + round(float(np.sum(root_h0)) * 997)) % (2**31))
+        pt = np.random.default_rng(seed).normal(size=HID).astype(np.float32) * 0.2
+        # bf16-representable so the reference's cast to the bank dtype is lossless
+        return torch.tensor(pt).to(torch.bfloat16).float().numpy()
+
+    calls = {"ref": [], "ours": []}
+
+    def ref_value_fn(input_ids, attention_mask, response_mask, prompt_mask,
+                     root_h0, return_h0):
+        calls["ref"].append(np.asarray(input_ids).tolist())
+        y = _point(input_ids.numpy(), response_mask.numpy(),
+                   prompt_mask.numpy(), root_h0.numpy())
+        return torch.tensor(y)[None, :], torch.zeros(1)
+
+    def our_value_fn(input_ids, attention_mask, response_mask, prompt_mask,
+                     root_h0, return_h0):
+        calls["ours"].append(np.asarray(input_ids).tolist())
+        y = _point(input_ids, response_mask, prompt_mask, root_h0)
+        return y[None, :], np.zeros(1)
+
+    rng = np.random.default_rng(31)
+    reward_fns = [lambda comp, gt: 1.0 if f"<answer>{gt}</answer>" in comp else 0.0]
+    depth = 3
+    cot = "solve: add the numbers, x = 4"  # tokenizes to > MAXLEN-3? no: 30 ids + eos + 3 prompt > 32 -> truncates
+
+    for trial in range(4):
+        root, chains, pts = _random_tree(rng, breadth=2, depth=depth, hid_dim=HID)
+        root["root_h0"] = (rng.normal(size=8) * 0.1).astype(np.float32).tolist()
+
+        sys.path.insert(0, REF_PATH)
+        from trainer.latent_bank import LatentBank as RefBank
+        sys.path.remove(REF_PATH)
+        pts = torch.tensor(pts).to(torch.bfloat16).float().numpy()
+        ref_bank = RefBank(device="cpu", dtype=torch.bfloat16,
+                           store_cpu_copy=True, normalize=False)
+        for p in pts:
+            ref_bank.add(torch.tensor(p)[None, :])
+        our_bank = LatentBank()
+        for p in pts:
+            our_bank.add(p)
+
+        ref_chains, ref_root = copy.deepcopy(chains), copy.deepcopy(root)
+        duck = _duck_trainer(ref_trainer, ref_bank, depth, tmp_path)
+        duck.tokenizer = FakeTok()
+        duck.value_fn = ref_value_fn
+        duck.max_model_len = MAXLEN
+        ref_acc, ref_p1, _ = ref_trainer.MTPOTrainer.compute_action_rewards(
+            duck, ref_chains, reward_fns, "4", tree_id=trial,
+            root_step=ref_root, cot=cot)
+
+        our_chains, our_root = copy.deepcopy(chains), copy.deepcopy(root)
+        our_duck = SimpleNamespace(
+            tokenizer=FakeTok(), value_fn=our_value_fn,
+            args=SimpleNamespace(max_model_len=MAXLEN))
+        anchor = OurTrainer._embed_cot_anchor(our_duck, cot, our_root)
+        assert anchor is not None and anchor.shape == (1, HID)
+        cfg = ShapingConfig(depth=depth)
+        our_acc, our_p1, _ = ours(our_chains, reward_fns, "4", cfg,
+                                  bank=our_bank, root_step=our_root,
+                                  cot_anchor=anchor)
+
+        # the embedding call saw byte-identical ids on both sides
+        assert calls["ref"][-1] == calls["ours"][-1]
+        assert our_acc == pytest.approx(ref_acc)
+        assert our_p1 == pytest.approx(ref_p1)
+        for ci, (rc, oc) in enumerate(zip(ref_chains, our_chains)):
+            for si, (rs, os_) in enumerate(zip(rc, oc)):
+                loc = f"trial {trial} chain {ci} step {si}"
+                assert os_.get("v_target", 0.0) == pytest.approx(
+                    rs.get("v_target", 0.0), rel=1e-4, abs=1e-5), loc + " v_target"
+                assert os_.get("reward", 0.0) == pytest.approx(
+                    rs.get("reward", 0.0), rel=1e-4, abs=1e-5), loc + " reward"
+
+    # pre-tokenized cot (list[int]) also accepted on both sides
+    ids_cot = [5, 6, 7]
+    root, chains, pts = _random_tree(rng, breadth=2, depth=depth, hid_dim=HID)
+    root["root_h0"] = [0.0] * 8
+    our_duck = SimpleNamespace(tokenizer=FakeTok(), value_fn=our_value_fn,
+                               args=SimpleNamespace(max_model_len=MAXLEN))
+    anchor = OurTrainer._embed_cot_anchor(our_duck, ids_cot, root)
+    assert anchor is not None
+    assert calls["ours"][-1][0][-4:] == [5, 6, 7, EOS]

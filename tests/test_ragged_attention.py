@@ -116,3 +116,24 @@ def test_unaligned_dstart_shared_chunk_not_double_counted():
     ref = jnp.einsum("bkgs,bksd->bkgd", p, vc[1]).reshape(B, nh, dh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stub_rows_chunk_aligned_dstart():
+    """B not a multiple of block_rows pads stub rows in; their dstart is
+    aligned to slot's chunk (exactly 2 dead chunks each — regression: a
+    dstart of 0 walked every chunk up to slot) and real-row outputs are
+    unaffected."""
+    rng = np.random.default_rng(7)
+    B, S, nh, nkv, dh = 5, 256, 8, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([37, 120, 64, 5, 99], jnp.int32)
+    dstart = jnp.asarray([128, 131, 160, 128, 129], jnp.int32)
+    for slot in (130, 148, 255):
+        out = ragged_decode_attention(
+            q, k, v, 0, lens, dstart, jnp.asarray(slot, jnp.int32),
+            block_k=32, block_rows=4, interpret=True)
+        ref = dense_ref(q, np.asarray(k)[0], np.asarray(v)[0],
+                        np.asarray(lens), np.asarray(dstart), slot)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)

@@ -238,7 +238,8 @@ def test_trainer_full_step_tiny():
     from lapha_tpu.train.trainer import MTPOTrainer
 
     dataset = [
-        {"question": "what is 2+2?", "ground_truth": "4", "support_material_path": []},
+        {"question": "what is 2+2?", "ground_truth": "4", "support_material_path": [],
+         "cot": "add two and two to get <answer>4</answer>"},
         {"question": "what is 1+3?", "ground_truth": "4", "support_material_path": []},
     ]
     trainer = MTPOTrainer(
@@ -254,10 +255,15 @@ def test_trainer_full_step_tiny():
     if m["n_samples"] > 0:
         assert np.isfinite(m["loss"])
         assert m["num_groups"] >= 1
-    # metrics jsonl written with reference scalar names
+    # metrics jsonl written with reference scalar names (first tree has a
+    # cot -> the d_goal anchor guarantees a V-map -> VMap/* present even if
+    # no sampled leaf is correct; ContextLength written every update step)
     lines = [json.loads(l) for l in open(os.path.join(args.output_dir, "metrics.jsonl"))]
     names = {l["name"] for l in lines}
     assert "avgAcc" in names and "pass@1" in names
+    assert "VMap/mean" in names and "VMap/std" in names
+    if m["n_samples"] > 0:
+        assert "Metrics/ContextLength" in names
 
 
 def test_trainer_checkpoint_roundtrip(tmp_path):
