@@ -59,8 +59,12 @@ def main():
         # an 8-layer stack of the exact A2.7B layer shape (~5.4 GB weights)
         # and let BENCH_LAYERS override on bigger chips.
         n_layers = int(os.getenv("BENCH_LAYERS", "8" if platform != "cpu" else "24"))
+        # the dispatch-vs-dense A/B is about expert-FFN math; the real 152k
+        # vocab only adds ~2 GB embed/lm_head + a GB-scale prefill logits
+        # buffer, so default it down on 16 GB chips
+        n_vocab = int(os.getenv("BENCH_VOCAB", "32768" if platform != "cpu" else "151936"))
         cfg = Qwen2Config(
-            vocab_size=151936, hidden_size=2048, intermediate_size=5632,
+            vocab_size=n_vocab, hidden_size=2048, intermediate_size=5632,
             num_hidden_layers=n_layers, num_attention_heads=16, num_key_value_heads=16,
             max_position_embeddings=8192, rope_theta=1e6,
             num_experts=60, num_experts_per_tok=4, moe_intermediate_size=1408,

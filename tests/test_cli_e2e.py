@@ -127,3 +127,41 @@ def test_vendored_eval_data_present_and_valid():
         rows = [json.loads(l) for l in open(path, encoding="utf-8") if l.strip()]
         assert len(rows) == n, (name, len(rows))
         assert all("question" in r and "answer" in r for r in rows)
+
+
+def test_value_mode_golden_run(tiny_model_dir, env, tmp_path):
+    """Recorded end-to-end value-mode run (accuracy-parity proxy, VERDICT
+    r2 #3): the full pipeline — engine prefill/decode, processed-logits
+    sampling at the canonical eval params (temp 0.3 / top_p 0.8 / top_k 20 /
+    rep_pen 1.05, README.md:148-157), value head, MCTS, pick_top_leaves,
+    JSONL contract — must reproduce tests/golden/value_mode_tiny.golden.json
+    bit-for-bit on the seeded tiny fixture. Any silent behavior drift in
+    any of those layers moves the sampled token stream and trips this."""
+    import numpy as np
+
+    data = tmp_path / "data.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"question": "What is 2+2?", "answer": "4"}) + "\n")
+    head_path = tmp_path / "value_head.npz"
+    np.savez(head_path,
+             weight=np.random.default_rng(0).normal(size=(1, 64)).astype(np.float32),
+             bias=np.zeros(1, np.float32))
+
+    out = tmp_path / "math.pred.jsonl"
+    cmd = [
+        sys.executable, "-m", "lapha_tpu.evalsuite.rollout_jsonl",
+        "--data", str(data), "--out", str(out), "--dataset-name", "math",
+        "--mode", "value", "--tokenizer-path", tiny_model_dir,
+        "--engine", "tpu", "--max-new-tokens", "24", "--temperature", "0.3",
+        "--top-p", "0.8", "--top-k", "20", "--repetition-penalty", "1.05",
+        "--max-model-len", "384", "--max-batch", "4",
+        "--depth", "2", "--breadth", "2", "--mcts-num-sim", "2",
+        "--mcts-num-pos-sim", "99", "--k", "4", "--seed", "1234",
+        "--value-base", tiny_model_dir, "--value-head", str(head_path),
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    row = json.loads(open(out).read().strip())
+    golden = json.load(open(os.path.join(REPO, "tests", "golden",
+                                         "value_mode_tiny.golden.json")))
+    assert row == golden
