@@ -10,6 +10,13 @@ cd "$(dirname "${BASH_SOURCE[0]}")"
 CMD_FILE="${CMD_FILE:-cmd.txt}"
 TOOL_PORT="${TOOL_PORT:-8001}"
 LOG_DIR="${LOG_DIR:-out/supervisor}"
+# poll / TERM->KILL intervals (reference uses 5s for both; overridable so
+# tests/test_supervisor.py can drive the state machine in sub-second time)
+POLL_S="${POLL_S:-5}"
+KILL_WAIT_S="${KILL_WAIT_S:-5}"
+# the supervised commands (overridable for the same reason)
+TOOL_CMD="${TOOL_CMD:-python -m lapha_tpu.tools.server --port $TOOL_PORT}"
+TRAINER_CMD="${TRAINER_CMD:-bash run_dapo.sh}"
 mkdir -p "$LOG_DIR"
 : > "$CMD_FILE"
 
@@ -17,14 +24,13 @@ tool_pgid=""
 trainer_pgid=""
 
 start_tool_server() {
-  setsid python -m lapha_tpu.tools.server --port "$TOOL_PORT" \
-    > "$LOG_DIR/tool_server.log" 2>&1 &
+  setsid bash -c "$TOOL_CMD" > "$LOG_DIR/tool_server.log" 2>&1 &
   tool_pgid=$!
   echo "[supervisor] tool server pgid=$tool_pgid"
 }
 
 start_trainer() {
-  setsid bash run_dapo.sh > "$LOG_DIR/trainer.log" 2>&1 &
+  setsid bash -c "$TRAINER_CMD" > "$LOG_DIR/trainer.log" 2>&1 &
   trainer_pgid=$!
   echo "[supervisor] trainer pgid=$trainer_pgid"
 }
@@ -33,7 +39,7 @@ kill_group() {
   local pgid="$1"
   [[ -z "$pgid" ]] && return 0
   kill -TERM -- "-$pgid" 2>/dev/null || true
-  sleep 5
+  sleep "$KILL_WAIT_S"
   kill -KILL -- "-$pgid" 2>/dev/null || true
 }
 
@@ -49,7 +55,7 @@ start_trainer
 
 state="RUN"
 while true; do
-  sleep 5
+  sleep "$POLL_S"
   cmd="$(cat "$CMD_FILE" 2>/dev/null | tr -d '[:space:]')"
   if [[ "$cmd" == "stop" ]]; then
     echo "[supervisor] stop requested"
