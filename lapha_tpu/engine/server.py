@@ -87,36 +87,74 @@ class EngineServer:
         serializing fallback cannot observe mid-generation tokens (decode is
         ONE device dispatch), so it emits the finish events only. Either
         way the stream ends with {"type": "done"}.
+
+        All failure paths stay INSIDE the event stream: anything that can
+        raise (submit validation, the sync engine.generate) runs EAGERLY in
+        this call — before the caller has sent the 200 chunked headers — and
+        failures become {"type": "error"} events followed by the terminal
+        {"type": "done"}. A mid-stream exception from a generator would
+        otherwise escape into do_POST's handler, which writes a second HTTP
+        response into the open chunked body (malformed wire bytes, no
+        "done"), while already-submitted prompts keep decoding into an
+        orphaned queue — so on partial submit failure the submitted
+        prompts' events are still drained before the error is reported.
         """
         prompts = payload.get("prompts") or []
         if isinstance(prompts, str):
             prompts = [prompts]
         sp = self._payload_sp(payload)
         if self.scheduler is None:
-            with self.lock:
-                outs = self.engine.generate(prompts, sp)
-            for i, r in enumerate(outs):
-                for k, o in enumerate(r.outputs):
-                    yield {"type": "finish", "tag": i, "sample": k,
-                           "token_ids": o.token_ids,
-                           "logprobs": o.token_logprobs, "text": o.text,
-                           "finish_reason": o.finish_reason}
-                yield {"type": "request_done", "tag": i}
-            yield {"type": "done"}
-            return
+            try:
+                with self.lock:
+                    outs = self.engine.generate(prompts, sp)
+            except Exception as e:  # eager: headers not sent yet
+                return iter([{"type": "error", "tag": -1,
+                              "error": f"{type(e).__name__}: {e}"},
+                             {"type": "done"}])
+
+            def sync_events():
+                for i, r in enumerate(outs):
+                    for k, o in enumerate(r.outputs):
+                        yield {"type": "finish", "tag": i, "sample": k,
+                               "token_ids": o.token_ids,
+                               "logprobs": o.token_logprobs, "text": o.text,
+                               "finish_reason": o.finish_reason}
+                    yield {"type": "request_done", "tag": i}
+                yield {"type": "done"}
+
+            return sync_events()
 
         import queue
 
         q: queue.Queue = queue.Queue()
-        for i, p in enumerate(prompts):
-            self.scheduler.submit(p, sp, stream=(q, i))
-        pending = len(prompts)
-        while pending > 0:
-            ev = q.get()
-            yield ev
-            if ev.get("type") in ("request_done", "error"):
-                pending -= 1
-        yield {"type": "done"}
+        submitted = 0
+        submit_err = None
+        try:
+            # cheap whole-request validation first so the common failure
+            # (n > max_batch) submits NOTHING
+            n = max(1, int(getattr(sp, "n", 1)))
+            if n > self.scheduler.B:
+                raise ValueError(
+                    f"n={n} exceeds max_batch={self.scheduler.B}")
+            for i, p in enumerate(prompts):
+                self.scheduler.submit(p, sp, stream=(q, i))
+                submitted += 1
+        except Exception as e:
+            submit_err = f"{type(e).__name__}: {e}"
+
+        def events():
+            pending = submitted
+            while pending > 0:
+                ev = q.get()
+                yield ev
+                if ev.get("type") in ("request_done", "error"):
+                    pending -= 1
+            if submit_err is not None:
+                yield {"type": "error", "tag": submitted,
+                       "error": submit_err}
+            yield {"type": "done"}
+
+        return events()
 
     def handle_reload_weights(self, payload: dict) -> dict:
         from ..models import loader
@@ -180,7 +218,18 @@ def make_handler(server: EngineServer):
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/generate":
                     if payload.get("stream"):
-                        self._reply_stream(server.handle_generate_stream(payload))
+                        # handle_generate_stream validates/submits eagerly;
+                        # it only raises BEFORE any event exists -> the
+                        # except below still sends a clean 500. Once the
+                        # chunked 200 is on the wire, a transport error
+                        # (client gone) must NOT fall through to _reply —
+                        # that would write a second response into the open
+                        # chunked body.
+                        events = server.handle_generate_stream(payload)
+                        try:
+                            self._reply_stream(events)
+                        except (BrokenPipeError, ConnectionError):
+                            self.close_connection = True
                     else:
                         self._reply(200, server.handle_generate(payload))
                 elif self.path == "/reset_prefix_cache":

@@ -45,6 +45,15 @@ class Qwen2Config:
     head_dim: int | None = None
     max_position_embeddings: int = 4096
     rope_theta: float = 10000.0
+    # RoPE frequency scaling, parsed from HF config.json `rope_scaling` by
+    # :func:`_parse_rope_scaling` into a hashable tuple (the config is a
+    # frozen jit-static dataclass): () = none,
+    # ("linear", factor), or ("llama3", factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings). Unsupported
+    # types (yarn/dynamic/longrope) are rejected at parse time — silently
+    # ignoring them would load Llama-3.1+ / YaRN checkpoints with wrong
+    # frequencies.
+    rope_scaling: tuple = ()
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
@@ -59,6 +68,10 @@ class Qwen2Config:
     shared_expert_intermediate_size: int = 0
     norm_topk_prob: bool = False
     moe_impl: str = "auto"  # auto | gather | dense | dispatch (ops/moe.py)
+    # dispatch-impl expert bucket width: C = ceil(top_k*S/E * this).
+    # Larger = fewer capacity drops under routing skew, more FLOPs/memory;
+    # moe.dispatch_drop_fraction() measures the actual drop rate.
+    moe_capacity_factor: float = 2.0
     dtype: Any = jnp.bfloat16
     # "auto": pallas flash attention on TPU for the no-cache path, dense
     # otherwise; "pallas" forces the kernel (interpret mode off-TPU);
@@ -68,6 +81,32 @@ class Qwen2Config:
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def _parse_rope_scaling(cfg: dict) -> tuple:
+        """HF config.json `rope_scaling` -> the hashable config tuple.
+
+        Handles both the new-style key (`rope_type`) and the legacy one
+        (`type`). `default` / absent -> (); `linear` and `llama3` are
+        implemented in :func:`rope_freqs`; anything else raises (the
+        reference inherits every scaling via HF AutoModel, so loading such
+        a checkpoint with unscaled frequencies would be silently wrong)."""
+        rs = cfg.get("rope_scaling")
+        if not rs:
+            return ()
+        kind = rs.get("rope_type", rs.get("type", "default"))
+        if kind == "default":
+            return ()
+        if kind == "linear":
+            return ("linear", float(rs["factor"]))
+        if kind == "llama3":
+            return ("llama3", float(rs["factor"]),
+                    float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
+                    int(rs["original_max_position_embeddings"]))
+        raise ValueError(
+            f"rope_scaling type {kind!r} is not implemented "
+            "(supported: default/linear/llama3); refusing to load with "
+            "wrong RoPE frequencies")
 
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
@@ -102,6 +141,7 @@ class Qwen2Config:
                 head_dim=cfg.get("head_dim"),
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6 if q3 else 10000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
                 attention_bias=(cfg.get("attention_bias", False) if q3
@@ -128,6 +168,7 @@ class Qwen2Config:
                 head_dim=cfg.get("head_dim"),
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6),
+                rope_scaling=cls._parse_rope_scaling(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
                 attention_bias=cfg.get("attention_bias", False),
@@ -144,6 +185,7 @@ class Qwen2Config:
             head_dim=cfg.get("head_dim"),
             max_position_embeddings=cfg.get("max_position_embeddings", 32768),
             rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cls._parse_rope_scaling(cfg),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             attention_bias=cfg.get("attention_bias", mt.startswith("qwen2")),
@@ -242,9 +284,28 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (out * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_freqs(positions: jax.Array, dh: int, theta: float) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables (…, dh/2) for integer positions (…,)."""
+def rope_freqs(positions: jax.Array, dh: int, theta: float,
+               scaling: tuple = ()) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables (…, dh/2) for integer positions (…,).
+
+    ``scaling`` is ``Qwen2Config.rope_scaling``: () for none,
+    ("linear", factor) divides every frequency by factor, and
+    ("llama3", factor, low, high, orig_max_pos) applies HF's llama-3.1
+    wavelength-dependent interpolation (transformers
+    modeling_rope_utils._compute_llama3_parameters): long wavelengths
+    (> orig/low) scaled by 1/factor, short (< orig/high) unscaled, the band
+    between them linearly blended."""
     inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    if scaling and scaling[0] == "linear":
+        inv = inv / scaling[1]
+    elif scaling and scaling[0] == "llama3":
+        _, factor, low, high, orig = scaling
+        wavelen = 2.0 * math.pi / inv
+        smooth = (orig / wavelen - low) / (high - low)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        inv = (1.0 - smooth) * (inv / factor) + smooth * inv
+    elif scaling:
+        raise ValueError(f"unknown rope scaling {scaling!r}")
     ang = positions.astype(jnp.float32)[..., None] * inv  # (..., dh/2)
     return jnp.cos(ang), jnp.sin(ang)
 
@@ -357,6 +418,7 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
         from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
 
         out = moe_block(h.reshape(B * T, H), p["moe"],
+                        capacity_factor=cfg.moe_capacity_factor,
                         top_k=cfg.num_experts_per_tok,
                         norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
         return out.reshape(B, T, H)
@@ -432,7 +494,8 @@ def forward(
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         else:
             positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-    cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta)
+    cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta,
+                          cfg.rope_scaling)
 
     if kv_cache is None:
         causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
@@ -550,7 +613,8 @@ def decode_step(
     else:
         x = emb[tok].astype(cfg.dtype)  # (B, H)
 
-    cos, sin = rope_freqs(positions, dh, cfg.rope_theta)  # (B, dh/2)
+    cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
+                          cfg.rope_scaling)  # (B, dh/2)
 
     def rope1(v):  # (B, n, dh)
         c, s_ = cos[:, None, :], sin[:, None, :]
@@ -657,7 +721,8 @@ def decode_step(
             from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
 
             x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
-                              norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
+                              norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl,
+                              capacity_factor=cfg.moe_capacity_factor)
         else:
             gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
                               preferred_element_type=jnp.float32)

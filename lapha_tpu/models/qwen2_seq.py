@@ -68,7 +68,8 @@ def forward_seq(
         attention_mask = jnp.ones((B, T), jnp.int32)
     # left-padding friendly positions, computed on the full (cheap) mask
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
-    cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta)  # (B,T,dh/2)
+    cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta,
+                          cfg.rope_scaling)  # (B,T,dh/2)
 
     def local(params, ids, mask, cos, sin):
         emb = params["embed"]["weight"]
@@ -211,7 +212,8 @@ def decode_step_seq(
 
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
 
-    cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta)  # (B, dh/2)
+    cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta,
+                              cfg.rope_scaling)  # (B, dh/2)
 
     quantized = cache_scale is not None
 
@@ -319,7 +321,8 @@ def decode_step_seq(
                 from ..ops.moe import moe_block
 
                 x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
-                                  norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
+                                  norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl,
+                                  capacity_factor=cfg.moe_capacity_factor)
             else:
                 gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
                                   preferred_element_type=jnp.float32)

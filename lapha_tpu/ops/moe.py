@@ -37,11 +37,49 @@ are dequantized at the use site.
 from __future__ import annotations
 
 import math
+import warnings
 
 import jax
 import jax.numpy as jnp
 
 from ..models.quant import dequant
+
+_dispatch_warned = False
+
+
+def dispatch_drop_fraction(x: jax.Array, p: dict, *, top_k: int,
+                           norm_topk: bool, capacity_factor: float = 2.0,
+                           group_size: int = 512) -> jax.Array:
+    """Fraction of (token, expert-choice) routing pairs the ``dispatch``
+    impl would DROP for this batch (scalar f32 in [0, 1]).
+
+    Capacity drops are the documented approximation of the dispatch path
+    (tokens beyond ``C = ceil(top_k*S/E*capacity_factor)`` per group lose
+    that expert's contribution). This diagnostic makes the lossiness
+    observable: 0.0 means dispatch was EXACT for this batch; under routing
+    skew it quantifies how much signal capacity_factor is discarding so
+    users can raise it (or switch to the exact ``gather``/``dense`` impls
+    via ``Qwen2Config.moe_impl``)."""
+    N, _H = x.shape
+    experts = p["experts"]
+    E = experts["gate_proj"]["w"].shape[0] if not isinstance(
+        experts["gate_proj"]["w"], dict) else experts["gate_proj"]["w"]["q"].shape[0]
+    _topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+    S = min(group_size, N)
+    Np = ((N + S - 1) // S) * S
+    G = Np // S
+    C = max(1, math.ceil(top_k * S / E * capacity_factor))
+    C = min(C, S * top_k)
+    if Np != N:
+        topi = jnp.pad(topi, ((0, Np - N), (0, 0)), constant_values=-1)
+    ig = topi.reshape(G, S, top_k)
+    sel = (jax.nn.one_hot(ig, E, dtype=jnp.float32)
+           * (ig >= 0)[..., None].astype(jnp.float32))
+    pos = jnp.cumsum(sel.reshape(G, S * top_k, E), axis=1) \
+        .reshape(G, S, top_k, E) - sel
+    kept = ((pos < C).astype(jnp.float32) * sel).sum()
+    total = jnp.maximum(sel.sum(), 1.0)
+    return 1.0 - kept / total
 
 
 def route(x: jax.Array, router_w, top_k: int, norm_topk: bool):
@@ -217,9 +255,27 @@ def moe_block(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
     ``auto`` resolves per backend: ``dispatch`` on TPU (every shape static —
     the safest compile path on this stack, where grouped-GEMM programs with
     runtime group sizes compile pathologically slowly through the remote
-    compiler), ``gather`` elsewhere (exact, no drops)."""
+    compiler), ``gather`` elsewhere (exact, no drops). The dispatch
+    resolution is NOT silent: a one-time warning documents the capacity
+    approximation and the knobs (``capacity_factor`` /
+    ``Qwen2Config.moe_capacity_factor`` to widen buckets,
+    ``moe_impl="gather"`` for exact routing,
+    :func:`dispatch_drop_fraction` to measure drops on real batches)."""
     if impl == "auto":
         impl = "dispatch" if jax.default_backend() == "tpu" else "gather"
+        if impl == "dispatch":
+            global _dispatch_warned
+            if not _dispatch_warned:
+                _dispatch_warned = True
+                warnings.warn(
+                    "MoE impl 'auto' resolved to the capacity-bucketed "
+                    f"'dispatch' path (capacity_factor={capacity_factor}): "
+                    "tokens routed beyond an expert's per-group capacity "
+                    "lose that expert's contribution under routing skew. "
+                    "Raise Qwen2Config.moe_capacity_factor, set "
+                    "moe_impl='gather' for exact routing, or quantify with "
+                    "lapha_tpu.ops.moe.dispatch_drop_fraction().",
+                    stacklevel=2)
     if impl == "gather":
         routed = moe_ffn_gather(x, p, top_k=top_k, norm_topk=norm_topk)
     elif impl == "dense":

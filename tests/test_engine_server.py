@@ -146,3 +146,59 @@ def test_streaming_generate_sync_fallback(served_engine):
     local = eng.generate(["fallback"], SamplingParams(n=2, temperature=0.0,
                                                       max_tokens=5))[0]
     assert finishes[0]["token_ids"] == local.outputs[0].token_ids
+
+
+def test_streaming_submit_failure_yields_error_event():
+    """n > max_batch on a streaming request must produce a VALID NDJSON
+    stream ending in {type: error} + {type: done} — not a second HTTP
+    response spliced into the open chunked body (round-2 advisor finding).
+    Nothing may be left decoding into an orphaned queue afterwards."""
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(6))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    httpd = engine_server.serve(eng, port=0, background=True,
+                                continuous=True, prompt_slab=64)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        client = EngineClient(url)
+        assert client.check_server(total_timeout=10)
+        events = list(client.generate_stream(
+            ["too wide"], n=99, temperature=0.0, max_tokens=4))
+        assert events[-1]["type"] == "done"
+        errs = [e for e in events if e["type"] == "error"]
+        assert len(errs) == 1 and "max_batch" in errs[0]["error"]
+        assert not any(e["type"] in ("delta", "finish") for e in events)
+        # the scheduler must be idle (nothing orphaned): a follow-up valid
+        # request streams normally on the same server
+        ok = list(client.generate_stream(["fine"], n=2, temperature=0.0,
+                                         max_tokens=4))
+        assert ok[-1]["type"] == "done"
+        assert sum(e["type"] == "finish" for e in ok) == 2
+    finally:
+        httpd.shutdown()
+
+
+def test_streaming_sync_fallback_failure_is_clean(served_engine):
+    """Same contract on the serializing fallback: an engine.generate
+    failure becomes error + done events (generate runs EAGERLY, before the
+    chunked headers), and the server survives. n > max_batch is NOT an
+    error here — the sync path chunks groups — so force a real failure."""
+    eng, url = served_engine
+    client = EngineClient(url)
+    orig = eng.generate
+
+    def boom(*a, **k):
+        raise RuntimeError("injected-engine-failure")
+
+    eng.generate = boom
+    try:
+        events = list(client.generate_stream(["x"], n=1, temperature=0.0,
+                                             max_tokens=4))
+    finally:
+        eng.generate = orig
+    assert [e["type"] for e in events] == ["error", "done"]
+    assert "injected-engine-failure" in events[0]["error"]
+    ok = list(client.generate_stream(["y"], n=1, temperature=0.0, max_tokens=4))
+    assert ok[-1]["type"] == "done"

@@ -6,6 +6,8 @@ Model-family widening beyond the reference (which serves only dense Qwen2.5,
 engine, and shard expert-wise over the mesh ``model`` axis.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -440,3 +442,74 @@ def test_moe_decode_step_seq_matches(tiny_moe_model):
                                     lens, dstart, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_drop_fraction_diagnostic():
+    """Uniform routing at cf=2 -> zero drops (dispatch exact); adversarial
+    skew (every token's top choice = one expert) -> measurable drops that a
+    larger capacity_factor eliminates (round-2 advisor finding: the
+    lossiness must be observable, not silent)."""
+    import numpy as np
+
+    from lapha_tpu.ops.moe import (dispatch_drop_fraction, moe_ffn_dispatch,
+                                   moe_ffn_gather)
+
+    rng = np.random.default_rng(11)
+    N, H, E, I, k = 64, 16, 8, 32, 2
+    p = {
+        "router": {"w": jnp.asarray(rng.normal(size=(H, E)), jnp.float32) * 0.05},
+        "experts": {
+            "gate_proj": {"w": jnp.asarray(rng.normal(size=(E, H, I)), jnp.float32) * 0.1},
+            "up_proj": {"w": jnp.asarray(rng.normal(size=(E, H, I)), jnp.float32) * 0.1},
+            "down_proj": {"w": jnp.asarray(rng.normal(size=(E, I, H)), jnp.float32) * 0.1},
+        },
+    }
+    x = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    frac = float(dispatch_drop_fraction(x, p, top_k=k, norm_topk=False))
+    assert frac == 0.0  # near-uniform router at cf=2: exact
+    np.testing.assert_allclose(
+        np.asarray(moe_ffn_dispatch(x, p, top_k=k, norm_topk=False)),
+        np.asarray(moe_ffn_gather(x, p, top_k=k, norm_topk=False)),
+        rtol=2e-5, atol=2e-5)
+
+    # skew: positive activations + a large all-ones router column make
+    # expert 0 every token's top choice (the router is linear in x, so a
+    # column offset alone flips sign with sum(x))
+    x_pos = jnp.abs(x) + 0.1
+    p_skew = dict(p, router={"w": p["router"]["w"].at[:, 0].set(5.0)})
+    frac_skew = float(dispatch_drop_fraction(x_pos, p_skew, top_k=k,
+                                             norm_topk=False))
+    assert frac_skew > 0.2, frac_skew  # expert0 gets 64 > C=ceil(2*64/8*2)=32
+    frac_wide = float(dispatch_drop_fraction(
+        x_pos, p_skew, top_k=k, norm_topk=False, capacity_factor=float(E)))
+    assert frac_wide == 0.0
+    # and at the widened capacity, dispatch output is exact again
+    np.testing.assert_allclose(
+        np.asarray(moe_ffn_dispatch(x_pos, p_skew, top_k=k, norm_topk=False,
+                                    capacity_factor=float(E))),
+        np.asarray(moe_ffn_gather(x_pos, p_skew, top_k=k, norm_topk=False)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_moe_capacity_factor_config_threads_through():
+    """Qwen2Config.moe_capacity_factor reaches the dispatch impl: a skewed
+    tiny model's forward differs between cf=0.25 (drops) and cf=8 (exact),
+    and cf=8 matches the exact gather impl."""
+    import numpy as np
+
+    cfg_lossy = Qwen2Config.tiny(
+        vocab_size=128, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=16, shared_expert_intermediate_size=16,
+        tie_word_embeddings=False, moe_impl="dispatch",
+        moe_capacity_factor=0.25)
+    cfg_exact = dataclasses.replace(cfg_lossy, moe_capacity_factor=8.0)
+    cfg_gather = dataclasses.replace(cfg_lossy, moe_impl="gather")
+    params = qwen2.init_params(cfg_lossy, jax.random.key(3))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 24)))
+    lo_lossy, _, _ = qwen2.forward(params, cfg_lossy, ids)
+    lo_exact, _, _ = qwen2.forward(params, cfg_exact, ids)
+    lo_gather, _, _ = qwen2.forward(params, cfg_gather, ids)
+    np.testing.assert_allclose(np.asarray(lo_exact), np.asarray(lo_gather),
+                               rtol=2e-4, atol=2e-4)
+    assert not np.allclose(np.asarray(lo_lossy), np.asarray(lo_gather),
+                           rtol=2e-4, atol=2e-4)

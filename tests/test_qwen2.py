@@ -394,3 +394,106 @@ def test_qwen3_export_roundtrip(tiny_qwen3_dir, tmp_path):
     l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
     l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------- rope scaling
+
+@pytest.fixture(scope="module")
+def tiny_llama31_dir(tmp_path_factory):
+    """Tiny random HF Llama model WITH llama3 rope_scaling (Llama-3.1+)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_llama31")
+    hf_cfg = LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=1024, rope_theta=500000.0,
+        tie_word_embeddings=False, attention_bias=False, torch_dtype="float32",
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 256},
+    )
+    torch.manual_seed(5)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_llama3_rope_scaling_inv_freq_matches_transformers():
+    """rope_freqs' llama3 branch vs transformers' own llama3 rope init
+    (modeling_rope_utils._compute_llama3_parameters) on a real head_dim."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    dh, theta = 128, 500000.0
+    rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+          "high_freq_factor": 4.0, "original_max_position_embeddings": 8192}
+    hf_cfg = LlamaConfig(hidden_size=dh * 4, num_attention_heads=4,
+                         rope_theta=theta, rope_scaling=dict(rs),
+                         max_position_embeddings=131072)
+    ref_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, device="cpu")
+    scaling = qwen2.Qwen2Config._parse_rope_scaling({"rope_scaling": rs})
+    pos = jnp.asarray([1.0])
+    cos, sin = qwen2.rope_freqs(pos, dh, theta, scaling)
+    ours_inv = np.arctan2(np.asarray(sin)[0], np.asarray(cos)[0])  # angle at pos=1
+    np.testing.assert_allclose(ours_inv, ref_inv.numpy(), rtol=1e-6, atol=1e-8)
+
+
+def test_llama31_logits_match_hf(tiny_llama31_dir):
+    """End-to-end HF parity for a rope-scaled checkpoint, at positions past
+    the ORIGINAL context (where unscaled frequencies would diverge)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaForCausalLM
+
+    params, cfg = loader.load_params(tiny_llama31_dir, dtype=jnp.float32)
+    assert cfg.rope_scaling[0] == "llama3"
+    ids = rng.integers(0, 512, size=(1, 300))  # > original 256
+    hf = LlamaForCausalLM.from_pretrained(tiny_llama31_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_linear_rope_scaling_matches_transformers(tiny_llama_dir, tmp_path):
+    """linear scaling: config parses and halved frequencies match HF."""
+    import json as _json
+    import shutil
+
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaForCausalLM
+
+    d = tmp_path / "llama_linear"
+    shutil.copytree(tiny_llama_dir, d)
+    with open(d / "config.json") as f:
+        c = _json.load(f)
+    c["rope_scaling"] = {"rope_type": "linear", "factor": 2.0}
+    with open(d / "config.json", "w") as f:
+        _json.dump(c, f)
+    params, cfg = loader.load_params(str(d), dtype=jnp.float32)
+    assert cfg.rope_scaling == ("linear", 2.0)
+    ids = rng.integers(0, 512, size=(1, 40))
+    hf = LlamaForCausalLM.from_pretrained(str(d)).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_unsupported_rope_scaling_rejected(tiny_llama_dir, tmp_path):
+    """yarn (and any unimplemented type) must fail loudly at load time, not
+    load with wrong frequencies (round-2 advisor finding)."""
+    import json as _json
+    import shutil
+
+    d = tmp_path / "llama_yarn"
+    shutil.copytree(tiny_llama_dir, d)
+    with open(d / "config.json") as f:
+        c = _json.load(f)
+    c["rope_scaling"] = {"rope_type": "yarn", "factor": 4.0}
+    with open(d / "config.json", "w") as f:
+        _json.dump(c, f)
+    with pytest.raises(ValueError, match="yarn"):
+        loader.load_config(str(d))
