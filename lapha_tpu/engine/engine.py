@@ -68,6 +68,9 @@ class Engine:
         approx_top_k: bool = True,
         kv_quant: str | None = None,
         seq_mesh=None,
+        spec_decode: str | None = None,
+        spec_k: int = 3,
+        spec_ngram: int = 2,
     ):
         self.params = params
         self.cfg = cfg
@@ -98,6 +101,26 @@ class Engine:
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant={kv_quant!r}")
         self.kv_quant = kv_quant
+        # spec_decode="pld": prompt-lookup speculative decoding (spec.py).
+        # Each decode iteration verifies K n-gram drafts in one K+1-token
+        # forward — nearly free on a weight-bandwidth-bound decode — so
+        # accepted drafts multiply tok/s. Greedy streams are bit-identical
+        # to non-speculative greedy; sampled streams are distribution-exact
+        # (delta rejection) but consume PRNG keys differently, so spec is
+        # OFF by default. Memory trade: rejected draft columns leave holes,
+        # so the decode cache region is sized (K+1)x the token budget.
+        if spec_decode not in (None, "pld"):
+            raise ValueError(f"unsupported spec_decode={spec_decode!r}")
+        if spec_decode is not None and kv_quant is not None:
+            raise ValueError("spec_decode does not compose with kv_quant "
+                             "yet (the verify step writes bf16 KV blocks)")
+        if spec_decode is not None and seq_mesh is not None:
+            raise ValueError("spec_decode does not compose with seq_mesh "
+                             "yet (the validity bitmap is unsharded)")
+        self.spec_decode = spec_decode
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
+        self.last_spec_stats: dict | None = None
         # seq_mesh: a Mesh with a "sequence" axis — engine-side sequence
         # parallelism. The decode KV cache is sharded over its slot axis and
         # each step runs qwen2_seq.decode_step_seq (flash-style distributed
@@ -134,6 +157,11 @@ class Engine:
             static_argnames=("T", "static_top_k", "ragged"),
             donate_argnums=(1, 2),  # donate kv cache
             donate_argnames=("cache_scale",),  # int8-KV scale planes
+        )
+        self._decode_spec_jit = jax.jit(
+            self._decode_spec_impl,
+            static_argnames=("T", "K", "M", "static_top_k"),
+            donate_argnums=(1, 2),
         )
         self._quantize_cache_jit = jax.jit(self._quantize_cache_impl,
                                            donate_argnums=(0, 1))
@@ -345,6 +373,172 @@ class Engine:
         (_, ck, cv, scl, pres, logits, pos, slot, _, fin, em, hs, toks, lps) = st
         return toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs, scl
 
+    def _decode_spec_impl(
+        self, params, cache_k, cache_v, presence, last_logits,
+        lens, seq0, positions_next, slot_next, finished,
+        row_budget, emitted, key,
+        temperature, top_k, top_p, min_p, rep_pen,
+        T: int, K: int, M: int, static_top_k: int = 0,
+    ):
+        """Speculative variant of :meth:`_decode_impl` (spec_decode="pld").
+
+        One ``lax.while_loop`` iteration = one K+1-token verify forward
+        (qwen2.decode_step_multi) over [last_emitted, draft_1..draft_K],
+        drafts proposed on-device by n-gram lookup over the row's token
+        history (spec.ngram_propose). The acceptance chain runs the SAME
+        processed-logits pipeline as the normal loop with presence evolving
+        inside the window, so greedy output streams are bit-identical to
+        non-speculative greedy and sampled streams are distribution-exact
+        (spec.pick_with_draft). Each iteration emits 1..K+1 tokens per row
+        and advances the shared slot by K+1; per-row validity is the
+        (B, S) bitmap ``valid_map`` (rejected columns are permanent holes).
+
+        Returns (toks (B,T), lps (B,T), finished, cache, presence, pos,
+        slot, emitted, h_sum, iterations)."""
+        from ..models import qwen2 as _q
+        from . import spec
+
+        eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        B = last_logits.shape[0]
+        S = cache_k.shape[3]
+        W = K + 1
+        toks0 = jnp.zeros((B, T), jnp.int32)
+        lps0 = jnp.zeros((B, T), jnp.float32)
+        h00 = jnp.zeros((B, self.cfg.hidden_size), jnp.float32)
+        arB = jnp.arange(B)
+
+        def is_eos(t):
+            return jnp.any(t[:, None] == eos_arr[None, :], axis=1)
+
+        pick_kw = dict(repetition_penalty=rep_pen, temperature=temperature,
+                       top_k=top_k, top_p=top_p, min_p=min_p,
+                       static_top_k=static_top_k,
+                       approx_top_k=self.approx_top_k)
+
+        # pre-step: emit token0 from the prefill logits (the normal loop's
+        # first sample); it is forwarded as iteration 1's t0
+        key, k0 = jax.random.split(key)
+        tok0, lp0 = spec.pick_with_draft(
+            last_logits, k0, jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool), presence=presence, **pick_kw)
+        emit0 = ~finished & (row_budget > 0)
+        toks = toks0.at[:, 0].set(jnp.where(emit0, tok0, 0))
+        lps = lps0.at[:, 0].set(jnp.where(emit0, lp0, 0.0))
+        em = emitted + emit0.astype(jnp.int32)
+        presence = presence.at[arB, tok0].max(emit0.astype(jnp.int8))
+        fin = finished | (is_eos(tok0) & emit0) | (em >= row_budget)
+        seq = spec.scatter_emit(seq0, lens, tok0[:, None], emit0[:, None])
+        cur = lens + emit0.astype(jnp.int32)
+        valid0 = jnp.arange(S)[None, :] < lens[:, None]
+        # unp: lt was emitted but its hidden is not pooled yet
+        unp = emit0
+
+        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
+               positions_next, slot_next, key, fin, em, valid0, seq, cur,
+               tok0, unp, h00, toks, lps)
+
+        def cond(st):
+            it, slot, fin_ = st[0], st[5], st[7]
+            # reserve one column for the post-loop h0 fixup forward
+            return (it < T) & ~jnp.all(fin_) & (slot + W < S)
+
+        def body(st):
+            (it, ck, cv, pres, pos, slot, k, fin_, em_, valid, seq_, cur_,
+             lt, unp_, hs, toks_, lps_) = st
+            draft, dl = spec.ngram_propose(seq_, cur_, K, M)
+            toks_in = jnp.concatenate([lt[:, None], draft], axis=1)  # (B, W)
+            positions = pos[:, None] + jnp.arange(W)[None, :]
+            logits_w, hidden, ck, cv = _q.decode_step_multi(
+                params, self.cfg, toks_in, positions, ck, cv, slot, valid,
+                return_hidden=self.collect_h0)
+            k, *subs = jax.random.split(k, W + 1)
+
+            active = ~fin_
+            pres_i, em_run, active_i = pres, em_, active
+            tok_l, lp_l, emit_l, pool_l = [], [], [], []
+            for i in range(W):
+                if i < K:
+                    d_i = draft[:, i]
+                    has_d = active_i & (i < dl)
+                else:
+                    d_i = jnp.zeros((B,), jnp.int32)
+                    has_d = jnp.zeros((B,), bool)
+                t_i, l_i = spec.pick_with_draft(
+                    logits_w[:, i], subs[i], d_i, has_d,
+                    presence=pres_i, **pick_kw)
+                emit_i = active_i & (em_run < row_budget)
+                eos_i = is_eos(t_i) & emit_i
+                # pooled: this draft token was emitted, so its hidden (from
+                # THIS forward) joins the h0 sum; the chain additionally
+                # stops on EOS
+                pool_i = (emit_i & (t_i == d_i) & (i < dl)
+                          if i < K else jnp.zeros((B,), bool))
+                pres_i = pres_i.at[arB, t_i].max(emit_i.astype(jnp.int8))
+                em_run = em_run + emit_i.astype(jnp.int32)
+                tok_l.append(t_i)
+                lp_l.append(l_i)
+                emit_l.append(emit_i)
+                pool_l.append(pool_i)
+                active_i = pool_i & ~eos_i
+
+            tok_w = jnp.stack(tok_l, 1)
+            lp_w = jnp.stack(lp_l, 1)
+            emit_w = jnp.stack(emit_l, 1)
+            pool_w = jnp.stack(pool_l, 1)  # pool_w[:, K] is all-False
+            e = jnp.sum(emit_w.astype(jnp.int32), 1)
+            eos_w = emit_w & jnp.any(
+                tok_w[..., None] == eos_arr[None, None, :], axis=-1)
+            new_fin = fin_ | jnp.any(eos_w, 1) | (em_run >= row_budget)
+
+            toks_ = spec.scatter_emit(toks_, em_, tok_w, emit_w)
+            lps_ = spec.scatter_emit(lps_, em_, lp_w, emit_w)
+            seq_ = spec.scatter_emit(seq_, cur_, tok_w, emit_w)
+
+            # column validity: slot+0 holds t0's KV (valid iff the row
+            # decoded this iteration); slot+1+i holds draft i's KV (valid
+            # iff that draft token was emitted)
+            col_new = jnp.concatenate([active[:, None], pool_w[:, :K]], 1)
+            arS = jnp.arange(S)[None, :]
+            rel = jnp.clip(arS - slot, 0, W - 1)
+            gathered = jnp.take_along_axis(
+                col_new, jnp.broadcast_to(rel, (B, S)), axis=1)
+            in_w = (arS >= slot) & (arS < slot + W)
+            valid = jnp.where(in_w, gathered, valid)
+
+            lt_new, last_pooled = lt, ~unp_
+            for i in range(W):
+                lt_new = jnp.where(emit_w[:, i], tok_w[:, i], lt_new)
+                last_pooled = jnp.where(emit_w[:, i], pool_w[:, i], last_pooled)
+            # active rows always emit >= 1; their old t0 got pooled above,
+            # the new lt's pooled-ness is that of the last emitted token
+            unp_new = jnp.where(e > 0, ~last_pooled, unp_)
+
+            if self.collect_h0:
+                hs = hs + hidden[:, 0].astype(jnp.float32) * active[:, None]
+                for i in range(K):
+                    hs = hs + (hidden[:, 1 + i].astype(jnp.float32)
+                               * pool_w[:, i][:, None])
+
+            return (it + 1, ck, cv, pres_i, pos + e, slot + W, k, new_fin,
+                    em_run, valid, seq_, cur_ + e, lt_new, unp_new, hs,
+                    toks_, lps_)
+
+        st = jax.lax.while_loop(cond, body, st0)
+        (it, ck, cv, pres, pos, slot, _k, fin, em, valid, _seq, _cur, lt,
+         unp, hs, toks, lps) = st
+
+        if self.collect_h0:
+            # rows whose LAST emitted token was a bonus (never forwarded):
+            # one extra 1-token forward collects its hidden. Its KV lands
+            # at the reserved column `slot` (never marked valid, never read
+            # again — the sync engine discards the cache after decode).
+            _lg, hid1, ck, cv = _q.decode_step_multi(
+                params, self.cfg, lt[:, None], pos[:, None], ck, cv,
+                jnp.minimum(slot, S - 1), valid, return_hidden=True)
+            hs = hs + hid1[:, 0].astype(jnp.float32) * unp[:, None]
+
+        return toks, lps, fin, (ck, cv), pres, pos, slot, em, hs, it
+
     # ------------------------------------------------------------------ public API
 
     def update_params(self, params) -> None:
@@ -492,6 +686,13 @@ class Engine:
         # [0, Lp) slab; decode step t writes slot Lp+t for ALL rows
         Lp = _round_up(min(self.max_model_len, max_len), self.pad_multiple)
         S = _round_up(Lp + max_new, self.pad_multiple)
+        if self.spec_decode is not None:
+            # every spec iteration writes K+1 columns but worst-case emits
+            # only 1 (zero acceptance): size the decode region for the
+            # budget at (K+1)x, +1 reserved column for the h0 fixup
+            W = self.spec_k + 1
+            budget0 = min(max_new, S - Lp)
+            S = _round_up(Lp + budget0 * W + 1, self.pad_multiple)
         if self.seq_mesh is not None:  # sharded slot axis: S % n_seq == 0
             S = _round_up(S, self.seq_mesh.shape["sequence"])
 
@@ -545,7 +746,10 @@ class Engine:
         # NO host round-trip per chunk (the remote-TPU tunnel makes each
         # sync ~10s of ms). decode_chunk survives as the compile-bucket
         # quantum for the emit-buffer width.
-        budget = min(max_new, S - Lp)
+        if self.spec_decode is not None:
+            budget = min(max_new, (S - Lp - 1) // (self.spec_k + 1))
+        else:
+            budget = min(max_new, S - Lp)
         T = _round_up(max(budget, 1), self.decode_chunk)  # emit-buffer bucket
         h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
         if budget > 0:
@@ -570,17 +774,46 @@ class Engine:
                     cache_scale = (jax.device_put(cache_scale[0], sspec),
                                    jax.device_put(cache_scale[1], sspec))
             key, sub = jax.random.split(key)
-            toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \
-                self._decode_jit(
-                    self.params, ck, cv, presence, last_logits,
-                    lens_j, jnp.full((B,), Lp, jnp.int32),
-                    positions_next, slot_next, finished,
-                    jnp.full((B,), budget, jnp.int32),
-                    jnp.zeros((B,), jnp.int32), sub,
-                    temperature, top_k, top_p, min_p, rep_pen,
-                    T=T, static_top_k=static_top_k,
-                    cache_scale=cache_scale,
-                )
+            if self.spec_decode is not None:
+                # token history for n-gram drafting: prompt tokens + (on
+                # device) every emitted token
+                Hs = Lp + T
+                seq_np = np.zeros((B, Hs), np.int32)
+                for r in range(P * n):
+                    seq_np[r, : lens[r]] = enc[row_of[r]]
+                toks_d, lps_d, finished, (ck, cv), presence, positions_next, \
+                    slot_next, em_d, hs, iters = self._decode_spec_jit(
+                        self.params, ck, cv, presence, last_logits,
+                        lens_j, jnp.asarray(seq_np),
+                        positions_next, slot_next, finished,
+                        jnp.full((B,), budget, jnp.int32),
+                        jnp.zeros((B,), jnp.int32), sub,
+                        temperature, top_k, top_p, min_p, rep_pen,
+                        T=T, K=self.spec_k, M=self.spec_ngram,
+                        static_top_k=static_top_k,
+                    )
+                n_tok = int(np.sum(np.asarray(em_d)[: P * n]))
+                n_it = int(iters)
+                self.last_spec_stats = {
+                    "iterations": n_it,
+                    "tokens": n_tok,
+                    # mean emitted per verify-iteration per row: 1.0 = no
+                    # draft ever accepted, K+1 = every draft accepted
+                    "tokens_per_iteration": round(
+                        n_tok / max(1, n_it * (P * n)), 3),
+                }
+            else:
+                toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \
+                    self._decode_jit(
+                        self.params, ck, cv, presence, last_logits,
+                        lens_j, jnp.full((B,), Lp, jnp.int32),
+                        positions_next, slot_next, finished,
+                        jnp.full((B,), budget, jnp.int32),
+                        jnp.zeros((B,), jnp.int32), sub,
+                        temperature, top_k, top_p, min_p, rep_pen,
+                        T=T, static_top_k=static_top_k,
+                        cache_scale=cache_scale,
+                    )
             toks = np.asarray(toks_d)[:, :budget]
             lps = np.asarray(lps_d)[:, :budget]
             if self.collect_h0:

@@ -742,3 +742,115 @@ def decode_step(
     if cache_scale is not None:
         return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
     return logits, (x if return_hidden else None), cache_k, cache_v
+
+
+def decode_step_multi(
+    params: dict,
+    cfg: Qwen2Config,
+    toks: jax.Array,       # (B, T) int32 — [last_emitted, draft_1..draft_{T-1}]
+    positions: jax.Array,  # (B, T) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, nkv, S, dh) decode layout
+    cache_v: jax.Array,
+    slot: jax.Array,       # scalar int32 — first cache column for this block
+    valid_map: jax.Array,  # (B, S) bool — per-row stored-KV validity bitmap
+    return_hidden: bool = False,
+):
+    """T-token verify step for speculative decoding (engine spec mode).
+
+    Forwards a contiguous block of T tokens per row against the decode
+    cache in ONE pass: the whole point of speculation on a
+    weight-bandwidth-bound decode is that the weight (and cache) reads for
+    T tokens cost the same HBM traffic as for 1, so verifying T-1 drafts
+    is nearly free (scripts/bench_spec.py measures the ratio).
+
+    Differences from :func:`decode_step` (the 1-token hot loop):
+    - K/V of all T tokens are written at columns [slot, slot+T) (still one
+      contiguous dynamic_update_slice per layer — the slot-uniform write
+      discipline survives, the ENGINE just advances slot by T);
+    - validity is a per-row (B, S) BITMAP, not (lens, dstart, slot) ranges:
+      rejected draft columns leave permanent holes in the decode region
+      that ranges cannot express. Query i additionally attends causally to
+      the new columns j <= i;
+    - no int8-KV / ragged-kernel variants (the engine guards spec mode to
+      the dense bf16 path).
+
+    Returns (logits (B, T, V) f32, hidden (B, T, H)|None, cache_k, cache_v).
+    Capability beyond the reference: vLLM 0.11 as configured by the
+    reference (vllm_start.sh) runs no speculative decoding.
+    """
+    L = cfg.num_hidden_layers
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    group = nh // nkv
+    B, T = toks.shape
+    S = cache_k.shape[3]
+    scale = 1.0 / math.sqrt(dh)
+
+    emb = params["embed"]["weight"]
+    if is_quantized(emb):
+        x = emb["q"][toks].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+    else:
+        x = emb[toks].astype(cfg.dtype)  # (B, T, H)
+
+    cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
+                          cfg.rope_scaling)  # (B, T, dh/2)
+
+    def rope2(v):  # (B, T, n, dh)
+        c, s_ = cos[:, :, None, :], sin[:, :, None, :]
+        v1 = v[..., : dh // 2].astype(jnp.float32)
+        v2 = v[..., dh // 2 :].astype(jnp.float32)
+        return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
+                               -1).astype(v.dtype)
+
+    ar = jnp.arange(S)[None, None, :]
+    new_rel = ar - slot                       # new columns are 0..T-1
+    causal_new = (new_rel >= 0) & (new_rel <= jnp.arange(T)[None, :, None])
+    valid = valid_map[:, None, :] | causal_new  # (B, T, S)
+    neg = jnp.float32(-1e30)
+
+    def proj(h, w, b=None):  # (B,T,H) @ (H,D)
+        y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
+                       preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(h.dtype)
+
+    for l in range(L):
+        p = _layer_params(params, l)
+        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, T, nh, dh)
+        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, T, nkv, dh)
+        v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, T, nkv, dh)
+        if cfg.qk_norm:  # qwen3
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+        q, k = rope2(q), rope2(k)
+
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, jnp.transpose(k, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, jnp.transpose(v, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+
+        k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views
+        qg = q.reshape(B, T, nkv, group, dh)
+        att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all,
+                         preferred_element_type=jnp.float32) * scale
+        att = jnp.where(valid[:, None, :, None, :], att, neg)
+        probs = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
+                       preferred_element_type=jnp.float32)
+        o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, T, nh * dh).astype(x.dtype)
+        x = x + proj(o, p["attn"]["o_proj"]["w"])
+
+        h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(cfg, p, h2)
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
+    if is_quantized(head_w):
+        xs = x * head_w["s"][0].astype(x.dtype)
+        logits = jnp.einsum("bth,vh->btv", xs, head_w["q"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", x, head_w,
+                            preferred_element_type=jnp.float32)
+    return logits, (x if return_hidden else None), cache_k, cache_v

@@ -178,9 +178,13 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
         # the decode range's first chunk can be the SAME chunk, processed
         # twice — a union mask would count its positions twice in the
         # softmax. Each pass admits only its own segment's positions (the
-        # segments are disjoint: d0 >= n1 always).
-        valid = jnp.where(i < nc1, k_pos < n1,
-                          (k_pos >= d0) & (k_pos <= sl))
+        # segments are disjoint: d0 >= n1 always). Expressed with and/or
+        # instead of a select: Mosaic fails to legalize `arith.select` on
+        # i1 vectors (measured on v5e: "failed to legalize operation
+        # 'arith.select'" with vector<8x128xi1> operands).
+        in_prompt_seg = i < nc1  # scalar bool, broadcasts
+        valid = ((in_prompt_seg & (k_pos < n1))
+                 | (~in_prompt_seg & (k_pos >= d0) & (k_pos <= sl)))
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
