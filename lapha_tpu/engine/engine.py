@@ -71,6 +71,7 @@ class Engine:
         spec_decode: str | None = None,
         spec_k: int = 3,
         spec_ngram: int = 2,
+        auto_continuous: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -121,6 +122,16 @@ class Engine:
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
         self.last_spec_stats: dict | None = None
+        # auto_continuous: route generate() calls LARGER than one device
+        # wave (P*n > max_batch) through an internal ContinuousEngine so
+        # waves overlap — rows that finish early are replaced mid-stream
+        # instead of idling until the wave's slowest row (the reference's
+        # vLLM batches a whole eval set continuously; the sync path
+        # serializes max_batch//n groups). Opt-in: the scheduler assigns
+        # per-request seeds, so sampled token streams differ from the
+        # sync path's (greedy streams agree).
+        self.auto_continuous = bool(auto_continuous)
+        self._auto_sched = None
         # seq_mesh: a Mesh with a "sequence" axis — engine-side sequence
         # parallelism. The decode KV cache is sharded over its slot axis and
         # each step runs qwen2_seq.decode_step_seq (flash-style distributed
@@ -555,13 +566,32 @@ class Engine:
         sp = sampling_params
         n = max(1, int(getattr(sp, "n", 1)))
         prompts = list(prompts)
-        results: list[RequestOutput | None] = [None] * len(prompts)
         group = max(1, self.max_batch // n)
+        if self.auto_continuous and len(prompts) > group:
+            sched = self._continuous()
+            if sched is not None and all(
+                    len(self.tokenizer(p, add_special_tokens=True)["input_ids"])
+                    <= sched.slab for p in prompts):
+                return sched.generate(prompts, sp)
+        results: list[RequestOutput | None] = [None] * len(prompts)
         for lo in range(0, len(prompts), group):
             outs = self._generate_chunk(prompts[lo : lo + group], sp, n)
             for i, ro in enumerate(outs):
                 results[lo + i] = ro
         return results
+
+    def _continuous(self):
+        """Lazily build/start the internal ContinuousEngine for
+        auto-routed oversized batches. None when the configuration cannot
+        compose (seq_mesh, spec_decode) — callers fall back to waves."""
+        if self.seq_mesh is not None or self.spec_decode is not None:
+            return None
+        if self._auto_sched is None:
+            from .scheduler import ContinuousEngine
+
+            self._auto_sched = ContinuousEngine(self)
+            self._auto_sched.start()
+        return self._auto_sched
 
     # ------------------------------------------------------------------ internals
 
