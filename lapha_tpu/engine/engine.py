@@ -584,7 +584,7 @@ class Engine:
         """Lazily build/start the internal ContinuousEngine for
         auto-routed oversized batches. None when the configuration cannot
         compose (seq_mesh, spec_decode) — callers fall back to waves."""
-        if self.seq_mesh is not None or self.spec_decode is not None:
+        if self.spec_decode is not None:
             return None
         if self._auto_sched is None:
             from .scheduler import ContinuousEngine

@@ -298,7 +298,6 @@ def main(argv=None):
 
         seq_mesh = Mesh(np.array(jax.devices()[: args.sequence_parallel]),
                         ("sequence",))
-        args.no_continuous_batching = True  # scheduler guards seq_mesh off
     engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
                     max_batch=args.max_batch, seq_mesh=seq_mesh)
     print(f"engine server on {args.host}:{args.port} (model {args.model})")

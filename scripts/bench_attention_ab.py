@@ -56,8 +56,15 @@ def make_caches(cfg, S, B, quant: bool, seed: int):
     ks = jax.random.split(jax.random.key(seed), 4)
     shape = (L, B, nkv, S, dh)
     if quant:
-        ck = jax.random.bits(ks[0], shape, jnp.uint8).astype(jnp.int8)
-        cv = jax.random.bits(ks[1], shape, jnp.uint8).astype(jnp.int8)
+        def rand_i8(key):
+            # bits() at uint8 can materialize a full-size uint32 buffer
+            # (5.6 GB here) -> generate quarter-size u32 and bitcast
+            u32 = jax.random.bits(key, shape[:-1] + (dh // 4,), jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                u32, jnp.uint8).reshape(shape).astype(jnp.int8)
+
+        ck = rand_i8(ks[0])
+        cv = rand_i8(ks[1])
         scl = (jax.random.uniform(ks[2], (L, B, nkv, S), jnp.float32, 0.005, 0.02),
                jax.random.uniform(ks[3], (L, B, nkv, S), jnp.float32, 0.005, 0.02))
         return ck, cv, scl
