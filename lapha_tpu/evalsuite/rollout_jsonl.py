@@ -328,6 +328,14 @@ def build_parser() -> argparse.ArgumentParser:
     # native-engine extras (not in the reference CLI)
     ap.add_argument("--max-batch", type=int, default=int(os.getenv("TPU_MAX_BATCH", "16")))
     ap.add_argument("--seed", type=int, default=0)
+    # net-new serving levers (engine/engine.py; env-overridable like the
+    # reference's SDAR knobs): int8 KV cache and prompt-lookup speculative
+    # decoding (greedy streams stay exact; see Engine docstrings)
+    ap.add_argument("--kv-quant", choices=["int8"],
+                    default=os.getenv("TPU_KV_QUANT") or None)
+    ap.add_argument("--spec-decode", choices=["pld"],
+                    default=os.getenv("TPU_SPEC_DECODE") or None)
+    ap.add_argument("--spec-k", type=int, default=int(os.getenv("TPU_SPEC_K", "3")))
     return ap
 
 
@@ -368,6 +376,11 @@ def main(argv=None, *, engine_override=None, value_fn_override=None, tokenizer_o
         )
         if args.mode == "value":
             engine_kw["collect_h0"] = True  # fused value scoring
+        if args.kv_quant:
+            engine_kw["kv_quant"] = args.kv_quant
+        if args.spec_decode:
+            engine_kw["spec_decode"] = args.spec_decode
+            engine_kw["spec_k"] = int(args.spec_k)
         llm = build_engine_adapter(args.engine, tokenizer=tokenizer, **engine_kw)
 
     agent = None

@@ -136,6 +136,13 @@ class MTPOConfig:
     # training-forward sequence axis over this many devices (ring attention,
     # models/qwen2_seq). Generation/value paths ignore the axis.
     mesh_sequence: int = 1
+    # rollout engine knobs (net-new serving levers; engine/engine.py):
+    # int8 KV cache halves the decode KV read stream (tokens can differ at
+    # ~0.5% logit perturbation); spec decoding drafts from the rollout's
+    # own token history (greedy exact, sampled distribution-exact)
+    engine_kv_quant: Optional[str] = None     # None | "int8"
+    engine_spec_decode: Optional[str] = None  # None | "pld"
+    engine_spec_k: int = 3
 
     def __post_init__(self):
         if self.epsilon_high is None:
