@@ -106,8 +106,10 @@ class Engine:
         # Each decode iteration verifies K n-gram drafts in one K+1-token
         # forward — nearly free on a weight-bandwidth-bound decode — so
         # accepted drafts multiply tok/s. Greedy streams are bit-identical
-        # to non-speculative greedy; sampled streams are distribution-exact
-        # (delta rejection) but consume PRNG keys differently, so spec is
+        # to non-speculative greedy on deterministic backends (float-ulp
+        # tiling differences can flip argmax near-ties on TPU — see
+        # spec.py); sampled streams are distribution-exact (delta
+        # rejection) but consume PRNG keys differently, so spec is
         # OFF by default. Memory trade: rejected draft columns leave holes,
         # so the decode cache region is sized (K+1)x the token budget.
         if spec_decode not in (None, "pld"):
@@ -165,7 +167,7 @@ class Engine:
             self._write_prefix_impl, donate_argnums=(0, 1))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T", "static_top_k", "ragged"),
+            static_argnames=("T", "static_top_k", "ragged", "use_presence"),
             donate_argnums=(1, 2),  # donate kv cache
             donate_argnames=("cache_scale",),  # int8-KV scale planes
         )
@@ -290,9 +292,15 @@ class Engine:
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
         T: int, static_top_k: int = 0, ragged: bool = False,
-        cache_scale=None,
+        cache_scale=None, use_presence: bool = True,
     ):
         """Generate up to T tokens for all B rows (slot-uniform cache).
+
+        ``use_presence=False`` (static): every row's repetition_penalty is
+        1.0, so the (B, V) penalty pass, the per-step presence scatter and
+        the 7 MB host-built presence matrix are all skipped — measurable
+        per-step savings on the decode hot loop (callers pass a (B, 1)
+        dummy presence).
 
         The loop is a ``lax.while_loop`` so the DEVICE exits as soon as all
         rows are finished — chunks can be long without paying for dead steps,
@@ -326,8 +334,8 @@ class Engine:
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
-                presence=pres,
-                repetition_penalty=rep_pen,
+                presence=pres if use_presence else None,
+                repetition_penalty=rep_pen if use_presence else None,
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
@@ -341,7 +349,8 @@ class Engine:
             em = em + (~fin).astype(jnp.int32)
             new_fin = fin | is_eos | (em >= row_budget)
 
-            pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
+            if use_presence:
+                pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
             if self.seq_mesh is not None:
                 from ..models import qwen2_seq
 
@@ -746,11 +755,20 @@ class Engine:
         finished = jnp.zeros((B,), jnp.bool_)
         finished = finished.at[P * n :].set(True)  # bucket-padding rows
 
-        # repetition-penalty presence over prompt tokens
-        presence = np.zeros((B, self.cfg.vocab_size), np.int8)
-        for r in range(P * n):
-            presence[r, np.asarray(enc[row_of[r]], np.int64)] = 1
-        presence = jnp.asarray(presence)
+        # repetition-penalty presence over prompt tokens. When every row's
+        # penalty is 1.0 (and the spec loop, which threads presence through
+        # its acceptance chain, is off) the whole presence machinery is
+        # statically skipped: no 7 MB host build/transfer, no (B, V)
+        # penalty pass, no per-step scatter.
+        rp_val = float(getattr(sp, "repetition_penalty", 1.0) or 1.0)
+        use_presence = (rp_val != 1.0) or (self.spec_decode is not None)
+        if use_presence:
+            presence = np.zeros((B, self.cfg.vocab_size), np.int8)
+            for r in range(P * n):
+                presence[r, np.asarray(enc[row_of[r]], np.int64)] = 1
+            presence = jnp.asarray(presence)
+        else:
+            presence = jnp.zeros((B, 1), jnp.int8)
 
         def vec(x, default):
             v = getattr(sp, x, None)
@@ -842,7 +860,7 @@ class Engine:
                         jnp.zeros((B,), jnp.int32), sub,
                         temperature, top_k, top_p, min_p, rep_pen,
                         T=T, static_top_k=static_top_k,
-                        cache_scale=cache_scale,
+                        cache_scale=cache_scale, use_presence=use_presence,
                     )
             toks = np.asarray(toks_d)[:, :budget]
             lps = np.asarray(lps_d)[:, :budget]

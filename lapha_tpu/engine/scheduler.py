@@ -106,16 +106,16 @@ class ContinuousEngine:
         assert 0 < self.slab < self.S
         self.chunk = int(chunk or engine.decode_chunk)
         self.slots = make_slot_allocator(self.B)
-        # Persistent-cache attention strategy, A/B-measured at the
-        # S=4096/B=48/lens~500 shape on v5e (BASELINE.md): dense bf16 31.3,
-        # ragged v1 bf16 28.0, dense int8 19.5, ragged v1 int8 27.9
-        # ms/step. The v1 kernel was program-overhead-bound at grid
-        # (B, nkv) (~0.3 ms per program — traffic-independent), so int8 KV
-        # with the DENSE read path won decisively; ragged stayed on only
-        # for bf16 caches. Kernel v2 (multi-row programs, cross-row DMA
-        # pipeline) removes that bottleneck in design; flip this choice to
-        # prefer ragged int8 once the v2 A/B lands (ROADMAP round-3 #1 —
-        # blocked this round by the degraded remote compile service).
+        # Persistent-cache attention strategy, A/B-measured on v5e at the
+        # S=4096/B=48/lens~500 shape, full 1.5B decode step, kernel v2
+        # (scripts/bench_attention_ab.py, BASELINE.md): dense bf16 13.85,
+        # ragged-v2 bf16 12.41-12.65 (block_rows 16/8/4), dense int8
+        # 10.30, ragged-v2 int8 23.5-23.7 ms/step. So: ragged for bf16
+        # caches (v2's multi-row programs fixed v1's per-program overhead
+        # that made v1 lose), DENSE for int8 caches (the kernel's per-chunk
+        # scale-row DMAs — two extra tiny transfers per chunk — stall its
+        # pipeline; dense int8 halves the bulk KV read and wins the whole
+        # table). The best overall config here is kv_quant="int8".
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"

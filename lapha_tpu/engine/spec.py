@@ -15,11 +15,16 @@ TPU-first shape of the scheme:
   decode is weight-bandwidth-bound, so the weight/cache reads for K+1
   tokens cost what 1 does — accepted drafts are nearly free tokens;
 - acceptance runs the SAME processed-logits pipeline as the normal loop
-  (sampling.process_logits, presence evolving inside the window), so
-  greedy streams are bit-identical to non-speculative greedy, and sampled
+  (sampling.process_logits, presence evolving inside the window): sampled
   streams are distribution-exact via delta-proposal rejection sampling
   (accept draft d with prob p(d); on rejection sample from p with d masked
-  — the marginal at every position is exactly p).
+  — the marginal at every position is exactly p), and greedy streams are
+  bit-identical to non-speculative greedy on deterministic backends
+  (asserted on CPU in tests/test_spec.py). On TPU the K+1-token verify
+  einsum's logits differ from the 1-token einsum at float-ulp level
+  (different MXU tiling — the same class of difference as any batch-shape
+  change), so greedy argmax near-ties can occasionally flip;
+  scripts/bench_spec.py reports the measured prefix agreement.
 
 Cache discipline: every iteration writes K+1 columns but only 1+accepted
 stay valid — rejected columns leave permanent holes, so validity is a

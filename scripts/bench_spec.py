@@ -8,8 +8,9 @@ breadth 6 = B=48, prompt 512, 256 new tokens):
    degenerates into short cycles, the PLD-favorable regime (an upper bound
    on realistic acceptance; real math rollouts sit between this and the
    adversarial case);
-2. spec-favorable: same stream with spec_decode="pld" — bit-identical
-   tokens (asserted), tok/s uplift = accepted drafts;
+2. spec-favorable: same stream with spec_decode="pld" — tok/s uplift =
+   accepted drafts (greedy prefix agreement reported; see the note at the
+   parity block below);
 3. spec-adversarial: sampled temp 0.8 on random weights — n-gram lookup
    over near-uniform random tokens ~never hits, so this bounds the
    verify-step OVERHEAD (the K+1-token forward vs 1-token);
@@ -106,11 +107,23 @@ def main():
     tps, outs_spec = run(spec, sp_greedy)
     res["spec_greedy_toks"] = round(tps, 1)
     res["spec_greedy_stats"] = spec.last_spec_stats
-    # parity: greedy streams must be bit-identical
+    # greedy parity: bit-identical on deterministic backends (the CPU test
+    # suite asserts it); on TPU the K+1-token verify einsum's logits differ
+    # from the 1-token einsum at float-ulp level (different MXU tiling —
+    # same class of difference as any batch-shape change), so argmax
+    # near-ties can flip and streams diverge from the flip point on.
+    # Report the agreement up to first divergence per row.
+    agree, total = 0, 0
     for r, o in zip(outs_base, outs_spec):
         for a, b in zip(r.outputs, o.outputs):
-            assert a.token_ids == b.token_ids, "spec greedy diverged!"
-    res["greedy_parity"] = "exact"
+            pre = 0
+            for x, y in zip(a.token_ids, b.token_ids):
+                if x != y:
+                    break
+                pre += 1
+            agree += pre
+            total += len(a.token_ids)
+    res["greedy_prefix_agreement"] = round(agree / max(1, total), 4)
 
     tps, _ = run(base, sp_sample)
     res["baseline_sampled_toks"] = round(tps, 1)
