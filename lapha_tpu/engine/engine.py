@@ -775,12 +775,18 @@ class Engine:
             return jnp.full((B,), float(default if v is None else v), jnp.float32)
 
         temperature = vec("temperature", 1.0)
-        top_p = vec("top_p", 1.0)
-        min_p = vec("min_p", 0.0)
+        # disabled sampler stages are passed as None so process_logits
+        # compiles them OUT (sp values are host-known per call): top_k<=0 /
+        # top_p>=1 otherwise cost a full (B, V~152k) vocab SORT per decode
+        # step — pure waste for greedy or untruncated sampling
+        tp_val = float(getattr(sp, "top_p", 1.0) or 1.0)
+        top_p = None if tp_val >= 1.0 else vec("top_p", 1.0)
+        mp_val = float(getattr(sp, "min_p", 0.0) or 0.0)
+        min_p = None if mp_val <= 0.0 else vec("min_p", 0.0)
         rep_pen = vec("repetition_penalty", 1.0)
         tk = getattr(sp, "top_k", -1)
         tk = int(-1 if tk is None else tk)
-        top_k = jnp.full((B,), tk, jnp.int32)
+        top_k = None if tk <= 0 else jnp.full((B,), tk, jnp.int32)
         # static candidate bound for the fast top_k sampler path; headroom so
         # nearby top_k values share one compilation
         static_top_k = 0 if tk <= 0 else min(self.cfg.vocab_size, max(64, tk))
