@@ -463,85 +463,114 @@ class Engine:
             return (it < T) & ~jnp.all(fin_) & (slot + W < S)
 
         def body(st):
-            (it, ck, cv, pres, pos, slot, k, fin_, em_, valid, seq_, cur_,
-             lt, unp_, hs, toks_, lps_) = st
-            draft, dl = spec.ngram_propose(seq_, cur_, K, M)
-            toks_in = jnp.concatenate([lt[:, None], draft], axis=1)  # (B, W)
-            positions = pos[:, None] + jnp.arange(W)[None, :]
-            logits_w, hidden, ck, cv = _q.decode_step_multi(
-                params, self.cfg, toks_in, positions, ck, cv, slot, valid,
-                return_hidden=self.collect_h0)
-            k, *subs = jax.random.split(k, W + 1)
+            (it, ck0, cv0, pres0, pos0_, slot0, k0_, fin0, em0, valid0_,
+             seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_) = st
+            draft, dl = spec.ngram_propose(seq0_, cur0, K, M)
+            k_next, *subs = jax.random.split(k0_, W + 1)
+            active = ~fin0
 
-            active = ~fin_
-            pres_i, em_run, active_i = pres, em_, active
-            tok_l, lp_l, emit_l, pool_l = [], [], [], []
-            for i in range(W):
-                if i < K:
-                    d_i = draft[:, i]
-                    has_d = active_i & (i < dl)
-                else:
-                    d_i = jnp.zeros((B,), jnp.int32)
-                    has_d = jnp.zeros((B,), bool)
-                t_i, l_i = spec.pick_with_draft(
-                    logits_w[:, i], subs[i], d_i, has_d,
-                    presence=pres_i, **pick_kw)
-                emit_i = active_i & (em_run < row_budget)
-                eos_i = is_eos(t_i) & emit_i
-                # pooled: this draft token was emitted, so its hidden (from
-                # THIS forward) joins the h0 sum; the chain additionally
-                # stops on EOS
-                pool_i = (emit_i & (t_i == d_i) & (i < dl)
-                          if i < K else jnp.zeros((B,), bool))
-                pres_i = pres_i.at[arB, t_i].max(emit_i.astype(jnp.int8))
-                em_run = em_run + emit_i.astype(jnp.int32)
-                tok_l.append(t_i)
-                lp_l.append(l_i)
-                emit_l.append(emit_i)
-                pool_l.append(pool_i)
-                active_i = pool_i & ~eos_i
+            def window_post(tok_w, lp_w, emit_w, pool_w, pres_i, em_run,
+                            hidden, ck, cv, Wb):
+                """Shared bookkeeping for a Wb-column window (Wb static)."""
+                e = jnp.sum(emit_w.astype(jnp.int32), 1)
+                eos_w = emit_w & jnp.any(
+                    tok_w[..., None] == eos_arr[None, None, :], axis=-1)
+                new_fin = fin0 | jnp.any(eos_w, 1) | (em_run >= row_budget)
+                toks_n = spec.scatter_emit(toks0_, em0, tok_w, emit_w)
+                lps_n = spec.scatter_emit(lps0_, em0, lp_w, emit_w)
+                seq_n = spec.scatter_emit(seq0_, cur0, tok_w, emit_w)
+                # column validity: slot+0 holds t0's KV (valid iff the row
+                # decoded this iteration); slot+1+i holds draft i's KV
+                # (valid iff that draft token was emitted)
+                col_new = jnp.concatenate(
+                    [active[:, None], pool_w[:, : Wb - 1]], 1)
+                arS = jnp.arange(S)[None, :]
+                rel = jnp.clip(arS - slot0, 0, Wb - 1)
+                gathered = jnp.take_along_axis(
+                    col_new, jnp.broadcast_to(rel, (B, S)), axis=1)
+                in_w = (arS >= slot0) & (arS < slot0 + Wb)
+                valid_n = jnp.where(in_w, gathered, valid0_)
 
-            tok_w = jnp.stack(tok_l, 1)
-            lp_w = jnp.stack(lp_l, 1)
-            emit_w = jnp.stack(emit_l, 1)
-            pool_w = jnp.stack(pool_l, 1)  # pool_w[:, K] is all-False
-            e = jnp.sum(emit_w.astype(jnp.int32), 1)
-            eos_w = emit_w & jnp.any(
-                tok_w[..., None] == eos_arr[None, None, :], axis=-1)
-            new_fin = fin_ | jnp.any(eos_w, 1) | (em_run >= row_budget)
+                lt_new, last_pooled = lt0, ~unp0
+                for i in range(Wb):
+                    lt_new = jnp.where(emit_w[:, i], tok_w[:, i], lt_new)
+                    last_pooled = jnp.where(emit_w[:, i], pool_w[:, i],
+                                            last_pooled)
+                # active rows always emit >= 1; their old t0 got pooled,
+                # the new lt's pooled-ness is that of the last emitted
+                unp_new = jnp.where(e > 0, ~last_pooled, unp0)
 
-            toks_ = spec.scatter_emit(toks_, em_, tok_w, emit_w)
-            lps_ = spec.scatter_emit(lps_, em_, lp_w, emit_w)
-            seq_ = spec.scatter_emit(seq_, cur_, tok_w, emit_w)
+                hs_n = hs0
+                if self.collect_h0:
+                    hs_n = hs_n + (hidden[:, 0].astype(jnp.float32)
+                                   * active[:, None])
+                    for i in range(Wb - 1):
+                        hs_n = hs_n + (hidden[:, 1 + i].astype(jnp.float32)
+                                       * pool_w[:, i][:, None])
+                return (it + 1, ck, cv, pres_i, pos0_ + e, slot0 + Wb,
+                        k_next, new_fin, em_run, valid_n, seq_n, cur0 + e,
+                        lt_new, unp_new, hs_n, toks_n, lps_n)
 
-            # column validity: slot+0 holds t0's KV (valid iff the row
-            # decoded this iteration); slot+1+i holds draft i's KV (valid
-            # iff that draft token was emitted)
-            col_new = jnp.concatenate([active[:, None], pool_w[:, :K]], 1)
-            arS = jnp.arange(S)[None, :]
-            rel = jnp.clip(arS - slot, 0, W - 1)
-            gathered = jnp.take_along_axis(
-                col_new, jnp.broadcast_to(rel, (B, S)), axis=1)
-            in_w = (arS >= slot) & (arS < slot + W)
-            valid = jnp.where(in_w, gathered, valid)
+            def verify_iter(_):
+                """K drafts verified in one W-token forward."""
+                toks_in = jnp.concatenate([lt0[:, None], draft], axis=1)
+                positions = pos0_[:, None] + jnp.arange(W)[None, :]
+                logits_w, hidden, ck, cv = _q.decode_step_multi(
+                    params, self.cfg, toks_in, positions, ck0, cv0, slot0,
+                    valid0_, return_hidden=self.collect_h0)
+                pres_i, em_run, active_i = pres0, em0, active
+                tok_l, lp_l, emit_l, pool_l = [], [], [], []
+                for i in range(W):
+                    if i < K:
+                        d_i = draft[:, i]
+                        has_d = active_i & (i < dl)
+                    else:
+                        d_i = jnp.zeros((B,), jnp.int32)
+                        has_d = jnp.zeros((B,), bool)
+                    t_i, l_i = spec.pick_with_draft(
+                        logits_w[:, i], subs[i], d_i, has_d,
+                        presence=pres_i, **pick_kw)
+                    emit_i = active_i & (em_run < row_budget)
+                    eos_i = is_eos(t_i) & emit_i
+                    # pooled: this draft token was emitted, so its hidden
+                    # (from THIS forward) joins the h0 sum; the chain
+                    # additionally stops on EOS
+                    pool_i = (emit_i & (t_i == d_i) & (i < dl)
+                              if i < K else jnp.zeros((B,), bool))
+                    pres_i = pres_i.at[arB, t_i].max(emit_i.astype(jnp.int8))
+                    em_run = em_run + emit_i.astype(jnp.int32)
+                    tok_l.append(t_i)
+                    lp_l.append(l_i)
+                    emit_l.append(emit_i)
+                    pool_l.append(pool_i)
+                    active_i = pool_i & ~eos_i
+                return window_post(
+                    jnp.stack(tok_l, 1), jnp.stack(lp_l, 1),
+                    jnp.stack(emit_l, 1), jnp.stack(pool_l, 1),
+                    pres_i, em_run, hidden, ck, cv, W)
 
-            lt_new, last_pooled = lt, ~unp_
-            for i in range(W):
-                lt_new = jnp.where(emit_w[:, i], tok_w[:, i], lt_new)
-                last_pooled = jnp.where(emit_w[:, i], pool_w[:, i], last_pooled)
-            # active rows always emit >= 1; their old t0 got pooled above,
-            # the new lt's pooled-ness is that of the last emitted token
-            unp_new = jnp.where(e > 0, ~last_pooled, unp_)
+            def single_iter(_):
+                """No row has a draft: plain 1-token step (adaptive
+                speculation — the verify forward's ~2x per-iteration cost
+                is paid ONLY when drafts exist; measured on v5e the W-token
+                sampler chain + (B, W, V) logits are far from free)."""
+                logits_1, hidden, ck, cv = _q.decode_step_multi(
+                    params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
+                    cv0, slot0, valid0_, return_hidden=self.collect_h0)
+                t0_, l0_ = spec.pick_with_draft(
+                    logits_1[:, 0], subs[0], jnp.zeros((B,), jnp.int32),
+                    jnp.zeros((B,), bool), presence=pres0, **pick_kw)
+                emit_0 = active & (em0 < row_budget)
+                pres_i = pres0.at[arB, t0_].max(emit_0.astype(jnp.int8))
+                em_run = em0 + emit_0.astype(jnp.int32)
+                return window_post(
+                    t0_[:, None], l0_[:, None], emit_0[:, None],
+                    jnp.zeros((B, 1), bool), pres_i, em_run, hidden,
+                    ck, cv, 1)
 
-            if self.collect_h0:
-                hs = hs + hidden[:, 0].astype(jnp.float32) * active[:, None]
-                for i in range(K):
-                    hs = hs + (hidden[:, 1 + i].astype(jnp.float32)
-                               * pool_w[:, i][:, None])
-
-            return (it + 1, ck, cv, pres_i, pos + e, slot + W, k, new_fin,
-                    em_run, valid, seq_, cur_ + e, lt_new, unp_new, hs,
-                    toks_, lps_)
+            has_drafts = jnp.any((dl > 0) & active)
+            return jax.lax.cond(has_drafts, verify_iter, single_iter,
+                                operand=None)
 
         st = jax.lax.while_loop(cond, body, st0)
         (it, ck, cv, pres, pos, slot, _k, fin, em, valid, _seq, _cur, lt,
