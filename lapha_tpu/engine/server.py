@@ -275,6 +275,13 @@ def main(argv=None):
                     help="serialize requests instead of cross-request batching")
     ap.add_argument("--prompt-slab", type=int, default=None,
                     help="continuous mode: max prompt length (default len/2)")
+    ap.add_argument("--kv-quant", choices=["int8"], default=None,
+                    help="int8 KV cache with per-vector scales (halves the "
+                         "decode KV read stream; the A/B-measured best "
+                         "persistent-cache config — BASELINE.md)")
+    ap.add_argument("--spec-decode", choices=["pld"], default=None,
+                    help="prompt-lookup speculative decoding (adaptive; "
+                         "sync engine path only)")
     ap.add_argument("--sequence-parallel", type=int, default=0,
                     help="shard prefill + the decode KV cache over this many "
                          "devices (engine-side SP for contexts beyond one "
@@ -298,8 +305,13 @@ def main(argv=None):
 
         seq_mesh = Mesh(np.array(jax.devices()[: args.sequence_parallel]),
                         ("sequence",))
+    if args.spec_decode:
+        # the scheduler's chunked loop does not speculate; spec serving
+        # uses the sync engine path
+        args.no_continuous_batching = True
     engine = Engine(params, cfg, tokenizer, max_model_len=args.max_model_len,
-                    max_batch=args.max_batch, seq_mesh=seq_mesh)
+                    max_batch=args.max_batch, seq_mesh=seq_mesh,
+                    kv_quant=args.kv_quant, spec_decode=args.spec_decode)
     print(f"engine server on {args.host}:{args.port} (model {args.model})")
     serve(engine, args.host, args.port, model_dir=args.model,
           continuous=not args.no_continuous_batching,
