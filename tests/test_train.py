@@ -516,3 +516,24 @@ def test_trainer_num_iterations_runs():
                 trainer.params, trainer.head, trainer.opt_state, batch, None,
                 None, old_logps=old)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_engine_knobs_reach_rollout_engine():
+    """MTPOConfig.engine_{kv_quant,spec_decode,spec_k} configure the
+    trainer's rollout engine (round-3 serving levers)."""
+    cfg = Qwen2Config.tiny(vocab_size=512)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-knobs-test", model_name_or_path=None,
+        depth=2, breadth=2, num_sim=2, max_model_len=256,
+        per_device_train_batch_size=1, num_generations=2, save_steps=0,
+        bf16=False, gradient_checkpointing=False, mesh_model=1,
+        debug_print=False, engine_spec_decode="pld", engine_spec_k=2,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    tr = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent],
+                     args=args, reward_fns=[lambda c, g: 0.0],
+                     train_dataset=[], tokenizer=ChatTok())
+    assert tr.engine.spec_decode == "pld" and tr.engine.spec_k == 2
+    assert tr.engine.kv_quant is None
