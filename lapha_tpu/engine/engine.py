@@ -455,7 +455,7 @@ class Engine:
 
         st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
                positions_next, slot_next, key, fin, em, valid0, seq, cur,
-               tok0, unp, h00, toks, lps)
+               tok0, unp, h00, toks, lps, jnp.asarray(0, jnp.int32))
 
         def cond(st):
             it, slot, fin_ = st[0], st[5], st[7]
@@ -464,7 +464,7 @@ class Engine:
 
         def body(st):
             (it, ck0, cv0, pres0, pos0_, slot0, k0_, fin0, em0, valid0_,
-             seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_) = st
+             seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_, act0) = st
             draft, dl = spec.ngram_propose(seq0_, cur0, K, M)
             k_next, *subs = jax.random.split(k0_, W + 1)
             active = ~fin0
@@ -507,9 +507,12 @@ class Engine:
                     for i in range(Wb - 1):
                         hs_n = hs_n + (hidden[:, 1 + i].astype(jnp.float32)
                                        * pool_w[:, i][:, None])
+                # act counts per-ROW active iterations so the acceptance
+                # stat is immune to finish-time skew across rows
                 return (it + 1, ck, cv, pres_i, pos0_ + e, slot0 + Wb,
                         k_next, new_fin, em_run, valid_n, seq_n, cur0 + e,
-                        lt_new, unp_new, hs_n, toks_n, lps_n)
+                        lt_new, unp_new, hs_n, toks_n, lps_n,
+                        act0 + jnp.sum(active.astype(jnp.int32)))
 
             def verify_iter(_):
                 """K drafts verified in one W-token forward."""
@@ -574,7 +577,7 @@ class Engine:
 
         st = jax.lax.while_loop(cond, body, st0)
         (it, ck, cv, pres, pos, slot, _k, fin, em, valid, _seq, _cur, lt,
-         unp, hs, toks, lps) = st
+         unp, hs, toks, lps, act) = st
 
         if self.collect_h0:
             # rows whose LAST emitted token was a bonus (never forwarded):
@@ -586,7 +589,7 @@ class Engine:
                 jnp.minimum(slot, S - 1), valid, return_hidden=True)
             hs = hs + hid1[:, 0].astype(jnp.float32) * unp[:, None]
 
-        return toks, lps, fin, (ck, cv), pres, pos, slot, em, hs, it
+        return toks, lps, fin, (ck, cv), pres, pos, slot, em, hs, it, act
 
     # ------------------------------------------------------------------ public API
 
@@ -605,12 +608,26 @@ class Engine:
         n = max(1, int(getattr(sp, "n", 1)))
         prompts = list(prompts)
         group = max(1, self.max_batch // n)
+        if self.spec_decode is not None:
+            self.last_spec_stats = None  # accumulated across this call's waves
         if self.auto_continuous and len(prompts) > group:
             sched = self._continuous()
-            if sched is not None and all(
-                    len(self.tokenizer(p, add_special_tokens=True)["input_ids"])
-                    <= sched.slab for p in prompts):
-                return sched.generate(prompts, sp)
+            # routing must be semantics-preserving, so fall back to waves
+            # whenever the scheduler would CHANGE the request: n beyond its
+            # row count (submit raises where the sync path builds an
+            # oversized wave), a token budget beyond its decode region
+            # (admission clamps budget -> silent truncation), or prompts
+            # beyond its slab (submit left-truncates them). Encodings are
+            # passed through to submit so prompts tokenize once.
+            if sched is not None and n <= sched.B:
+                max_new = int(getattr(sp, "max_tokens", 256) or 256)
+                if max_new <= sched.S - sched.slab:
+                    encs = [list(self.tokenizer(p, add_special_tokens=True)
+                                 ["input_ids"]) for p in prompts]
+                    if all(len(e) <= sched.slab for e in encs):
+                        futs = [sched.submit(p, sp, enc=e)
+                                for p, e in zip(prompts, encs)]
+                        return [f.result() for f in futs]
         results: list[RequestOutput | None] = [None] * len(prompts)
         for lo in range(0, len(prompts), group):
             outs = self._generate_chunk(prompts[lo : lo + group], sp, n)
@@ -621,7 +638,9 @@ class Engine:
     def _continuous(self):
         """Lazily build/start the internal ContinuousEngine for
         auto-routed oversized batches. None when the configuration cannot
-        compose (seq_mesh, spec_decode) — callers fall back to waves."""
+        compose (spec_decode: the scheduler's chunked loop does not
+        speculate; seq_mesh engines DO compose) — callers fall back to
+        waves."""
         if self.spec_decode is not None:
             return None
         if self._auto_sched is None:
@@ -865,7 +884,7 @@ class Engine:
                 for r in range(P * n):
                     seq_np[r, : lens[r]] = enc[row_of[r]]
                 toks_d, lps_d, finished, (ck, cv), presence, positions_next, \
-                    slot_next, em_d, hs, iters = self._decode_spec_jit(
+                    slot_next, em_d, hs, iters, act_d = self._decode_spec_jit(
                         self.params, ck, cv, presence, last_logits,
                         lens_j, jnp.asarray(seq_np),
                         positions_next, slot_next, finished,
@@ -877,13 +896,22 @@ class Engine:
                     )
                 n_tok = int(np.sum(np.asarray(em_d)[: P * n]))
                 n_it = int(iters)
+                n_act = int(act_d)
+                # accumulate across the waves of ONE generate() call; the
+                # denominator is per-ROW ACTIVE iterations, so a slow last
+                # row does not dilute the acceptance of finished rows
+                prev = self.last_spec_stats or {"iterations": 0, "tokens": 0,
+                                                "active_row_iterations": 0}
+                tot_tok = prev["tokens"] + n_tok
+                tot_act = prev["active_row_iterations"] + n_act
                 self.last_spec_stats = {
-                    "iterations": n_it,
-                    "tokens": n_tok,
-                    # mean emitted per verify-iteration per row: 1.0 = no
+                    "iterations": prev["iterations"] + n_it,
+                    "tokens": tot_tok,
+                    "active_row_iterations": tot_act,
+                    # mean emitted per iteration per ACTIVE row: 1.0 = no
                     # draft ever accepted, K+1 = every draft accepted
                     "tokens_per_iteration": round(
-                        n_tok / max(1, n_it * (P * n)), 3),
+                        tot_tok / max(1, tot_act), 3),
                 }
             else:
                 toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \

@@ -153,9 +153,13 @@ class ContinuousEngine:
     # ------------------------------------------------------------- public API
 
     def submit(self, prompt: str, sampling_params: SamplingParams,
-               stream=None) -> Future:
+               stream=None, enc=None) -> Future:
         """Queue one prompt; the Future resolves to a RequestOutput with n
         samples. Raises immediately if the prompt cannot ever fit.
+
+        ``enc``: optional pre-tokenized ids (callers that already encoded
+        the prompt — e.g. Engine's auto_continuous routing — skip the
+        second tokenization).
 
         ``stream``: optional (queue.Queue, tag) pair. Token events are
         pushed as they decode (chunk granularity), each carrying the tag:
@@ -167,8 +171,9 @@ class ContinuousEngine:
         Deltas are EOS-trimmed; the finish event repeats the full sample.
         """
         eng = self.engine
-        enc = list(eng.tokenizer(prompt, add_special_tokens=True)["input_ids"])
-        enc = enc[-(self.slab):]
+        if enc is None:
+            enc = list(eng.tokenizer(prompt, add_special_tokens=True)["input_ids"])
+        enc = list(enc)[-(self.slab):]
         n = max(1, int(getattr(sampling_params, "n", 1)))
         if n > self.B:
             raise ValueError(f"n={n} exceeds max_batch={self.B}")

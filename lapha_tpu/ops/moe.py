@@ -47,6 +47,35 @@ from ..models.quant import dequant
 _dispatch_warned = False
 
 
+def _dispatch_buckets(topi: jax.Array, N: int, E: int, top_k: int,
+                      capacity_factor: float, group_size: int):
+    """Shared capacity-bucket math for the dispatch impl and its
+    drop-fraction diagnostic — ONE definition of the group/capacity rule
+    and the token-major priority, so the diagnostic always describes what
+    moe_ffn_dispatch actually drops.
+
+    topi: (N, k) expert choices; entries < 0 mean "no choice" (padding).
+    Returns (sel (G,S,k,E) f32 one-hots, keep (G,S,k,E) f32 kept mask,
+    pos (G,S,k,E) in-bucket positions, S, G, C)."""
+    S = min(group_size, N)
+    Np = ((N + S - 1) // S) * S
+    G = Np // S
+    C = max(1, math.ceil(top_k * S / E * capacity_factor))
+    C = min(C, S * top_k)
+    if Np != N:
+        topi = jnp.pad(topi, ((0, Np - N), (0, 0)), constant_values=-1)
+    ig = topi.reshape(G, S, top_k)
+    sel = (jax.nn.one_hot(ig, E, dtype=jnp.float32)
+           * (ig >= 0)[..., None].astype(jnp.float32))
+    # position of each (token, choice) in its expert's bucket, token-major
+    # priority ("earlier tokens win")
+    pos = jnp.cumsum(sel.reshape(G, S * top_k, E), axis=1) \
+        .reshape(G, S, top_k, E) - sel
+    keep = (pos < C).astype(jnp.float32) * sel
+    return sel, keep, pos, S, G, C
+
+
+
 def dispatch_drop_fraction(x: jax.Array, p: dict, *, top_k: int,
                            norm_topk: bool, capacity_factor: float = 2.0,
                            group_size: int = 512) -> jax.Array:
@@ -65,21 +94,10 @@ def dispatch_drop_fraction(x: jax.Array, p: dict, *, top_k: int,
     E = experts["gate_proj"]["w"].shape[0] if not isinstance(
         experts["gate_proj"]["w"], dict) else experts["gate_proj"]["w"]["q"].shape[0]
     _topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
-    S = min(group_size, N)
-    Np = ((N + S - 1) // S) * S
-    G = Np // S
-    C = max(1, math.ceil(top_k * S / E * capacity_factor))
-    C = min(C, S * top_k)
-    if Np != N:
-        topi = jnp.pad(topi, ((0, Np - N), (0, 0)), constant_values=-1)
-    ig = topi.reshape(G, S, top_k)
-    sel = (jax.nn.one_hot(ig, E, dtype=jnp.float32)
-           * (ig >= 0)[..., None].astype(jnp.float32))
-    pos = jnp.cumsum(sel.reshape(G, S * top_k, E), axis=1) \
-        .reshape(G, S, top_k, E) - sel
-    kept = ((pos < C).astype(jnp.float32) * sel).sum()
+    sel, keep, _pos, _S, _G, _C = _dispatch_buckets(
+        topi, N, E, top_k, capacity_factor, group_size)
     total = jnp.maximum(sel.sum(), 1.0)
-    return 1.0 - kept / total
+    return 1.0 - keep.sum() / total
 
 
 def route(x: jax.Array, router_w, top_k: int, norm_topk: bool):
@@ -195,25 +213,15 @@ def moe_ffn_dispatch(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
     E = wg.shape[0]
     topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
 
-    S = min(group_size, N)
-    Np = ((N + S - 1) // S) * S
-    G = Np // S
-    C = max(1, math.ceil(top_k * S / E * capacity_factor))
-    C = min(C, S * top_k)
+    sel, keep, pos, S, G, C = _dispatch_buckets(
+        topi, N, E, top_k, capacity_factor, group_size)
+    Np = G * S
     if Np != N:  # pad with tokens whose routing weight is zero
         x = jnp.pad(x, ((0, Np - N), (0, 0)))
         topw = jnp.pad(topw, ((0, Np - N), (0, 0)))
-        topi = jnp.pad(topi, ((0, Np - N), (0, 0)))
 
     xg = x.reshape(G, S, H)
     wg_r = topw.reshape(G, S, top_k).astype(jnp.float32)
-    ig = topi.reshape(G, S, top_k)
-
-    sel = jax.nn.one_hot(ig, E, dtype=jnp.float32)           # (G, S, k, E)
-    # position of each (token, choice) in its expert's bucket, token-major
-    # priority (matches "earlier tokens win")
-    pos = jnp.cumsum(sel.reshape(G, S * top_k, E), axis=1).reshape(G, S, top_k, E) - sel
-    keep = (pos < C).astype(jnp.float32) * sel               # (G, S, k, E)
     posc = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)  # (G,S,k,E,C)
     dispatch = jnp.einsum("gske,gskec->gsec", keep, posc)    # (G, S, E, C)
     combine = jnp.einsum("gsk,gske,gskec->gsec", wg_r, keep, posc)

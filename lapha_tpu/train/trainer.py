@@ -399,7 +399,11 @@ class MTPOTrainer:
                 chains, self.reward_fns, inp["ground_truth"], self.shaping_cfg,
                 bank=hid_bank, root_step=agent._root_step,
                 cot_anchor=cot_anchor)
-            if "vmap_mean" in diag:  # per-tree, reference 2833-2838
+            if "vmap_mean" in diag:
+                # per-tree at the same step, exactly like the reference
+                # (mtpo_trainer.py:2833-2838 writes inside its per-tree
+                # loop): TensorBoard keeps the LAST tree's value for the
+                # step; metrics.jsonl keeps every write
                 self.writer.add_scalar("VMap/mean", diag["vmap_mean"],
                                        self.global_step)
                 self.writer.add_scalar("VMap/std", diag["vmap_std"],

@@ -214,3 +214,31 @@ def test_auto_continuous_overlaps_waves():
     before = eng._auto_sched.steps_executed
     eng.generate(prompts[:2], sp0)
     assert eng._auto_sched.steps_executed == before
+
+
+def test_auto_continuous_falls_back_when_semantics_would_change():
+    """Routing must be semantics-preserving (review findings): requests the
+    scheduler would ALTER — n beyond its rows, budgets beyond its decode
+    region — fall back to sync waves instead of raising / silently
+    truncating."""
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(9))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=96, max_batch=4,
+                 decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0,
+                 auto_continuous=True)
+    prompts = [f"pp {i}" for i in range(6)]
+
+    # n > scheduler rows: the sync path builds one oversized wave; routing
+    # would raise in submit -> must fall back (and succeed)
+    sp_wide = SamplingParams(n=8, temperature=0.0, max_tokens=4)
+    outs = eng.generate(prompts[:2], sp_wide)
+    assert all(len(r.outputs) == 8 for r in outs)
+
+    # budget beyond the scheduler's decode region (S=96, slab=48 -> 48
+    # decode cols): the sync path sizes its cache to Lp + max_tokens and
+    # emits the full budget; routing would clamp to 48 -> must fall back
+    sp_long = SamplingParams(n=1, temperature=0.0, max_tokens=80)
+    outs = eng.generate(prompts, sp_long)
+    lens = [len(r.outputs[0].token_ids) for r in outs]
+    assert all(l == 80 for l in lens), lens
