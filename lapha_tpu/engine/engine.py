@@ -114,9 +114,6 @@ class Engine:
         # so the decode cache region is sized (K+1)x the token budget.
         if spec_decode not in (None, "pld"):
             raise ValueError(f"unsupported spec_decode={spec_decode!r}")
-        if spec_decode is not None and kv_quant is not None:
-            raise ValueError("spec_decode does not compose with kv_quant "
-                             "yet (the verify step writes bf16 KV blocks)")
         if spec_decode is not None and seq_mesh is not None:
             raise ValueError("spec_decode does not compose with seq_mesh "
                              "yet (the validity bitmap is unsharded)")
@@ -175,6 +172,7 @@ class Engine:
             self._decode_spec_impl,
             static_argnames=("T", "K", "M", "static_top_k"),
             donate_argnums=(1, 2),
+            donate_argnames=("cache_scale",),  # int8-KV scale planes
         )
         self._quantize_cache_jit = jax.jit(self._quantize_cache_impl,
                                            donate_argnums=(0, 1))
@@ -399,6 +397,7 @@ class Engine:
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
         T: int, K: int, M: int, static_top_k: int = 0,
+        cache_scale=None,
     ):
         """Speculative variant of :meth:`_decode_impl` (spec_decode="pld").
 
@@ -414,7 +413,9 @@ class Engine:
         (B, S) bitmap ``valid_map`` (rejected columns are permanent holes).
 
         Returns (toks (B,T), lps (B,T), finished, cache, presence, pos,
-        slot, emitted, h_sum, iterations)."""
+        slot, emitted, h_sum, iterations, active_row_iterations,
+        cache_scale) — cache_scale echoes the int8-KV scales (() when the
+        cache is bf16)."""
         from ..models import qwen2 as _q
         from . import spec
 
@@ -453,24 +454,26 @@ class Engine:
         # unp: lt was emitted but its hidden is not pooled yet
         unp = emit0
 
-        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v, presence,
-               positions_next, slot_next, key, fin, em, valid0, seq, cur,
-               tok0, unp, h00, toks, lps, jnp.asarray(0, jnp.int32))
+        st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v,
+               cache_scale if cache_scale is not None else (),
+               presence, positions_next, slot_next, key, fin, em, valid0,
+               seq, cur, tok0, unp, h00, toks, lps,
+               jnp.asarray(0, jnp.int32))
 
         def cond(st):
-            it, slot, fin_ = st[0], st[5], st[7]
+            it, slot, fin_ = st[0], st[6], st[8]
             # reserve one column for the post-loop h0 fixup forward
             return (it < T) & ~jnp.all(fin_) & (slot + W < S)
 
         def body(st):
-            (it, ck0, cv0, pres0, pos0_, slot0, k0_, fin0, em0, valid0_,
-             seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_, act0) = st
+            (it, ck0, cv0, scl0, pres0, pos0_, slot0, k0_, fin0, em0,
+             valid0_, seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_, act0) = st
             draft, dl = spec.ngram_propose(seq0_, cur0, K, M)
             k_next, *subs = jax.random.split(k0_, W + 1)
             active = ~fin0
 
             def window_post(tok_w, lp_w, emit_w, pool_w, pres_i, em_run,
-                            hidden, ck, cv, Wb):
+                            hidden, ck, cv, scl, Wb):
                 """Shared bookkeeping for a Wb-column window (Wb static)."""
                 e = jnp.sum(emit_w.astype(jnp.int32), 1)
                 eos_w = emit_w & jnp.any(
@@ -509,7 +512,7 @@ class Engine:
                                        * pool_w[:, i][:, None])
                 # act counts per-ROW active iterations so the acceptance
                 # stat is immune to finish-time skew across rows
-                return (it + 1, ck, cv, pres_i, pos0_ + e, slot0 + Wb,
+                return (it + 1, ck, cv, scl, pres_i, pos0_ + e, slot0 + Wb,
                         k_next, new_fin, em_run, valid_n, seq_n, cur0 + e,
                         lt_new, unp_new, hs_n, toks_n, lps_n,
                         act0 + jnp.sum(active.astype(jnp.int32)))
@@ -518,9 +521,16 @@ class Engine:
                 """K drafts verified in one W-token forward."""
                 toks_in = jnp.concatenate([lt0[:, None], draft], axis=1)
                 positions = pos0_[:, None] + jnp.arange(W)[None, :]
-                logits_w, hidden, ck, cv = _q.decode_step_multi(
-                    params, self.cfg, toks_in, positions, ck0, cv0, slot0,
-                    valid0_, return_hidden=self.collect_h0)
+                if cache_scale is not None:
+                    logits_w, hidden, ck, cv, scl = _q.decode_step_multi(
+                        params, self.cfg, toks_in, positions, ck0, cv0,
+                        slot0, valid0_, return_hidden=self.collect_h0,
+                        cache_scale=scl0)
+                else:
+                    logits_w, hidden, ck, cv = _q.decode_step_multi(
+                        params, self.cfg, toks_in, positions, ck0, cv0,
+                        slot0, valid0_, return_hidden=self.collect_h0)
+                    scl = ()
                 pres_i, em_run, active_i = pres0, em0, active
                 tok_l, lp_l, emit_l, pool_l = [], [], [], []
                 for i in range(W):
@@ -550,16 +560,23 @@ class Engine:
                 return window_post(
                     jnp.stack(tok_l, 1), jnp.stack(lp_l, 1),
                     jnp.stack(emit_l, 1), jnp.stack(pool_l, 1),
-                    pres_i, em_run, hidden, ck, cv, W)
+                    pres_i, em_run, hidden, ck, cv, scl, W)
 
             def single_iter(_):
                 """No row has a draft: plain 1-token step (adaptive
                 speculation — the verify forward's ~2x per-iteration cost
                 is paid ONLY when drafts exist; measured on v5e the W-token
                 sampler chain + (B, W, V) logits are far from free)."""
-                logits_1, hidden, ck, cv = _q.decode_step_multi(
-                    params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
-                    cv0, slot0, valid0_, return_hidden=self.collect_h0)
+                if cache_scale is not None:
+                    logits_1, hidden, ck, cv, scl = _q.decode_step_multi(
+                        params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
+                        cv0, slot0, valid0_, return_hidden=self.collect_h0,
+                        cache_scale=scl0)
+                else:
+                    logits_1, hidden, ck, cv = _q.decode_step_multi(
+                        params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
+                        cv0, slot0, valid0_, return_hidden=self.collect_h0)
+                    scl = ()
                 t0_, l0_ = spec.pick_with_draft(
                     logits_1[:, 0], subs[0], jnp.zeros((B,), jnp.int32),
                     jnp.zeros((B,), bool), presence=pres0, **pick_kw)
@@ -569,27 +586,35 @@ class Engine:
                 return window_post(
                     t0_[:, None], l0_[:, None], emit_0[:, None],
                     jnp.zeros((B, 1), bool), pres_i, em_run, hidden,
-                    ck, cv, 1)
+                    ck, cv, scl, 1)
 
             has_drafts = jnp.any((dl > 0) & active)
             return jax.lax.cond(has_drafts, verify_iter, single_iter,
                                 operand=None)
 
         st = jax.lax.while_loop(cond, body, st0)
-        (it, ck, cv, pres, pos, slot, _k, fin, em, valid, _seq, _cur, lt,
-         unp, hs, toks, lps, act) = st
+        (it, ck, cv, scl, pres, pos, slot, _k, fin, em, valid, _seq, _cur,
+         lt, unp, hs, toks, lps, act) = st
 
         if self.collect_h0:
             # rows whose LAST emitted token was a bonus (never forwarded):
             # one extra 1-token forward collects its hidden. Its KV lands
             # at the reserved column `slot` (never marked valid, never read
             # again — the sync engine discards the cache after decode).
-            _lg, hid1, ck, cv = _q.decode_step_multi(
-                params, self.cfg, lt[:, None], pos[:, None], ck, cv,
-                jnp.minimum(slot, S - 1), valid, return_hidden=True)
+            if cache_scale is not None:
+                _lg, hid1, ck, cv, scl = _q.decode_step_multi(
+                    params, self.cfg, lt[:, None], pos[:, None], ck, cv,
+                    jnp.minimum(slot, S - 1), valid, return_hidden=True,
+                    cache_scale=scl)
+            else:
+                _lg, hid1, ck, cv = _q.decode_step_multi(
+                    params, self.cfg, lt[:, None], pos[:, None], ck, cv,
+                    jnp.minimum(slot, S - 1), valid, return_hidden=True)
             hs = hs + hid1[:, 0].astype(jnp.float32) * unp[:, None]
 
-        return toks, lps, fin, (ck, cv), pres, pos, slot, em, hs, it, act
+        # scl is returned (then dropped by the caller) so the donated int8
+        # scale planes alias an output instead of warning every dispatch
+        return toks, lps, fin, (ck, cv), pres, pos, slot, em, hs, it, act, scl
 
     # ------------------------------------------------------------------ public API
 
@@ -884,7 +909,7 @@ class Engine:
                 for r in range(P * n):
                     seq_np[r, : lens[r]] = enc[row_of[r]]
                 toks_d, lps_d, finished, (ck, cv), presence, positions_next, \
-                    slot_next, em_d, hs, iters, act_d = self._decode_spec_jit(
+                    slot_next, em_d, hs, iters, act_d, _scl = self._decode_spec_jit(
                         self.params, ck, cv, presence, last_logits,
                         lens_j, jnp.asarray(seq_np),
                         positions_next, slot_next, finished,
@@ -892,7 +917,7 @@ class Engine:
                         jnp.zeros((B,), jnp.int32), sub,
                         temperature, top_k, top_p, min_p, rep_pen,
                         T=T, K=self.spec_k, M=self.spec_ngram,
-                        static_top_k=static_top_k,
+                        static_top_k=static_top_k, cache_scale=cache_scale,
                     )
                 n_tok = int(np.sum(np.asarray(em_d)[: P * n]))
                 n_it = int(iters)

@@ -754,6 +754,7 @@ def decode_step_multi(
     slot: jax.Array,       # scalar int32 — first cache column for this block
     valid_map: jax.Array,  # (B, S) bool — per-row stored-KV validity bitmap
     return_hidden: bool = False,
+    cache_scale: tuple[jax.Array, jax.Array] | None = None,
 ):
     """T-token verify step for speculative decoding (engine spec mode).
 
@@ -771,10 +772,16 @@ def decode_step_multi(
       rejected draft columns leave permanent holes in the decode region
       that ranges cannot express. Query i additionally attends causally to
       the new columns j <= i;
-    - no int8-KV / ragged-kernel variants (the engine guards spec mode to
-      the dense bf16 path).
+    - no ragged-kernel variant (the bitmap validity cannot be expressed as
+      the kernel's two ranges). ``cache_scale=(ks, vs)`` (each
+      (L, B, nkv, S) f32) enables the int8 KV cache exactly as in
+      :func:`decode_step`: the T new K/V vectors quantize per (b, t, h)
+      vector — identical values to quantizing them one step at a time —
+      and reads fold the K scale into the logits / V scale into the
+      probabilities, so spec decode composes with ``kv_quant="int8"``.
 
-    Returns (logits (B, T, V) f32, hidden (B, T, H)|None, cache_k, cache_v).
+    Returns (logits (B, T, V) f32, hidden (B, T, H)|None, cache_k, cache_v)
+    — plus the updated ``cache_scale`` tuple appended when quantized.
     Capability beyond the reference: vLLM 0.11 as configured by the
     reference (vllm_start.sh) runs no speculative decoding.
     """
@@ -806,6 +813,8 @@ def decode_step_multi(
     causal_new = (new_rel >= 0) & (new_rel <= jnp.arange(T)[None, :, None])
     valid = valid_map[:, None, :] | causal_new  # (B, T, S)
     neg = jnp.float32(-1e30)
+    if cache_scale is not None:
+        ks_all, vs_all = cache_scale
 
     def proj(h, w, b=None):  # (B,T,H) @ (H,D)
         y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
@@ -825,19 +834,49 @@ def decode_step_multi(
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
         q, k = rope2(q), rope2(k)
 
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, jnp.transpose(k, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, jnp.transpose(v, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+        if cache_scale is not None:
+            def q8(t):  # (B, T, nkv, dh) -> int8 values + (B, T, nkv) scale
+                tf = t.astype(jnp.float32)
+                s_ = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1) / 127.0, 1e-12)
+                return (jnp.clip(jnp.round(tf / s_[..., None]), -127, 127)
+                        .astype(jnp.int8), s_)
+
+            kq, sk = q8(k)
+            vq, sv = q8(v)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, jnp.transpose(kq, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, jnp.transpose(vq, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, jnp.transpose(sk, (0, 2, 1))[None], (l, 0, 0, slot))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, jnp.transpose(sv, (0, 2, 1))[None], (l, 0, 0, slot))
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, jnp.transpose(k, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, jnp.transpose(v, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
 
         k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views
         qg = q.reshape(B, T, nkv, group, dh)
-        att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all,
-                         preferred_element_type=jnp.float32) * scale
-        att = jnp.where(valid[:, None, :, None, :], att, neg)
-        probs = jax.nn.softmax(att, axis=-1)
-        o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
-                       preferred_element_type=jnp.float32)
+        if cache_scale is not None:
+            # int8 reads: cast in registers, fold scales outside the dots
+            # (same order as decode_step so greedy streams stay bit-equal)
+            att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all.astype(x.dtype),
+                             preferred_element_type=jnp.float32) * scale
+            att = att * ks_all[l][:, :, None, None, :]
+            att = jnp.where(valid[:, None, :, None, :], att, neg)
+            probs = jax.nn.softmax(att, axis=-1)
+            pv = (probs * vs_all[l][:, :, None, None, :]).astype(x.dtype)
+            o = jnp.einsum("bktgs,bksd->bktgd", pv, v_all.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+        else:
+            att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all,
+                             preferred_element_type=jnp.float32) * scale
+            att = jnp.where(valid[:, None, :, None, :], att, neg)
+            probs = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
+                           preferred_element_type=jnp.float32)
         o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, T, nh * dh).astype(x.dtype)
         x = x + proj(o, p["attn"]["o_proj"]["w"])
 
@@ -853,4 +892,6 @@ def decode_step_multi(
     else:
         logits = jnp.einsum("bth,vh->btv", x, head_w,
                             preferred_element_type=jnp.float32)
+    if cache_scale is not None:
+        return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
     return logits, (x if return_hidden else None), cache_k, cache_v

@@ -90,7 +90,13 @@ def main():
                                max_tokens=max_tokens, seed=1)
 
     def run(eng, sp):
-        eng.generate(prompts, sp)  # warmup/compile
+        # TWO warmups: the first call misses the prefix store (compiles the
+        # miss-prefill program), the second HITS it (compiles the hit-path
+        # write-prefix/suffix programs) — without it the first timed round
+        # absorbs the hit-path compile and depresses tok/s by 2-3x
+        # (measured; the round-3 "greedy anomaly" was exactly this)
+        eng.generate(prompts, sp)
+        eng.generate(prompts, sp)
         t0 = time.perf_counter()
         total = 0
         for _ in range(rounds):
@@ -130,6 +136,24 @@ def main():
     tps, _ = run(spec, sp_sample)
     res["spec_sampled_toks"] = round(tps, 1)
     res["spec_sampled_stats"] = spec.last_spec_stats
+
+    if os.getenv("BENCH_INT8", "1") != "0":
+        # int8-KV variants: dense-int8 won the persistent-cache attention
+        # A/B outright (BASELINE.md), so the production config is
+        # kv_quant="int8" — measure spec on top of it
+        del base, spec
+        base8 = mk(kv_quant="int8")
+        spec8 = mk(kv_quant="int8", spec_decode="pld", spec_k=K)
+        tps, _ = run(base8, sp_greedy)
+        res["baseline_int8_greedy_toks"] = round(tps, 1)
+        tps, _ = run(spec8, sp_greedy)
+        res["spec_int8_greedy_toks"] = round(tps, 1)
+        res["spec_int8_greedy_stats"] = spec8.last_spec_stats
+        tps, _ = run(base8, sp_sample)
+        res["baseline_int8_sampled_toks"] = round(tps, 1)
+        tps, _ = run(spec8, sp_sample)
+        res["spec_int8_sampled_toks"] = round(tps, 1)
+        res["spec_int8_sampled_stats"] = spec8.last_spec_stats
 
     res["K"] = K
     res["shape"] = {"B": parents * breadth, "prompt": prompt_len,

@@ -145,6 +145,45 @@ def test_sampled_tokens_respect_truncation(tiny):
                 ids.append(tok)
 
 
+def test_int8_kv_greedy_matches_nonspec_int8(tiny):
+    """spec_decode composes with kv_quant="int8": the verify forward
+    quantizes its W new K/V vectors per-(b,t,h) — identical values to the
+    normal loop's one-step-at-a-time quantization — so greedy spec+int8
+    streams must be bit-identical to non-spec int8 streams (and the
+    acceptance machinery must still fire)."""
+    params, cfg = tiny
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=40, seed=5,
+                        repetition_penalty=1.05)
+    ref = make_engine(params, cfg, kv_quant="int8").generate(_prompts(), sp)
+    eng_s = make_engine(params, cfg, kv_quant="int8",
+                        spec_decode="pld", spec_k=3)
+    out = eng_s.generate(_prompts(), sp)
+    for r, o in zip(ref, out):
+        for a, b in zip(r.outputs, o.outputs):
+            assert a.token_ids == b.token_ids
+            np.testing.assert_allclose(a.token_logprobs, b.token_logprobs,
+                                       rtol=1e-4, atol=1e-5)
+    st = eng_s.last_spec_stats
+    assert st is not None and st["tokens"] > 0
+
+
+def test_int8_kv_h0_matches_nonspec_int8(tiny):
+    """collect_h0 under spec+int8: the post-loop bonus-token fixup forward
+    also runs against the quantized cache; pooled hiddens must match the
+    non-spec int8 loop."""
+    params, cfg = tiny
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=24)
+    ref = make_engine(params, cfg, kv_quant="int8",
+                      collect_h0=True).generate(_prompts(), sp)
+    out = make_engine(params, cfg, kv_quant="int8", collect_h0=True,
+                      spec_decode="pld", spec_k=3).generate(_prompts(), sp)
+    for r, o in zip(ref, out):
+        assert r.outputs[0].token_ids == o.outputs[0].token_ids
+        np.testing.assert_allclose(r.outputs[0].pooled_hidden,
+                                   o.outputs[0].pooled_hidden,
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_pick_with_draft_marginal_exact():
     """Delta-proposal rejection: the empirical marginal with a draft
     present equals the processed softmax (the no-draft distribution)."""
