@@ -99,7 +99,16 @@ def main():
         pad_multiple=128, batch_bucket=1,
         eos_token_ids=[],  # force full-length decode for stable measurement
         seed=0,
-        kv_quant=os.getenv("BENCH_KV_QUANT") or None,  # "int8": int8 KV cache
+        # Measured-best serving config (BASELINE.md decode-floor + KV A/B):
+        # per-vector int8 KV is +7% on this harness (6429 vs 6008 tok/s at
+        # B=48) and is the config the continuous scheduler already selects
+        # (dense-int8 won its attention-path A/B outright). The Engine
+        # DEFAULT stays bf16 (parity-by-default; int8 KV is an opt-in knob,
+        # PARITY.md) — the bench measures the framework's best supported
+        # config. BENCH_KV_QUANT=bf16 reproduces the bf16 number.
+        kv_quant=(None if os.getenv("BENCH_KV_QUANT") in ("bf16", "none")
+                  else (os.getenv("BENCH_KV_QUANT") or
+                        ("int8" if preset != "tiny" else None))),
     )
 
     rng = np.random.default_rng(0)
