@@ -62,9 +62,14 @@ def main():
     params = qwen2.init_params(cfg, jax.random.key(0))
     head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
     collect = os.getenv("SEARCH_FUSED_VALUE", "1") in ("1", "true")
+    # int8 KV by default on non-tiny presets: the measured-best serving
+    # config (BASELINE.md KV A/B); SEARCH_KV_QUANT=bf16 for the bf16 run
+    kv_quant = (None if os.getenv("SEARCH_KV_QUANT") in ("bf16", "none")
+                else (os.getenv("SEARCH_KV_QUANT") or
+                      ("int8" if preset != "tiny" else None)))
     engine = Engine(params, cfg, tokenizer, max_model_len=2048,
                     max_batch=breadth * leaves, decode_chunk=32, seed=0,
-                    collect_h0=collect)
+                    collect_h0=collect, kv_quant=kv_quant)
     value_fn = ValueFunction(params, head, cfg, max_model_len=2048)
 
     class BenchAgent(MCTSAgent):
