@@ -47,12 +47,13 @@ class Qwen2Config:
     rope_theta: float = 10000.0
     # RoPE frequency scaling, parsed from HF config.json `rope_scaling` by
     # :func:`_parse_rope_scaling` into a hashable tuple (the config is a
-    # frozen jit-static dataclass): () = none,
-    # ("linear", factor), or ("llama3", factor, low_freq_factor,
-    # high_freq_factor, original_max_position_embeddings). Unsupported
-    # types (yarn/dynamic/longrope) are rejected at parse time — silently
-    # ignoring them would load Llama-3.1+ / YaRN checkpoints with wrong
-    # frequencies.
+    # frozen jit-static dataclass): () = none, ("linear", factor),
+    # ("llama3", factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings), or ("yarn", factor,
+    # attention_factor, beta_fast, beta_slow, orig_max, truncate) for
+    # Qwen2.5-1M / DeepSeek-style YaRN checkpoints. Unsupported types
+    # (dynamic/longrope) are rejected at parse time — silently ignoring
+    # them would load such checkpoints with wrong frequencies.
     rope_scaling: tuple = ()
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
@@ -103,10 +104,37 @@ class Qwen2Config:
             return ("llama3", float(rs["factor"]),
                     float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
                     int(rs["original_max_position_embeddings"]))
+        if kind == "yarn":
+            # YaRN (arXiv 2309.00071) as transformers implements it
+            # (modeling_rope_utils._compute_yarn_parameters, v4.57):
+            # attention_factor resolves at parse time from factor /
+            # mscale / mscale_all_dim; orig_max falls back to
+            # max_position_embeddings (Qwen2.5-1M-style checkpoints set it
+            # explicitly). partial_rotary_factor is not supported by this
+            # family and assumed 1.0.
+            factor = float(rs["factor"])
+            att = rs.get("attention_factor")
+            mscale = rs.get("mscale")
+            mscale_all = rs.get("mscale_all_dim")
+
+            def _get_mscale(scale: float, m: float = 1.0) -> float:
+                return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+            if att is None:
+                if mscale and mscale_all:
+                    att = _get_mscale(factor, mscale) / _get_mscale(factor, mscale_all)
+                else:
+                    att = _get_mscale(factor)
+            orig = int(rs.get("original_max_position_embeddings")
+                       or cfg.get("max_position_embeddings", 4096))
+            return ("yarn", factor, float(att),
+                    float(rs.get("beta_fast") or 32),
+                    float(rs.get("beta_slow") or 1),
+                    orig, bool(rs.get("truncate", True)))
         raise ValueError(
             f"rope_scaling type {kind!r} is not implemented "
-            "(supported: default/linear/llama3); refusing to load with "
-            "wrong RoPE frequencies")
+            "(supported: default/linear/llama3/yarn); refusing to load "
+            "with wrong RoPE frequencies")
 
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
@@ -289,13 +317,19 @@ def rope_freqs(positions: jax.Array, dh: int, theta: float,
     """cos/sin tables (…, dh/2) for integer positions (…,).
 
     ``scaling`` is ``Qwen2Config.rope_scaling``: () for none,
-    ("linear", factor) divides every frequency by factor, and
+    ("linear", factor) divides every frequency by factor,
     ("llama3", factor, low, high, orig_max_pos) applies HF's llama-3.1
     wavelength-dependent interpolation (transformers
     modeling_rope_utils._compute_llama3_parameters): long wavelengths
     (> orig/low) scaled by 1/factor, short (< orig/high) unscaled, the band
-    between them linearly blended."""
+    between them linearly blended. ("yarn", factor, attention_factor,
+    beta_fast, beta_slow, orig_max_pos, truncate) applies YaRN
+    (_compute_yarn_parameters): per-dimension blend between interpolated
+    (1/(factor·f)) and extrapolated (1/f) frequencies along a linear ramp
+    between the beta_fast/beta_slow correction dims, with cos/sin scaled
+    by attention_factor (the mscale temperature)."""
     inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    att_factor = 1.0
     if scaling and scaling[0] == "linear":
         inv = inv / scaling[1]
     elif scaling and scaling[0] == "llama3":
@@ -304,10 +338,29 @@ def rope_freqs(positions: jax.Array, dh: int, theta: float,
         smooth = (orig / wavelen - low) / (high - low)
         smooth = jnp.clip(smooth, 0.0, 1.0)
         inv = (1.0 - smooth) * (inv / factor) + smooth * inv
+    elif scaling and scaling[0] == "yarn":
+        _, factor, att_factor, beta_fast, beta_slow, orig, truncate = scaling
+
+        # correction dims are static host math (dh/theta are jit-static)
+        def _corr_dim(num_rot: float) -> float:
+            return (dh * math.log(orig / (num_rot * 2 * math.pi))) / (
+                2 * math.log(theta))
+
+        low, high = _corr_dim(beta_fast), _corr_dim(beta_slow)
+        if truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, dh - 1)
+        if low == high:
+            high += 0.001  # transformers' singularity guard
+        ramp = jnp.clip(
+            (jnp.arange(dh // 2, dtype=jnp.float32) - low) / (high - low),
+            0.0, 1.0)
+        extrap_factor = 1.0 - ramp
+        inv = (inv / factor) * (1.0 - extrap_factor) + inv * extrap_factor
     elif scaling:
         raise ValueError(f"unknown rope scaling {scaling!r}")
     ang = positions.astype(jnp.float32)[..., None] * inv  # (..., dh/2)
-    return jnp.cos(ang), jnp.sin(ang)
+    return jnp.cos(ang) * att_factor, jnp.sin(ang) * att_factor
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:

@@ -482,18 +482,86 @@ def test_linear_rope_scaling_matches_transformers(tiny_llama_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
 
 
-def test_unsupported_rope_scaling_rejected(tiny_llama_dir, tmp_path):
-    """yarn (and any unimplemented type) must fail loudly at load time, not
-    load with wrong frequencies (round-2 advisor finding)."""
+def test_yarn_rope_scaling_matches_transformers():
+    """rope_freqs' yarn branch vs transformers' own yarn rope init
+    (modeling_rope_utils._compute_yarn_parameters): inv freqs AND the
+    attention_factor (mscale) that scales cos/sin, with and without
+    explicit mscale/mscale_all_dim (DeepSeek-style configs)."""
+    pytest.importorskip("torch")
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    dh, theta = 128, 1e6
+    cases = [
+        {"rope_type": "yarn", "factor": 4.0,
+         "original_max_position_embeddings": 32768},
+        {"rope_type": "yarn", "factor": 32.0, "beta_fast": 64,
+         "beta_slow": 2, "original_max_position_embeddings": 4096,
+         "mscale": 1.0, "mscale_all_dim": 0.8},
+        {"rope_type": "yarn", "factor": 2.5, "attention_factor": 1.3,
+         "original_max_position_embeddings": 8192},
+    ]
+    for rs in cases:
+        hf_cfg = LlamaConfig(hidden_size=dh * 4, num_attention_heads=4,
+                             rope_theta=theta, rope_scaling=dict(rs),
+                             max_position_embeddings=131072)
+        ref_inv, ref_att = ROPE_INIT_FUNCTIONS["yarn"](hf_cfg, device="cpu")
+        scaling = qwen2.Qwen2Config._parse_rope_scaling(
+            {"rope_scaling": rs, "max_position_embeddings": 131072})
+        assert scaling[0] == "yarn"
+        assert scaling[2] == pytest.approx(float(ref_att), rel=1e-9), rs
+        pos = jnp.asarray([1.0])
+        cos, sin = qwen2.rope_freqs(pos, dh, theta, scaling)
+        # angle at pos=1 recovers inv_freq regardless of the mscale factor
+        ours_inv = np.arctan2(np.asarray(sin)[0], np.asarray(cos)[0])
+        np.testing.assert_allclose(ours_inv, ref_inv.numpy(),
+                                   rtol=1e-6, atol=1e-8, err_msg=str(rs))
+        # cos²+sin² == attention_factor² (the mscale is applied to tables)
+        np.testing.assert_allclose(
+            np.asarray(cos)[0] ** 2 + np.asarray(sin)[0] ** 2,
+            np.full(dh // 2, float(ref_att) ** 2), rtol=1e-5)
+
+
+def test_yarn_logits_match_hf(tiny_llama_dir, tmp_path):
+    """End-to-end HF parity for a YaRN checkpoint at positions past the
+    original context window (Qwen2.5-1M-style long-context configs)."""
     import json as _json
     import shutil
+
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaForCausalLM
 
     d = tmp_path / "llama_yarn"
     shutil.copytree(tiny_llama_dir, d)
     with open(d / "config.json") as f:
         c = _json.load(f)
-    c["rope_scaling"] = {"rope_type": "yarn", "factor": 4.0}
+    c["rope_scaling"] = {"rope_type": "yarn", "factor": 4.0,
+                         "original_max_position_embeddings": 128}
+    c["max_position_embeddings"] = 1024
     with open(d / "config.json", "w") as f:
         _json.dump(c, f)
-    with pytest.raises(ValueError, match="yarn"):
+    params, cfg = loader.load_params(str(d), dtype=jnp.float32)
+    assert cfg.rope_scaling[0] == "yarn"
+    ids = rng.integers(0, 512, size=(1, 300))  # > original 128
+    hf = LlamaForCausalLM.from_pretrained(str(d)).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_unsupported_rope_scaling_rejected(tiny_llama_dir, tmp_path):
+    """Unimplemented scaling types (longrope/dynamic) must fail loudly at
+    load time, not load with wrong frequencies (round-2 advisor finding)."""
+    import json as _json
+    import shutil
+
+    d = tmp_path / "llama_longrope"
+    shutil.copytree(tiny_llama_dir, d)
+    with open(d / "config.json") as f:
+        c = _json.load(f)
+    c["rope_scaling"] = {"rope_type": "longrope", "factor": 4.0}
+    with open(d / "config.json", "w") as f:
+        _json.dump(c, f)
+    with pytest.raises(ValueError, match="longrope"):
         loader.load_config(str(d))
