@@ -117,6 +117,19 @@ class Engine:
         if spec_decode is not None and seq_mesh is not None:
             raise ValueError("spec_decode does not compose with seq_mesh "
                              "yet (the validity bitmap is unsharded)")
+        # Sliding-window checkpoints (cfg.sliding_window > 0) run the sync
+        # dense/flash prefill + the banded 1-token decode_step. The two
+        # optional paths whose validity model has no banding yet reject
+        # loudly instead of silently attending over the full context:
+        if int(getattr(cfg, "sliding_window", 0) or 0):
+            if spec_decode is not None:
+                raise ValueError(
+                    "spec_decode does not support sliding-window models "
+                    "yet (decode_step_multi's bitmap validity is unbanded)")
+            if seq_mesh is not None:
+                raise ValueError(
+                    "seq_mesh does not support sliding-window models yet "
+                    "(ring/distributed-softmax paths assume full masks)")
         self.spec_decode = spec_decode
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)

@@ -67,10 +67,8 @@ def load_config(model_dir: str) -> Qwen2Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     mt = cfg.get("model_type", "qwen2")
-    if mt in ("llama", "mistral") and cfg.get("sliding_window"):
-        raise ValueError(
-            f"{mt} checkpoint uses sliding_window={cfg['sliding_window']}; "
-            "sliding-window attention is not implemented")
+    # sliding_window is parsed into Qwen2Config.sliding_window by
+    # _parse_sliding_window (uniform stacks only; mixed stacks raise there)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
                   "llama", "mistral"):
         raise ValueError(

@@ -55,6 +55,15 @@ class Qwen2Config:
     # (dynamic/longrope) are rejected at parse time — silently ignoring
     # them would load such checkpoints with wrong frequencies.
     rope_scaling: tuple = ()
+    # Sliding-window attention width; 0 = full attention. Parsed from HF
+    # config.json by :func:`_parse_sliding_window` (Mistral-v0.1-style
+    # uniform stacks; qwen2/qwen3 only when use_sliding_window is set).
+    # Mixed full/sliding layer stacks are rejected at parse time (the layer
+    # scan is uniform). Applies to prefill (dense mask + flash kernel
+    # banding), cached suffix prefill, and decode (position-windowed slot
+    # validity); the ragged decode kernel and seq-mesh/spec-decode paths
+    # fall back or reject — see decode_step / Engine.
+    sliding_window: int = 0
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
@@ -136,6 +145,38 @@ class Qwen2Config:
             "(supported: default/linear/llama3/yarn); refusing to load "
             "with wrong RoPE frequencies")
 
+    @staticmethod
+    def _parse_sliding_window(cfg: dict) -> int:
+        """HF config.json -> uniform sliding-window width (0 = none).
+
+        Mirrors transformers' per-layer resolution (Qwen2Config.__init__
+        layer_types default: sliding for layers >= max_window_layers when
+        sliding_window is set — gated on use_sliding_window for qwen*;
+        Mistral applies it to every layer). Stacks that mix full and
+        sliding layers cannot run under this family's uniform layer scan
+        and are rejected loudly rather than loaded with a wrong mask."""
+        mt = cfg.get("model_type", "qwen2")
+        sw = cfg.get("sliding_window")
+        if (mt.startswith("qwen2") or mt.startswith("qwen3")) and not cfg.get(
+                "use_sliding_window", False):
+            sw = None
+        if not sw:
+            return 0
+        L = cfg["num_hidden_layers"]
+        lt = cfg.get("layer_types")
+        if lt is None:
+            mwl = int(cfg.get("max_window_layers") or 0)
+            lt = ["sliding_attention" if i >= mwl else "full_attention"
+                  for i in range(L)]
+        if all(t == "full_attention" for t in lt):
+            return 0
+        if not all(t == "sliding_attention" for t in lt):
+            raise ValueError(
+                "mixed full/sliding attention layer stacks are not "
+                f"supported (layer_types={lt[:4]}...; max_window_layers "
+                "must be 0 or >= num_hidden_layers)")
+        return int(sw)
+
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
         """Build from an HF config.json dict (model_type qwen2 or llama —
@@ -170,6 +211,7 @@ class Qwen2Config:
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6 if q3 else 10000.0),
                 rope_scaling=cls._parse_rope_scaling(cfg),
+                sliding_window=cls._parse_sliding_window(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
                 attention_bias=(cfg.get("attention_bias", False) if q3
@@ -197,6 +239,7 @@ class Qwen2Config:
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6),
                 rope_scaling=cls._parse_rope_scaling(cfg),
+                sliding_window=cls._parse_sliding_window(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
                 attention_bias=cfg.get("attention_bias", False),
@@ -214,6 +257,7 @@ class Qwen2Config:
             max_position_embeddings=cfg.get("max_position_embeddings", 32768),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cls._parse_rope_scaling(cfg),
+            sliding_window=cls._parse_sliding_window(cfg),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             attention_bias=cfg.get("attention_bias", mt.startswith("qwen2")),
@@ -406,6 +450,7 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask):
         from ..ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, key_mask, causal=True,
+                               window=int(cfg.sliding_window or 0),
                                interpret=not on_tpu)
     return _attend(q, k, v, mask, cfg)
 
@@ -550,8 +595,15 @@ def forward(
     cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta,
                           cfg.rope_scaling)
 
+    W = int(cfg.sliding_window or 0)
     if kv_cache is None:
-        causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
+        causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+        if W:
+            # banded mask: key j visible to query i iff i-W < j <= i.
+            # Index-based banding equals position-based for left-padded
+            # rows (query and key indices shift by the same pad offset).
+            causal = causal & jnp.triu(jnp.ones((T, T), jnp.bool_), -(W - 1))
+        causal = causal[None, :, :]
         if attention_mask is not None:
             mask = causal & (attention_mask[:, None, :] > 0)
             key_mask = attention_mask
@@ -570,6 +622,10 @@ def forward(
         # new tokens at slots [cache_pos, cache_pos+T): causal among themselves
         qpos = cp_btc + jnp.arange(T)[None, :, None]  # (B|1, T, 1)
         mask = valid & (kpos <= qpos)
+        if W:
+            # cache slots are positions in this mode (prompt at [0, plen),
+            # continuation written at its position): band by slot index
+            mask = mask & (kpos > qpos - W)
         x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache, cache_pos)
         new_cache = (nk, nv)
 
@@ -685,13 +741,23 @@ def decode_step(
 
     if ragged is None:
         ragged = _os.getenv("LAPHA_RAGGED_DECODE") == "1"
+    W = int(cfg.sliding_window or 0)
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
-                  and dh % 128 == 0 and S % 256 == 0)
+                  and dh % 128 == 0 and S % 256 == 0 and W == 0)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
     if not use_ragged:
         ar = jnp.arange(S)[None, :]
         valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
+        if W:
+            # sliding window over POSITIONS, expressed in slots: prompt
+            # slot j has position j; decode slot j (written one column per
+            # step, contiguous up to `slot`) has position
+            # positions[b] - (slot - j). pos > positions[b] - W becomes:
+            win = jnp.where(ar < lens[:, None],
+                            ar > positions[:, None] - W,   # prompt slots
+                            ar > slot - W)                 # decode slots
+            valid = valid & win
     neg = jnp.float32(-1e30)
 
     def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum

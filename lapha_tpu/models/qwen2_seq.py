@@ -59,6 +59,11 @@ def forward_seq(
     step itself see :func:`decode_step_seq`.
     """
     B, T = input_ids.shape
+    if int(cfg.sliding_window or 0):
+        raise ValueError(
+            "sliding-window checkpoints do not compose with sequence "
+            "parallelism yet (ring attention assumes full causal masks); "
+            "run this model dense or flash on a non-seq mesh")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape

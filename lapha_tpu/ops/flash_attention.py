@@ -44,7 +44,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int,
-                  block_k: int, scale: float, causal: bool):
+                  block_k: int, scale: float, causal: bool, window: int = 0):
     dh = q_ref.shape[-1]
     q = q_ref[0].astype(jnp.float32) * scale  # (Bq, dh)
     T = k_ref.shape[1]
@@ -62,6 +62,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :] > 0
         if causal:
             valid = valid & (k_pos <= q_pos)
+        if window:
+            valid = valid & (k_pos > q_pos - window)
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -78,11 +80,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
         n_loop = jnp.minimum(n_kb, (qb * block_q + block_q + block_k - 1) // block_k)
     else:
         n_loop = n_kb
+    kb_start = 0
+    if window:
+        # blocks entirely below the band (key < first query's window lo)
+        kb_start = jnp.maximum(qb * block_q - (window - 1), 0) // block_k
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     a0 = jnp.zeros((block_q, dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_loop, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(kb_start, n_loop, body, (m0, l0, a0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     # logsumexp of the SCALED scores; NEG_INF rows (no valid key) stay NEG_INF
     # (lse is a (1, 1, Tp) row panel revisited across q blocks: TPU block
@@ -93,7 +99,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
-               block_q: int, block_k: int, scale: float, causal: bool):
+               block_q: int, block_k: int, scale: float, causal: bool,
+               window: int = 0):
     dh = q_ref.shape[-1]
     T = k_ref.shape[1]
     qb = pl.program_id(1)
@@ -113,6 +120,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :] > 0
         if causal:
             valid = valid & (k_pos <= q_pos)
+        if window:
+            valid = valid & (k_pos > q_pos - window)
         # guard: padded/fully-masked query rows have lse == NEG_INF, so
         # exp(s - lse) would be inf (or exp(0)=1 on masked entries) — a row
         # with no finite lse contributes nothing. (Broadcast the f32 BEFORE
@@ -130,13 +139,17 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
         n_loop = jnp.minimum(n_kb, (qb * block_q + block_q + block_k - 1) // block_k)
     else:
         n_loop = n_kb
-    acc = jax.lax.fori_loop(0, n_loop, body, jnp.zeros((block_q, dh), jnp.float32))
+    kb_start = 0
+    if window:
+        kb_start = jnp.maximum(qb * block_q - (window - 1), 0) // block_k
+    acc = jax.lax.fori_loop(kb_start, n_loop, body,
+                            jnp.zeros((block_q, dh), jnp.float32))
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
                 dk_ref, dv_ref, *, block_q: int, block_k: int, scale: float,
-                causal: bool):
+                causal: bool, window: int = 0):
     dh = k_ref.shape[-1]
     T = q_ref.shape[1]
     kb = pl.program_id(1)
@@ -159,6 +172,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
         valid = maskk
         if causal:
             valid = valid & (k_pos <= q_pos)
+        if window:
+            valid = valid & (k_pos > q_pos - window)
         # same NEG_INF-lse guard as _dq_kernel (padded query columns here)
         row_ok = lse[None, :] > NEG_INF * 0.5
         p_t = jnp.where(valid & row_ok, jnp.exp(s_t - lse[None, :]), 0.0)
@@ -173,9 +188,15 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
 
     n_qb = T // block_q
     qb_start = (kb * block_k) // block_q if causal else 0
+    qb_end = n_qb
+    if window:
+        # queries past the band (q_pos >= k_pos + window) see none of this
+        # key block; last visible q_pos = kb*Bk + Bk-1 + window-1
+        qb_end = jnp.minimum(
+            n_qb, (kb * block_k + block_k - 1 + window - 1) // block_q + 1)
     dk0 = jnp.zeros((block_k, dh), jnp.float32)
     dv0 = jnp.zeros((block_k, dh), jnp.float32)
-    dk, dv = jax.lax.fori_loop(qb_start, n_qb, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(qb_start, qb_end, body, (dk0, dv0))
     dk = dk * scale
 
     # group axis is the innermost grid dim and the output index map ignores
@@ -195,24 +216,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention_vjp(q, k, v, mask, causal, block_q, block_k, interpret):
-    out, _lse = _flash_forward(q, k, v, mask, causal=causal, block_q=block_q,
-                               block_k=block_k, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention_vjp(q, k, v, mask, causal, window, block_q, block_k,
+                         interpret):
+    out, _lse = _flash_forward(q, k, v, mask, causal=causal, window=window,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
     return out
 
 
-def _flash_fwd(q, k, v, mask, causal, block_q, block_k, interpret):
-    out, lse = _flash_forward(q, k, v, mask, causal=causal, block_q=block_q,
-                              block_k=block_k, interpret=interpret)
+def _flash_fwd(q, k, v, mask, causal, window, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, mask, causal=causal, window=window,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret)
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_bwd(causal, block_q, block_k, interpret, res, g):
+def _flash_bwd(causal, window, block_q, block_k, interpret, res, g):
     q, k, v, mask, out, lse = res
     dq, dk, dv = _flash_backward(q, k, v, mask, out, lse, g, causal=causal,
-                                 block_q=block_q, block_k=block_k,
-                                 interpret=interpret)
+                                 window=window, block_q=block_q,
+                                 block_k=block_k, interpret=interpret)
     # mask is integer-valued: its cotangent is float0
     dmask = None if mask is None else np.zeros(mask.shape, jax.dtypes.float0)
     return dq, dk, dv, dmask
@@ -228,13 +252,18 @@ def flash_attention(
     mask: jax.Array | None = None,
     *,
     causal: bool = True,
+    window: int = 0,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention, differentiable. q:(B,T,nh,dh) k,v:(B,T,nkv,dh),
-    mask:(B,T) key validity. Returns (B,T,nh,dh) in q.dtype."""
-    return _flash_attention_vjp(q, k, v, mask, causal, block_q, block_k, interpret)
+    mask:(B,T) key validity. ``window`` > 0 bands the causal mask to the
+    last ``window`` positions (sliding-window attention, Mistral-style;
+    static, so out-of-band blocks are skipped, not just masked). Returns
+    (B,T,nh,dh) in q.dtype."""
+    return _flash_attention_vjp(q, k, v, mask, causal, window, block_q,
+                                block_k, interpret)
 
 
 def _pad_inputs(q, k, v, mask, block_q, block_k):
@@ -251,7 +280,8 @@ def _pad_inputs(q, k, v, mask, block_q, block_k):
     return q, k, v, mask, Tp
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("causal", "window", "block_q",
+                                             "block_k", "interpret"))
 def _flash_forward(
     q: jax.Array,  # (B, T, nh, dh)
     k: jax.Array,  # (B, T, nkv, dh)
@@ -259,6 +289,7 @@ def _flash_forward(
     mask: jax.Array | None = None,  # (B, T) key validity
     *,
     causal: bool = True,
+    window: int = 0,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
@@ -281,7 +312,7 @@ def _flash_forward(
 
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal, window=window),
         out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dh), q.dtype),
                    jax.ShapeDtypeStruct((B * nh, 1, Tp), jnp.float32)),
         grid=grid,
@@ -303,9 +334,11 @@ def _flash_forward(
     return out[:, :T], lse[:, :, :T]
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("causal", "window", "block_q",
+                                             "block_k", "interpret"))
 def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
-                    block_q: int, block_k: int, interpret: bool):
+                    block_q: int, block_k: int, interpret: bool,
+                    window: int = 0):
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
     group = nh // nkv
@@ -335,7 +368,7 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal, window=window),
         out_shape=jax.ShapeDtypeStruct((B * nh, Tp, dh), q_dtype),
         grid=(B * nh, Tp // block_q),
         in_specs=[
@@ -354,7 +387,7 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
     # dk/dv: group is the innermost grid axis; output block index ignores it
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal, window=window),
         out_shape=(jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32),
                    jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32)),
         grid=(B * nkv, Tp // block_k, group),

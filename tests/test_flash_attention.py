@@ -166,3 +166,66 @@ def test_training_loss_differentiates_through_flash():
         has_aux=True)((params, head))
     assert np.isfinite(float(loss))
     assert sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)) > 0
+
+
+# ------------------------------------------------------- sliding window
+
+def _banded_dense_ref(q, k, v, mask, window, nh, nkv):
+    """Dense reference with the causal mask banded to the last `window`."""
+    T = q.shape[1]
+    cfg = Qwen2Config.tiny(num_attention_heads=nh, num_key_value_heads=nkv)
+    band = (jnp.tril(jnp.ones((T, T), bool))
+            & jnp.triu(jnp.ones((T, T), bool), -(window - 1)))[None]
+    m3 = band & (mask[:, None, :] > 0)
+    return qwen2._attend(q, k, v, m3, cfg), m3, cfg
+
+
+@pytest.mark.parametrize("T,W", [(96, 16), (96, 40), (64, 8)])
+def test_flash_window_matches_dense(T, W):
+    """window=W bands the causal mask (Mistral sliding-window attention)."""
+    B, nh, nkv, dh = 2, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 7:] = 0
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, mask, causal=True, window=W,
+                          block_q=32, block_k=32, interpret=True)
+    ref, _, _ = _banded_dense_ref(q, k, v, mask, W, nh, nkv)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_window_backward_matches_dense():
+    """dq/dk/dv under the banded mask == dense banded-attention grads."""
+    B, T, nh, nkv, dh, W = 2, 96, 4, 2, 32, 16
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 9:] = 0
+    mask = jnp.asarray(mask)
+    g_out = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    g_out = g_out * mask[:, :, None, None].astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, causal=True, window=W,
+                            block_q=32, block_k=32, interpret=True)
+        return jnp.sum(o * g_out)
+
+    _, m3, cfg = _banded_dense_ref(q, k, v, mask, W, nh, nkv)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(qwen2._attend(q, k, v, m3, cfg) * g_out)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    valid = np.asarray(mask) > 0
+    for name, a, b in zip("qkv", gf, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "q":
+            a, b = a[valid], b[valid]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=f"d{name}")

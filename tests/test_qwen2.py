@@ -1,5 +1,6 @@
 """Qwen2 JAX model: parity vs HF transformers (torch CPU) + cache semantics."""
 
+import dataclasses
 import json
 import os
 
@@ -279,20 +280,186 @@ def test_llama_export_roundtrip(tiny_llama_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
 
 
-def test_sliding_window_checkpoint_rejected(tiny_llama_dir, tmp_path):
+@pytest.fixture(scope="module")
+def tiny_mistral_sw_dir(tmp_path_factory):
+    """Tiny random HF Mistral with an ACTIVE sliding window (W=8)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MistralConfig, MistralForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_mistral_sw")
+    hf_cfg = MistralConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        sliding_window=8,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(3)
+    model = MistralForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_mistral_sliding_window_config(tiny_mistral_sw_dir):
+    cfg = loader.load_config(tiny_mistral_sw_dir)
+    assert cfg.sliding_window == 8
+
+
+def test_mistral_sliding_window_logits_match_hf(tiny_mistral_sw_dir):
+    """T=24 > W=8, so banding is live; logits must match HF eager Mistral."""
+    torch = pytest.importorskip("torch")
+    from transformers import MistralForCausalLM
+
+    params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(2, 24))
+    hf = MistralForCausalLM.from_pretrained(
+        tiny_mistral_sw_dir, attn_implementation="eager").eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+    # sanity: a full-attention forward DIFFERS at rows past the window
+    cfg_full = dataclasses.replace(cfg, sliding_window=0)
+    full, _, _ = qwen2.forward(params, cfg_full, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(full[:, -1]), ref[:, -1], atol=1e-3)
+
+
+def test_mistral_sliding_window_flash_matches_dense(tiny_mistral_sw_dir):
+    """The banded flash prefill path == the banded dense path."""
+    params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 24)))
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :5] = 0  # left padding on row 0
+    mask = jnp.asarray(mask)
+    dense, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="dense"), ids,
+        attention_mask=mask)
+    flash, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="pallas"), ids,
+        attention_mask=mask)
+    d, f = np.asarray(dense), np.asarray(flash)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(f[valid], d[valid], rtol=2e-3, atol=2e-3)
+
+
+def test_mistral_sliding_window_decode_matches_forward(tiny_mistral_sw_dir):
+    """Cache-mode suffix prefill + 1-token steps == full banded forward."""
+    params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
+    B, T_total, T_prefill = 2, 20, 12
+    ids = jnp.asarray(rng.integers(0, 512, size=(B, T_total)))
+    full_logits, _, _ = qwen2.forward(params, cfg, ids)
+
+    cache = qwen2.init_kv_cache(cfg, B, 32)
+    pre, _, cache = qwen2.forward(
+        params, cfg, ids[:, :T_prefill], kv_cache=cache, cache_pos=0,
+        positions=jnp.broadcast_to(jnp.arange(T_prefill)[None], (B, T_prefill)),
+    )
+    np.testing.assert_allclose(np.asarray(pre),
+                               np.asarray(full_logits[:, :T_prefill]),
+                               rtol=2e-3, atol=2e-3)
+    for t in range(T_prefill, T_total):
+        step, _, cache = qwen2.forward(
+            params, cfg, ids[:, t:t + 1], kv_cache=cache, cache_pos=t,
+            positions=jnp.full((B, 1), t),
+        )
+        np.testing.assert_allclose(np.asarray(step[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   rtol=5e-3, atol=5e-3, err_msg=f"t={t}")
+
+
+def test_mistral_sliding_window_engine_greedy_matches_hf(tiny_mistral_sw_dir):
+    """Engine prefill + banded decode_step greedy == HF greedy (12 steps
+    from a 12-token prompt with W=8: decode leaves the window mid-run)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MistralForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    eng = Engine(params, cfg, IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    prompt = [5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+    out = eng.generate([" ".join(map(str, prompt))],
+                       SamplingParams(n=1, temperature=0.0, max_tokens=12))
+    got = out[0].outputs[0].token_ids
+
+    hf = MistralForCausalLM.from_pretrained(
+        tiny_mistral_sw_dir, attn_implementation="eager").eval()
+    seq = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(12):
+            nxt = hf(seq).logits[0, -1].argmax().item()
+            seq = torch.cat([seq, torch.tensor([[nxt]])], 1)
+    assert got == seq[0, len(prompt):].tolist()
+
+
+def test_mixed_sliding_layer_stack_rejected(tiny_llama_dir, tmp_path):
+    """qwen2-style max_window_layers mid-stack cannot run a uniform scan."""
     import json as _json
     import shutil
 
-    d = tmp_path / "mistral_sw"
+    d = tmp_path / "qwen2_mixed_sw"
     shutil.copytree(tiny_llama_dir, d)
     with open(d / "config.json") as f:
         cfg = _json.load(f)
-    cfg["model_type"] = "mistral"
-    cfg["sliding_window"] = 4096
+    cfg["model_type"] = "qwen2"
+    cfg["sliding_window"] = 16
+    cfg["use_sliding_window"] = True
+    cfg["max_window_layers"] = 1  # of 2 layers -> mixed stack
     with open(d / "config.json", "w") as f:
         _json.dump(cfg, f)
-    with pytest.raises(ValueError, match="sliding_window"):
+    with pytest.raises(ValueError, match="mixed"):
         loader.load_config(str(d))
+
+
+def test_qwen2_sliding_window_ignored_without_flag(tiny_hf_dir, tmp_path):
+    """qwen2 configs carry sliding_window but it is inert unless
+    use_sliding_window is set (transformers semantics)."""
+    import json as _json
+    import shutil
+
+    d = tmp_path / "qwen2_inert_sw"
+    shutil.copytree(tiny_hf_dir, d)
+    with open(d / "config.json") as f:
+        cfg = _json.load(f)
+    cfg["sliding_window"] = 128
+    with open(d / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    assert loader.load_config(str(d)).sliding_window == 0
+
+
+def test_sliding_window_rejects_seq_and_spec(tiny_mistral_sw_dir):
+    """Unbanded optional paths reject loudly instead of mis-attending."""
+    from lapha_tpu.engine import Engine
+
+    params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="sliding-window"):
+        Engine(params, cfg, None, max_model_len=64, max_batch=2,
+               spec_decode="pld")
+    from lapha_tpu.models import qwen2_seq
+    from lapha_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_seq=2)
+    ids = jnp.asarray(rng.integers(0, 512, size=(1, 16)))
+    with pytest.raises(ValueError, match="sliding-window"):
+        qwen2_seq.forward_seq(params, cfg, ids, mesh=mesh)
 
 
 # --------------------------------------------------------------- qwen3 family
