@@ -242,3 +242,38 @@ def test_auto_continuous_falls_back_when_semantics_would_change():
     outs = eng.generate(prompts, sp_long)
     lens = [len(r.outputs[0].token_ids) for r in outs]
     assert all(l == 80 for l in lens), lens
+
+
+def test_sliding_window_model_through_scheduler_with_compaction():
+    """Sliding-window banding survives KV compaction: relocated decode
+    tokens continue the prompt's positions contiguously, so decode_step's
+    slot==position (prefix) / contiguous-up-to-col (decode) window terms
+    stay exact. Greedy through the scheduler (compaction forced) must equal
+    the sync engine (itself HF-parity-tested in test_qwen2.py)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(Qwen2Config.tiny(vocab_size=300),
+                              sliding_window=6)
+    params = qwen2.init_params(cfg, jax.random.key(9))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=96, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    ce = ContinuousEngine(eng, prompt_slab=32, chunk=4)
+    ce.start()
+    try:
+        spA = SamplingParams(n=1, temperature=0.0, max_tokens=60)
+        spB = SamplingParams(n=1, temperature=0.0, max_tokens=40)
+        futA = ce.submit("long A", spA)
+        t0 = time.time()
+        while ce.steps_executed < 30 and time.time() - t0 < 60:
+            time.sleep(0.01)
+        futB = ce.submit("short b", spB)
+        outB = futB.result(timeout=120)
+        outA = futA.result(timeout=120)
+        assert getattr(ce, "compactions", 0) >= 1, "compaction never triggered"
+        refA = eng.generate(["long A"], spA)[0].outputs[0].token_ids
+        refB = eng.generate(["short b"], spB)[0].outputs[0].token_ids
+        assert outA.outputs[0].token_ids == refA
+        assert outB.outputs[0].token_ids == refB
+    finally:
+        ce.stop()
