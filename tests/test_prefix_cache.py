@@ -157,3 +157,30 @@ def test_batched_hit_path_many_prompts(engines):
     got = [r.outputs[0].token_ids for r in warm.generate(children, sp)]
     assert got == ref
     assert warm.prefix_cache.stats()["hits"] >= h0 + 9  # all 9 rows hit
+
+
+def test_sliding_window_greedy_same_with_and_without_cache():
+    """Prefix-hit suffix prefill under a sliding window: the banded
+    cache-mode mask (slot==position in the prefix region) must reproduce
+    the cold engine's greedy stream exactly, past the window boundary."""
+    import dataclasses
+
+    cfg = dataclasses.replace(Qwen2Config.tiny(vocab_size=300),
+                              sliding_window=6)
+    params = qwen2.init_params(cfg, jax.random.key(11))
+
+    def mk(cache_bytes):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8)
+
+    cold, warm = mk(0), mk(100_000_000)
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=16)
+    base = "a shared prefix of decent length"
+    prompts = [base + " one", base + " two longer suffix here"]
+    ref = [r.outputs[0].token_ids for r in cold.generate(prompts, sp)]
+    # seed the store, then hit it
+    warm.generate([base + " seed"], sp)
+    got = [r.outputs[0].token_ids for r in warm.generate(prompts, sp)]
+    assert got == ref
