@@ -467,11 +467,15 @@ class Engine:
         # unp: lt was emitted but its hidden is not pooled yet
         unp = emit0
 
+        # the pre-step counts as one active iteration per emitting row:
+        # both loops sample token0 from the prefill logits for free, so
+        # including it in numerator AND denominator keeps the documented
+        # "1.0 = no draft ever accepted" floor exact on short generations
         st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v,
                cache_scale if cache_scale is not None else (),
                presence, positions_next, slot_next, key, fin, em, valid0,
                seq, cur, tok0, unp, h00, toks, lps,
-               jnp.asarray(0, jnp.int32))
+               jnp.sum(emit0.astype(jnp.int32)))
 
         def cond(st):
             it, slot, fin_ = st[0], st[6], st[8]
@@ -666,9 +670,18 @@ class Engine:
                         futs = [sched.submit(p, sp, enc=e)
                                 for p, e in zip(prompts, encs)]
                         return [f.result() for f in futs]
+                    # an overlong prompt forces the wave path: hand the
+                    # encodings over so the batch is not tokenized twice
+                    return self._generate_waves(prompts, sp, n, group,
+                                                encs=encs)
+        return self._generate_waves(prompts, sp, n, group)
+
+    def _generate_waves(self, prompts, sp, n, group, encs=None):
         results: list[RequestOutput | None] = [None] * len(prompts)
         for lo in range(0, len(prompts), group):
-            outs = self._generate_chunk(prompts[lo : lo + group], sp, n)
+            outs = self._generate_chunk(
+                prompts[lo : lo + group], sp, n,
+                encs=None if encs is None else encs[lo : lo + group])
             for i, ro in enumerate(outs):
                 results[lo + i] = ro
         return results
@@ -799,9 +812,11 @@ class Engine:
                               h_sum=(h_sum[i] if self.collect_h0 else None))
         return last, cache, h_sum
 
-    def _generate_chunk(self, prompts: list[str], sp: SamplingParams, n: int):
+    def _generate_chunk(self, prompts: list[str], sp: SamplingParams, n: int,
+                        encs: list[list[int]] | None = None):
         tok = self.tokenizer
-        enc = [tok(p, add_special_tokens=True)["input_ids"] for p in prompts]
+        enc = (encs if encs is not None else
+               [tok(p, add_special_tokens=True)["input_ids"] for p in prompts])
         max_prompt = self.max_model_len - 1
         enc = [list(ids)[-max_prompt:] for ids in enc]
         P = len(enc)

@@ -165,9 +165,15 @@ class Qwen2Config:
         L = cfg["num_hidden_layers"]
         lt = cfg.get("layer_types")
         if lt is None:
-            mwl = int(cfg.get("max_window_layers") or 0)
-            lt = ["sliding_attention" if i >= mwl else "full_attention"
-                  for i in range(L)]
+            if mt == "mistral":
+                lt = ["sliding_attention"] * L  # Mistral slides every layer
+            else:
+                # qwen2/qwen3: layers >= max_window_layers slide; a MISSING
+                # key means the HF class default 28, not 0 (defaulting to 0
+                # would band every layer of such checkpoints silently)
+                mwl = int(cfg.get("max_window_layers", 28))
+                lt = ["sliding_attention" if i >= mwl else "full_attention"
+                      for i in range(L)]
         if all(t == "full_attention" for t in lt):
             return 0
         if not all(t == "sliding_attention" for t in lt):

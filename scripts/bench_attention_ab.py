@@ -170,8 +170,14 @@ def main():
         return
 
     results = {}
-    for name, kv, block_rows in configs:
+    for i, (name, kv, block_rows) in enumerate(configs):
         ragged = name.startswith("ragged")
+        if i > 0:
+            # block_rows enters via monkeypatch, NOT run_steps' jit cache
+            # key (static args are cfg/N/ragged only): without this, later
+            # ragged configs silently re-execute the first config's
+            # compiled program and their rows are mislabeled copies
+            jax.clear_caches()
         if block_rows is not None:
             rda.ragged_decode_attention = functools.partial(
                 _ORIG_RAGGED, block_rows=block_rows)

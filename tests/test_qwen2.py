@@ -430,6 +430,27 @@ def test_mixed_sliding_layer_stack_rejected(tiny_llama_dir, tmp_path):
         loader.load_config(str(d))
 
 
+def test_qwen2_missing_max_window_layers_uses_hf_default(tiny_llama_dir,
+                                                         tmp_path):
+    """A qwen2 config with use_sliding_window but NO max_window_layers key
+    must resolve to the HF class default (28), i.e. all-full attention for
+    a 2-layer model — not an all-sliding stack from a 0 default."""
+    import json as _json
+    import shutil
+
+    d = tmp_path / "qwen2_no_mwl"
+    shutil.copytree(tiny_llama_dir, d)
+    with open(d / "config.json") as f:
+        cfg = _json.load(f)
+    cfg["model_type"] = "qwen2"
+    cfg["sliding_window"] = 16
+    cfg["use_sliding_window"] = True
+    cfg.pop("max_window_layers", None)
+    with open(d / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    assert loader.load_config(str(d)).sliding_window == 0
+
+
 def test_qwen2_sliding_window_ignored_without_flag(tiny_hf_dir, tmp_path):
     """qwen2 configs carry sliding_window but it is inert unless
     use_sliding_window is set (transformers semantics)."""

@@ -81,7 +81,10 @@ def test_drafts_get_accepted_on_repetitive_streams(tiny):
     for r, o in zip(ref, out):
         assert r.outputs[0].token_ids == o.outputs[0].token_ids
     st = eng_s.last_spec_stats
-    assert st["tokens_per_iteration"] > 1.15, st
+    # floor is exactly 1.0 (the free prefill-sampled pre-step now counts in
+    # BOTH numerator and denominator); anything clearly above it proves the
+    # proposer/acceptance chain is live
+    assert st["tokens_per_iteration"] > 1.1, st
 
 
 def test_greedy_eos_truncation_identical(tiny):
