@@ -515,23 +515,58 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
 
 
 def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
-    """Post-attention FFN on normed hidden h (B, T, H) — dense SwiGLU, or
-    the sparse MoE block (ops/moe.py) when the config has experts."""
-    B, T, H = h.shape
+    """Post-attention FFN on normed hidden h (..., H) — dense SwiGLU, or
+    the sparse MoE block (ops/moe.py) when the config has experts. Shared
+    by the prefill/train forward ((B,T,H)) and both decode paths ((B,H)
+    and (B,T,H)): one definition keeps their streams bit-identical."""
+    H = h.shape[-1]
     if cfg.num_experts > 0:
         from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
 
-        out = moe_block(h.reshape(B * T, H), p["moe"],
+        out = moe_block(h.reshape(-1, H), p["moe"],
                         capacity_factor=cfg.moe_capacity_factor,
                         top_k=cfg.num_experts_per_tok,
                         norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
-        return out.reshape(B, T, H)
+        return out.reshape(h.shape)
     dq = lambda w: dequant(w, h.dtype)
-    gate = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["gate_proj"]["w"]), preferred_element_type=jnp.float32)
-    up = jnp.einsum("bth,hi->bti", h, dq(p["mlp"]["up_proj"]["w"]), preferred_element_type=jnp.float32)
+    gate = jnp.einsum("...h,hi->...i", h, dq(p["mlp"]["gate_proj"]["w"]), preferred_element_type=jnp.float32)
+    up = jnp.einsum("...h,hi->...i", h, dq(p["mlp"]["up_proj"]["w"]), preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(h.dtype)
-    return jnp.einsum("bti,ih->bth", act, dq(p["mlp"]["down_proj"]["w"]),
+    return jnp.einsum("...i,ih->...h", act, dq(p["mlp"]["down_proj"]["w"]),
                       preferred_element_type=jnp.float32).astype(h.dtype)
+
+
+def _embed(params: dict, cfg: Qwen2Config, toks: jax.Array) -> jax.Array:
+    """Token embedding lookup (...,) int32 -> (..., H) in cfg.dtype. int8
+    tables gather rows then scale — never materialize the bf16 table."""
+    emb = params["embed"]["weight"]
+    if is_quantized(emb):
+        return emb["q"][toks].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+    return emb[toks].astype(cfg.dtype)
+
+
+def _lm_head(params: dict, cfg: Qwen2Config, x: jax.Array) -> jax.Array:
+    """Final-normed hidden (..., H) -> logits (..., V) f32. int8 heads fold
+    the per-H scale into x so the big operand stays int8."""
+    head_w = (params["embed"]["weight"] if cfg.tie_word_embeddings
+              else params["lm_head"]["weight"])
+    if is_quantized(head_w):
+        xs = x * head_w["s"][0].astype(x.dtype)
+        return jnp.einsum("...h,vh->...v", xs, head_w["q"].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("...h,vh->...v", x, head_w,
+                      preferred_element_type=jnp.float32)
+
+
+def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., dh) -> (int8 values, (...,) f32 per-vector scale): symmetric
+    amax/127 quantization for the int8 KV cache. The ONE definition shared
+    by decode_step and decode_step_multi — spec-verify writes must quantize
+    bit-identically to sequential decode writes (engine/spec.py parity)."""
+    tf = t.astype(jnp.float32)
+    s_ = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1) / 127.0, 1e-12)
+    return (jnp.clip(jnp.round(tf / s_[..., None]), -127, 127)
+            .astype(jnp.int8), s_)
 
 
 def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None):
@@ -585,12 +620,7 @@ def forward(
     Returns (logits, last_hidden | None, new_kv_cache | None).
     """
     B, T = input_ids.shape
-    emb = params["embed"]["weight"]
-    if is_quantized(emb):
-        # gather int8 rows, then scale — never materialize the bf16 table
-        x = emb["q"][input_ids].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-    else:
-        x = emb[input_ids].astype(cfg.dtype)
+    x = _embed(params, cfg, input_ids)
 
     if positions is None:
         if attention_mask is not None:
@@ -641,14 +671,7 @@ def forward(
         # sequence chunks (losses._selective_logps_chunked) — materializing
         # the full (B, L, V) f32 logits is 20 GB at B=8, L=4k, V=152k
         return None, (x if return_hidden else None), new_cache
-    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
-    if is_quantized(head_w):
-        # fold the per-H scales into x, keep the big operand int8
-        xs = x * head_w["s"][0].astype(x.dtype)
-        logits = jnp.einsum("bth,vh->btv", xs, head_w["q"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bth,vh->btv", x, head_w, preferred_element_type=jnp.float32)
+    logits = _lm_head(params, cfg, x)
     return logits, (x if return_hidden else None), new_cache
 
 
@@ -722,11 +745,7 @@ def decode_step(
     S = cache_k.shape[3]
     scale = 1.0 / math.sqrt(dh)
 
-    emb = params["embed"]["weight"]
-    if is_quantized(emb):
-        x = emb["q"][tok].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-    else:
-        x = emb[tok].astype(cfg.dtype)  # (B, H)
+    x = _embed(params, cfg, tok)  # (B, H)
 
     cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
                           cfg.rope_scaling)  # (B, dh/2)
@@ -785,14 +804,8 @@ def decode_step(
         q, k = rope1(q), rope1(k)
 
         if cache_scale is not None:
-            def q8(x):  # (B, nkv, dh) -> int8 values + (B, nkv) scale
-                xf = x.astype(jnp.float32)
-                s_ = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-12)
-                return (jnp.clip(jnp.round(xf / s_[..., None]), -127, 127)
-                        .astype(jnp.int8), s_)
-
-            kq, sk = q8(k)
-            vq, sv = q8(v)
+            kq, sk = _quantize_kv(k)  # (B, nkv, dh) -> int8 + (B, nkv)
+            vq, sv = _quantize_kv(v)
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, kq[None, :, :, None, :], (l, 0, 0, slot, 0))
             cache_v = jax.lax.dynamic_update_slice(
@@ -842,28 +855,10 @@ def decode_step(
         x = x + proj(o, p["attn"]["o_proj"]["w"])
 
         h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        if cfg.num_experts > 0:
-            from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
-
-            x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
-                              norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl,
-                              capacity_factor=cfg.moe_capacity_factor)
-        else:
-            gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
-                              preferred_element_type=jnp.float32)
-            up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
-                            preferred_element_type=jnp.float32)
-            act = (jax.nn.silu(gate) * up).astype(x.dtype)
-            x = x + proj(act, p["mlp"]["down_proj"]["w"])
+        x = x + _mlp(cfg, p, h2)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
-    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
-    if is_quantized(head_w):
-        xs = x * head_w["s"][0].astype(x.dtype)
-        logits = jnp.einsum("bh,vh->bv", xs, head_w["q"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bh,vh->bv", x, head_w, preferred_element_type=jnp.float32)
+    logits = _lm_head(params, cfg, x)
     if cache_scale is not None:
         return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
     return logits, (x if return_hidden else None), cache_k, cache_v
@@ -917,11 +912,7 @@ def decode_step_multi(
     S = cache_k.shape[3]
     scale = 1.0 / math.sqrt(dh)
 
-    emb = params["embed"]["weight"]
-    if is_quantized(emb):
-        x = emb["q"][toks].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-    else:
-        x = emb[toks].astype(cfg.dtype)  # (B, T, H)
+    x = _embed(params, cfg, toks)  # (B, T, H)
 
     cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
                           cfg.rope_scaling)  # (B, T, dh/2)
@@ -960,14 +951,8 @@ def decode_step_multi(
         q, k = rope2(q), rope2(k)
 
         if cache_scale is not None:
-            def q8(t):  # (B, T, nkv, dh) -> int8 values + (B, T, nkv) scale
-                tf = t.astype(jnp.float32)
-                s_ = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1) / 127.0, 1e-12)
-                return (jnp.clip(jnp.round(tf / s_[..., None]), -127, 127)
-                        .astype(jnp.int8), s_)
-
-            kq, sk = q8(k)
-            vq, sv = q8(v)
+            kq, sk = _quantize_kv(k)  # (B, T, nkv, dh) -> int8 + (B, T, nkv)
+            vq, sv = _quantize_kv(v)
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, jnp.transpose(kq, (0, 2, 1, 3))[None], (l, 0, 0, slot, 0))
             cache_v = jax.lax.dynamic_update_slice(
@@ -1009,14 +994,7 @@ def decode_step_multi(
         x = x + _mlp(cfg, p, h2)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
-    head_w = params["embed"]["weight"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
-    if is_quantized(head_w):
-        xs = x * head_w["s"][0].astype(x.dtype)
-        logits = jnp.einsum("bth,vh->btv", xs, head_w["q"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bth,vh->btv", x, head_w,
-                            preferred_element_type=jnp.float32)
+    logits = _lm_head(params, cfg, x)
     if cache_scale is not None:
         return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
     return logits, (x if return_hidden else None), cache_k, cache_v
