@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import time
 from collections import defaultdict
 from typing import Callable, Optional, Sequence
@@ -61,6 +62,26 @@ class MetricsWriter:
             f.write(json.dumps({"step": step, "name": name, "value": float(value)}) + "\n")
         if self.tb is not None:
             self.tb.add_scalar(name, float(value), step)
+
+
+# One async orbax checkpointer per PROCESS (not per trainer): any trainer's
+# flush then covers every in-flight save, so save-in-one-object /
+# load-in-another (tests, tooling) stays coherent. "pending" remembers the
+# (ckpt_dir, step) whose `latest` pointer write is deferred until the save
+# has durably landed.
+_ASYNC_CKPT: dict = {"ckptr": None, "pending": None}
+
+
+def _finish_pending_saves():
+    ck = _ASYNC_CKPT["ckptr"]
+    if ck is None:
+        return
+    ck.wait_until_finished()
+    if _ASYNC_CKPT["pending"] is not None:
+        ckpt_dir, step = _ASYNC_CKPT["pending"]
+        with open(os.path.join(ckpt_dir, "latest"), "w") as f:
+            f.write(str(step))
+        _ASYNC_CKPT["pending"] = None
 
 
 class MTPOTrainer:
@@ -686,6 +707,7 @@ class MTPOTrainer:
             if steps is None and i >= len(data):
                 break
         self.save_checkpoint()
+        self.finish_pending_saves()  # final save must land before returning
         return history
 
     # ------------------------------------------------------------- checkpoints
@@ -693,24 +715,54 @@ class MTPOTrainer:
     def _ckpt_dir(self) -> str:
         return os.path.join(self.args.output_dir, "checkpoints")
 
+    def finish_pending_saves(self):
+        """Block until the in-flight async save (if any) is durably on disk
+        and advance the `latest` pointer to it. Called before a new save,
+        before any restore, and at the end of train()."""
+        _finish_pending_saves()
+
     def save_checkpoint(self):
+        """Asynchronous orbax save: device arrays are snapshotted to host
+        synchronously, then serialized on a background thread — the next
+        rollout phase overlaps the disk write instead of stalling on it
+        (multi-GB sharded states at production scale). Orbax finalizes the
+        checkpoint dir with an atomic rename, and resume prefers the newest
+        FINALIZED step_* dir (see load_checkpoint), so neither a crash
+        mid-write nor a crash before the `latest` pointer lands can resume
+        from a partial state."""
         import orbax.checkpoint as ocp
 
         path = os.path.join(os.path.abspath(self._ckpt_dir()), f"step_{self.global_step}")
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, {"params": self.params, "head": self.head,
-                              "opt_state": self.opt_state}, force=True)
-        with open(os.path.join(self._ckpt_dir(), "latest"), "w") as f:
-            f.write(str(self.global_step))
+        _finish_pending_saves()  # at most one save in flight
+        if _ASYNC_CKPT["ckptr"] is None:
+            _ASYNC_CKPT["ckptr"] = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        _ASYNC_CKPT["ckptr"].save(path, args=ocp.args.StandardSave(
+            {"params": self.params, "head": self.head,
+             "opt_state": self.opt_state}), force=True)
+        _ASYNC_CKPT["pending"] = (self._ckpt_dir(), self.global_step)
 
     def load_checkpoint(self, path: Optional[str] = None):
         import orbax.checkpoint as ocp
 
+        _finish_pending_saves()
         if path in (None, True):
+            # Resume from the newest FINALIZED checkpoint: orbax writes to a
+            # *.orbax-checkpoint-tmp-* dir and renames atomically on commit,
+            # so a plain step_N dir existing proves it is complete. The
+            # `latest` pointer file is kept for operators/back-compat but a
+            # newer finalized dir wins (covers a crash after commit but
+            # before the pointer write).
+            steps = []
+            if os.path.isdir(self._ckpt_dir()):
+                for name in os.listdir(self._ckpt_dir()):
+                    m = re.fullmatch(r"step_(\d+)", name)
+                    if m:
+                        steps.append(int(m.group(1)))
             latest = os.path.join(self._ckpt_dir(), "latest")
-            if not os.path.exists(latest):
+            if not steps and not os.path.exists(latest):
                 return False
-            step = int(open(latest).read().strip())
+            step = max(steps) if steps else int(open(latest).read().strip())
             path = os.path.join(os.path.abspath(self._ckpt_dir()), f"step_{step}")
             self.global_step = step
         else:

@@ -295,6 +295,41 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
                                np.asarray(l2[0], np.float32))
 
 
+def test_checkpoint_resume_survives_stale_latest_pointer(tmp_path):
+    """Async saves defer the `latest` pointer write until the checkpoint
+    has durably landed; if the process dies between orbax's atomic commit
+    and the pointer write, resume must still pick the newest FINALIZED
+    step_* dir rather than the stale pointer."""
+    import os
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    args = MTPOConfig(
+        output_dir=str(tmp_path), model_name_or_path=None, depth=2, breadth=2,
+        num_sim=2, max_model_len=256, num_generations=2, save_steps=0,
+        bf16=False, gradient_checkpointing=False, debug_print=False,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    t1 = MTPOTrainer(model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+                     reward_fns=[], train_dataset=[], tokenizer=tok)
+    t1.global_step = 3
+    t1.save_checkpoint()
+    t1.global_step = 9
+    t1.save_checkpoint()
+    t1.finish_pending_saves()
+    # simulate the crash window: pointer regressed to the older checkpoint
+    with open(os.path.join(str(tmp_path), "checkpoints", "latest"), "w") as f:
+        f.write("3")
+
+    t2 = MTPOTrainer(model=(qwen2.init_params(cfg, jax.random.key(9)), cfg),
+                     agent_cls_list=[PoorAgent], args=args,
+                     reward_fns=[], train_dataset=[], tokenizer=tok)
+    assert t2.load_checkpoint()
+    assert t2.global_step == 9
+
+
 def test_self_evolving_judge_reward():
     """Policy-as-judge: 0 without tag / gt-substring; 0.8 exact; judge call
     on substring-but-not-exact (reference mtpo_trainer.py:3148-3205)."""
