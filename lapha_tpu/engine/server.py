@@ -36,16 +36,47 @@ from .adapter import SamplingParams
 
 class EngineServer:
     def __init__(self, engine, model_dir: str | None = None,
-                 continuous: bool = False, prompt_slab: int | None = None):
+                 continuous: bool = False, prompt_slab: int | None = None,
+                 profile_dir: str | None = None):
         self.engine = engine
         self.model_dir = model_dir
         self.lock = threading.Lock()
         self.scheduler = None
+        # serving-side profiling (vLLM's /start_profile + /stop_profile
+        # surface): a POST pair brackets a jax.profiler device trace of
+        # whatever the server executes in between — view with tensorboard
+        # or xprof. profile_dir is the default log dir (--profile-dir).
+        self.profile_dir = profile_dir
+        self._profiling = False
         if continuous:
             from .scheduler import ContinuousEngine
 
             self.scheduler = ContinuousEngine(engine, prompt_slab=prompt_slab)
             self.scheduler.start()
+
+    def handle_start_profile(self, payload: dict) -> dict:
+        import jax
+
+        log_dir = payload.get("log_dir") or self.profile_dir
+        if not log_dir:
+            raise ValueError("no log_dir: pass {'log_dir': ...} or start "
+                             "the server with --profile-dir")
+        with self.lock:
+            if self._profiling:
+                raise ValueError("a profile trace is already running")
+            jax.profiler.start_trace(log_dir)
+            self._profiling = True
+        return {"ok": True, "log_dir": log_dir}
+
+    def handle_stop_profile(self, payload: dict) -> dict:
+        import jax
+
+        with self.lock:
+            if not self._profiling:
+                raise ValueError("no profile trace is running")
+            jax.profiler.stop_trace()
+            self._profiling = False
+        return {"ok": True}
 
     def handle_generate(self, payload: dict) -> dict:
         prompts = payload.get("prompts") or []
@@ -238,6 +269,10 @@ def make_handler(server: EngineServer):
                     self._reply(200, {"ok": True})
                 elif self.path in ("/reload_weights", "/update_named_param"):
                     self._reply(200, server.handle_reload_weights(payload))
+                elif self.path == "/start_profile":
+                    self._reply(200, server.handle_start_profile(payload))
+                elif self.path == "/stop_profile":
+                    self._reply(200, server.handle_stop_profile(payload))
                 else:
                     self._reply(404, {"error": "not found"})
             except Exception as e:
@@ -248,9 +283,10 @@ def make_handler(server: EngineServer):
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8000,
           model_dir: str | None = None, background: bool = False,
-          continuous: bool = False, prompt_slab: int | None = None):
+          continuous: bool = False, prompt_slab: int | None = None,
+          profile_dir: str | None = None):
     srv = EngineServer(engine, model_dir, continuous=continuous,
-                       prompt_slab=prompt_slab)
+                       prompt_slab=prompt_slab, profile_dir=profile_dir)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -286,6 +322,9 @@ def main(argv=None):
                     help="shard prefill + the decode KV cache over this many "
                          "devices (engine-side SP for contexts beyond one "
                          "chip's HBM; forces the sync engine path)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="default log dir for the /start_profile + "
+                         "/stop_profile jax.profiler trace endpoints")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -315,7 +354,7 @@ def main(argv=None):
     print(f"engine server on {args.host}:{args.port} (model {args.model})")
     serve(engine, args.host, args.port, model_dir=args.model,
           continuous=not args.no_continuous_batching,
-          prompt_slab=args.prompt_slab)
+          prompt_slab=args.prompt_slab, profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

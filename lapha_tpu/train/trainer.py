@@ -522,8 +522,14 @@ class MTPOTrainer:
     def train_step(self, inputs: list[dict]) -> dict:
         if self.args.profile_dir and self.global_step == self.args.profile_step:
             with jax.profiler.trace(self.args.profile_dir):
-                return self._train_step_inner(inputs)
-        return self._train_step_inner(inputs)
+                m = self._train_step_inner(inputs)
+        else:
+            m = self._train_step_inner(inputs)
+        # save boundary checked HERE so early-return steps (no trainable
+        # samples) cannot bump global_step past a due save silently
+        if self.args.save_steps > 0 and self.global_step % self.args.save_steps == 0:
+            self.save_checkpoint()
+        return m
 
     def _train_step_inner(self, inputs: list[dict]) -> dict:
         t0 = time.perf_counter()
@@ -674,8 +680,6 @@ class MTPOTrainer:
         self.writer.add_scalar("Metrics/ContextLength", avg_ctx, self.global_step)
 
         self.global_step += 1
-        if self.args.save_steps > 0 and self.global_step % self.args.save_steps == 0:
-            self.save_checkpoint()
         return metrics
 
     def train(self, resume_from_checkpoint: Optional[str] = None, max_steps: Optional[int] = None):

@@ -202,3 +202,36 @@ def test_streaming_sync_fallback_failure_is_clean(served_engine):
     assert "injected-engine-failure" in events[0]["error"]
     ok = list(client.generate_stream(["y"], n=1, temperature=0.0, max_tokens=4))
     assert ok[-1]["type"] == "done"
+
+
+def test_profile_endpoints(tmp_path):
+    """/start_profile + /stop_profile bracket a jax.profiler trace of the
+    requests in between (vLLM's profiling surface); errors are clean JSON:
+    no log dir configured, double-start, stop-without-start."""
+    import requests
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(3))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=128, max_batch=8,
+                 decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[0])
+    httpd = engine_server.serve(eng, port=0, background=True,
+                                profile_dir=str(tmp_path / "trace"))
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        r = requests.post(url + "/stop_profile", json={}, timeout=10)
+        assert r.status_code == 500 and "no profile" in r.json()["error"]
+        r = requests.post(url + "/start_profile", json={}, timeout=10)
+        assert r.status_code == 200 and r.json()["ok"]
+        r = requests.post(url + "/start_profile", json={}, timeout=10)
+        assert r.status_code == 500 and "already" in r.json()["error"]
+        requests.post(url + "/generate",
+                      json={"prompts": ["ab"], "max_tokens": 4,
+                            "temperature": 0.0}, timeout=60).raise_for_status()
+        r = requests.post(url + "/stop_profile", json={}, timeout=30)
+        assert r.status_code == 200 and r.json()["ok"]
+        # the trace landed on disk
+        import glob
+        assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    finally:
+        httpd.shutdown()
