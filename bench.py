@@ -85,11 +85,14 @@ def main():
     parents = int(os.getenv("BENCH_PARENTS", "8"))
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
-    if os.getenv("BENCH_QUANT") == "int8":
-        # host-side init+quantize: never holds bf16 weights on device
+    if os.getenv("BENCH_QUANT") in ("int8", "int4"):
+        # device-side quantized init: never holds bf16 weights anywhere.
+        # int4 = group-128 RTN projections (AWQ storage layout) + int8
+        # embed/lm_head — halves the dominant weight stream again.
         from lapha_tpu.models.quant import init_params_quantized
 
-        params = init_params_quantized(cfg, seed=0)
+        params = init_params_quantized(
+            cfg, seed=0, bits=4 if os.getenv("BENCH_QUANT") == "int4" else 8)
     else:
         params = qwen2.init_params(cfg, jax.random.key(0))
     eng = Engine(

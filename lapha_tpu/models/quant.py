@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 
 def is_quantized(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and "q" in leaf and "s" in leaf
+    return isinstance(leaf, dict) and "q" in leaf and ("s" in leaf
+                                                       or "s4" in leaf)
 
 
 def quantize_weight(w: jax.Array) -> dict:
@@ -33,12 +34,49 @@ def quantize_weight(w: jax.Array) -> dict:
     return {"q": q, "s": scale.astype(jnp.float32)}
 
 
+def quantize_weight_int4(w: jax.Array, group: int = 128) -> dict:
+    """Group-wise symmetric int4 (RTN, AWQ/GPTQ-style) along the in-dim,
+    NIBBLE-PACKED: ``q`` is uint8 (..., in/2, out) holding two 4-bit values
+    per byte (even in-row = low nibble, odd = high), ``s4`` is f32
+    (..., in/group, out). Packed uint8 — not jnp.int4 — because S4 arrays
+    cannot cross the jit/device_put boundary on the axon TPU platform
+    (RecursionError in the plugin's relayout path, measured round 3); the
+    HBM weight stream is halved either way and the unpack (two shifts, a
+    select) fuses into the consumer matmul's operand read."""
+    *lead, IN, OUT = w.shape
+    assert IN % group == 0 and IN % 2 == 0, (IN, group)
+    wf = w.astype(jnp.float32).reshape(*lead, IN // group, group, OUT)
+    amax = jnp.max(jnp.abs(wf), axis=-2)                 # (..., in/g, out)
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
+    q = q.reshape(*lead, IN, OUT).astype(jnp.int8)
+    u = q.astype(jnp.uint8) & 0xF                        # two's-complement nibble
+    packed = u[..., 0::2, :] | (u[..., 1::2, :] << 4)
+    return {"q": packed, "s4": scale.astype(jnp.float32)}
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 (..., in/2, out) -> int8 values in [-7, 7] (..., in, out)."""
+    lo = ((packed & 0xF) ^ 8).astype(jnp.int8) - 8       # sign-extend nibble
+    hi = ((packed >> 4) ^ 8).astype(jnp.int8) - 8
+    *lead, half, OUT = packed.shape
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, half * 2, OUT)
+
+
 def dequant(w: Any, dtype=jnp.bfloat16) -> jax.Array:
     """Quantized leaf -> dense matrix in ``dtype`` (fused into the consumer
-    matmul by XLA); passthrough for plain arrays."""
-    if is_quantized(w):
-        return (w["q"].astype(dtype) * w["s"].astype(dtype))
-    return w
+    matmul by XLA); passthrough for plain arrays. Two layouts: int8
+    per-channel ({"q","s"}) and packed int4 group-wise ({"q","s4"})."""
+    if not is_quantized(w):
+        return w
+    if "s4" in w:
+        s = w["s4"]
+        qi = _unpack_int4(w["q"])
+        *lead, IN, OUT = qi.shape
+        groups = s.shape[-2]
+        qq = qi.reshape(*lead, groups, IN // groups, OUT).astype(dtype)
+        return (qq * s[..., :, None, :].astype(dtype)).reshape(*lead, IN, OUT)
+    return w["q"].astype(dtype) * w["s"].astype(dtype)
 
 
 _QUANT_PATHS = (
@@ -47,14 +85,21 @@ _QUANT_PATHS = (
 )
 
 
-def quantize_params(params: dict, *, quantize_embed: bool = True) -> dict:
+def quantize_params(params: dict, *, quantize_embed: bool = True,
+                    bits: int = 8, group: int = 128) -> dict:
     """Quantize the large matmul weights of a qwen2 param tree in place
-    (returns a new tree; biases, norms and small tensors stay as-is)."""
+    (returns a new tree; biases, norms and small tensors stay as-is).
+    ``bits=4`` uses group-wise int4 (RTN, ``group``-sized in-dim groups)
+    for the projection matrices; embedding/lm_head stay int8 (their row
+    gather / scale-fold paths assume per-channel scales and they are a
+    small share of the stream)."""
 
     def walk(node, path=""):
         if isinstance(node, dict) and not is_quantized(node):
             return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         if any(path.endswith("/" + p) for p in _QUANT_PATHS):
+            if bits == 4 and node.shape[-2] % group == 0:
+                return quantize_weight_int4(node, group)
             return quantize_weight(node)
         if quantize_embed and (path.endswith("embed/weight") or path.endswith("lm_head/weight")):
             # (V, H): per-H-channel scales; reduce over vocab rows
@@ -93,8 +138,10 @@ def quantize_host_tree(params_np: dict, *, quantize_embed: bool = True) -> dict:
     return walk(params_np)
 
 
-def init_params_quantized(cfg, seed: int = 0, *, quantize_embed: bool = True) -> dict:
-    """Random-init a quantized tree directly ON DEVICE in int8.
+def init_params_quantized(cfg, seed: int = 0, *, quantize_embed: bool = True,
+                          bits: int = 8, group: int = 128) -> dict:
+    """Random-init a quantized tree directly ON DEVICE in int8 (or
+    group-wise int4 projections with ``bits=4``; embed/lm_head stay int8).
 
     Never materializes f32/bf16 weights anywhere: no device bf16 residency
     (7B bf16 would not fit one 16 GB chip) and no multi-GB host→device
@@ -106,8 +153,17 @@ def init_params_quantized(cfg, seed: int = 0, *, quantize_embed: bool = True) ->
     key = jax.random.key(seed)
 
     def qw(k, shape, axis=-2):
-        q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
         in_dim = shape[axis]
+        if bits == 4 and axis == -2 and in_dim % group == 0:
+            p_shape = list(shape)
+            p_shape[axis] = in_dim // 2
+            q = jax.random.randint(k, tuple(p_shape), 0, 256, dtype=jnp.int32
+                                   ).astype(jnp.uint8)  # random packed nibbles
+            s_shape = list(shape)
+            s_shape[axis] = in_dim // group
+            s = jnp.full(tuple(s_shape), 1.0 / (7.0 * (in_dim ** 0.5)), jnp.float32)
+            return {"q": q, "s4": s}
+        q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
         s_shape = list(shape)
         s_shape[axis] = 1
         s = jnp.full(tuple(s_shape), 1.0 / (127.0 * (in_dim ** 0.5)), jnp.float32)

@@ -101,3 +101,68 @@ def test_load_params_quantized(tmp_path):
     lq, _, _ = qwen2.forward(pq, cq, ids)
     corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
     assert corr > 0.99
+
+
+# --------------------------------------------------------------- int4 (g128)
+
+def test_int4_roundtrip_error_bounded():
+    """Group-wise int4 RTN: reconstruction error <= per-group amax/14."""
+    from lapha_tpu.models.quant import quantize_weight_int4
+
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    leaf = quantize_weight_int4(w, group=64)
+    assert leaf["q"].dtype == jnp.uint8 and leaf["q"].shape == (128, 48)
+    assert leaf["s4"].shape == (4, 48)
+    d = dequant(leaf, jnp.float32)
+    wf = np.asarray(w).reshape(4, 64, 48)
+    bound = np.abs(wf).max(axis=1) / 14.0 + 1e-6      # (4, 48) per group
+    err = np.abs(np.asarray(d).reshape(4, 64, 48) - wf).max(axis=1)
+    assert (err <= bound).all()
+
+
+def test_int4_params_smaller_and_forward_close():
+    """bits=4 quantizes projections to int4 (embed stays int8); logits
+    stay strongly correlated with f32 on a tiny random net and the engine
+    decodes greedily end-to-end."""
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    qp = quantize_params(params, bits=4, group=32)
+    leaf = qp["layers"]["mlp"]["gate_proj"]["w"]
+    assert leaf["q"].dtype == jnp.uint8 and "s4" in leaf
+    assert qp["embed"]["weight"]["q"].dtype == jnp.int8
+
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 12)))
+    lf, _, _ = qwen2.forward(params, cfg, ids)
+    lq, _, _ = qwen2.forward(qp, cfg, ids)
+    cc = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert cc > 0.9
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(x) for x in text.split()]}
+
+        def decode(self, ids, **kw):
+            return ""
+
+    e = Engine(qp, cfg, IdTok(), max_model_len=64, max_batch=2, decode_chunk=4,
+               pad_multiple=16, batch_bucket=1, eos_token_ids=[],
+               prefix_cache_bytes=0)
+    out = e.generate(["5 6 7 8"], SamplingParams(n=1, temperature=0.0,
+                                                 max_tokens=6))
+    assert len(out[0].outputs[0].token_ids) == 6
+
+
+def test_int4_init_params_quantized_shapes():
+    from lapha_tpu.models.quant import init_params_quantized
+
+    cfg = Qwen2Config.tiny()
+    qp = init_params_quantized(cfg, seed=0, bits=4, group=32)
+    w = qp["layers"]["attn"]["q_proj"]["w"]
+    assert w["q"].dtype == jnp.uint8
+    assert w["q"].shape[-2] == cfg.hidden_size // 2
+    assert w["s4"].shape[-2] == cfg.hidden_size // 32
