@@ -44,23 +44,28 @@ def quantize_weight_int4(w: jax.Array, group: int = 128) -> dict:
     HBM weight stream is halved either way and the unpack (two shifts, a
     select) fuses into the consumer matmul's operand read."""
     *lead, IN, OUT = w.shape
-    assert IN % group == 0 and IN % 2 == 0, (IN, group)
+    assert IN % group == 0 and (IN // 2) % group == 0, (IN, group)
     wf = w.astype(jnp.float32).reshape(*lead, IN // group, group, OUT)
     amax = jnp.max(jnp.abs(wf), axis=-2)                 # (..., in/g, out)
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
     q = q.reshape(*lead, IN, OUT).astype(jnp.int8)
     u = q.astype(jnp.uint8) & 0xF                        # two's-complement nibble
-    packed = u[..., 0::2, :] | (u[..., 1::2, :] << 4)
+    # SPLIT-HALF packing: byte[i] = row i (low nibble) | row i+IN/2 (high).
+    # Unpacking is then a CONCAT of two contiguous halves — no interleave —
+    # which both XLA and the Pallas kernel (ops/int4_matmul.py) can consume
+    # as two plain dots without any relayout.
+    half = IN // 2
+    packed = u[..., :half, :] | (u[..., half:, :] << 4)
     return {"q": packed, "s4": scale.astype(jnp.float32)}
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """uint8 (..., in/2, out) -> int8 values in [-7, 7] (..., in, out)."""
+    """uint8 (..., in/2, out) -> int8 values in [-7, 7] (..., in, out):
+    low nibbles are rows [0, in/2), high nibbles rows [in/2, in)."""
     lo = ((packed & 0xF) ^ 8).astype(jnp.int8) - 8       # sign-extend nibble
     hi = ((packed >> 4) ^ 8).astype(jnp.int8) - 8
-    *lead, half, OUT = packed.shape
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, half * 2, OUT)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequant(w: Any, dtype=jnp.bfloat16) -> jax.Array:

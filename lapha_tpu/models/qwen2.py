@@ -514,6 +514,27 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
 
 
+def _q_matmul_f32(h: jax.Array, w) -> jax.Array:
+    """h (..., IN) @ weight leaf -> (..., OUT) f32-accum.
+
+    Packed-int4 leaves ({"q","s4"}, models/quant.py) route through the
+    Pallas dequant-matmul kernel on TPU (ops/int4_matmul.py): XLA cannot
+    fuse the nibble unpack into a dot operand read and materializes the
+    unpacked weights (measured 7x slower than int8 — BASELINE.md), so the
+    unpack must happen in VMEM. Everything else takes the plain einsum
+    with dequant fused by XLA."""
+    if is_quantized(w) and "s4" in w:
+        from ..ops.int4_matmul import int4_matmul
+
+        lead = h.shape[:-1]
+        on_tpu = jax.default_backend() == "tpu"
+        y = int4_matmul(h.reshape(-1, h.shape[-1]), w["q"], w["s4"],
+                        interpret=not on_tpu)
+        return y.reshape(*lead, y.shape[-1])
+    return jnp.einsum("...h,hd->...d", h, dequant(w, h.dtype),
+                      preferred_element_type=jnp.float32)
+
+
 def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
     """Post-attention FFN on normed hidden h (..., H) — dense SwiGLU, or
     the sparse MoE block (ops/moe.py) when the config has experts. Shared
@@ -528,12 +549,10 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
                         top_k=cfg.num_experts_per_tok,
                         norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
         return out.reshape(h.shape)
-    dq = lambda w: dequant(w, h.dtype)
-    gate = jnp.einsum("...h,hi->...i", h, dq(p["mlp"]["gate_proj"]["w"]), preferred_element_type=jnp.float32)
-    up = jnp.einsum("...h,hi->...i", h, dq(p["mlp"]["up_proj"]["w"]), preferred_element_type=jnp.float32)
+    gate = _q_matmul_f32(h, p["mlp"]["gate_proj"]["w"])
+    up = _q_matmul_f32(h, p["mlp"]["up_proj"]["w"])
     act = (jax.nn.silu(gate) * up).astype(h.dtype)
-    return jnp.einsum("...i,ih->...h", act, dq(p["mlp"]["down_proj"]["w"]),
-                      preferred_element_type=jnp.float32).astype(h.dtype)
+    return _q_matmul_f32(act, p["mlp"]["down_proj"]["w"]).astype(h.dtype)
 
 
 def _embed(params: dict, cfg: Qwen2Config, toks: jax.Array) -> jax.Array:
@@ -786,8 +805,7 @@ def decode_step(
     neg = jnp.float32(-1e30)
 
     def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum
-        y = jnp.einsum("bh,hd->bd", h, dequant(w, h.dtype),
-                       preferred_element_type=jnp.float32)
+        y = _q_matmul_f32(h, w)
         if b is not None:
             y = y + b.astype(jnp.float32)
         return y.astype(h.dtype)
@@ -933,8 +951,7 @@ def decode_step_multi(
         ks_all, vs_all = cache_scale
 
     def proj(h, w, b=None):  # (B,T,H) @ (H,D)
-        y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
-                       preferred_element_type=jnp.float32)
+        y = _q_matmul_f32(h, w)
         if b is not None:
             y = y + b.astype(jnp.float32)
         return y.astype(h.dtype)
