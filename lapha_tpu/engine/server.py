@@ -305,8 +305,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-model-len", type=int, default=4096)
     ap.add_argument("--max-batch", type=int, default=16)
-    ap.add_argument("--quantize", choices=["int8"], default=None,
-                    help="weight-only int8 (halves HBM; fits 7B on one v5e)")
+    ap.add_argument("--quantize", choices=["int8", "int4"], default=None,
+                    help="weight-only int8 (halves HBM; fits 7B on one v5e) "
+                         "or group-128 int4 projections via the Pallas "
+                         "dequant-matmul kernel (fits 14B)")
     ap.add_argument("--no-continuous-batching", action="store_true",
                     help="serialize requests instead of cross-request batching")
     ap.add_argument("--prompt-slab", type=int, default=None,

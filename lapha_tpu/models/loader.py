@@ -91,20 +91,41 @@ def _quant_int8_host(a: np.ndarray, axis: int) -> dict:
     return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
 
 
+def _quant_int4_host(a: np.ndarray, group: int = 128) -> dict:
+    """Host-side mirror of models/quant.quantize_weight_int4 (group-wise
+    RTN, offset-binary nibbles, split-half packing) for load-time int4 —
+    no bf16 device residency, quarter-size host->device transfer."""
+    *lead, IN, OUT = a.shape
+    g = a.reshape(*lead, IN // group, group, OUT)
+    amax = np.max(np.abs(g), axis=-2)
+    scale = np.maximum(amax / 7.0, 1e-12)
+    q = np.clip(np.round(g / scale[..., None, :]), -7, 7) + 8.0
+    u = q.reshape(*lead, IN, OUT).astype(np.uint8)
+    half = IN // 2
+    packed = u[..., :half, :] | (u[..., half:, :] << 4)
+    return {"q": jnp.asarray(packed), "s4": jnp.asarray(scale.astype(np.float32))}
+
+
 def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat16,
                 quantize: str | None = None) -> tuple[dict, Qwen2Config]:
     """Load an HF Qwen2 checkpoint directory into the stacked pytree.
 
     ``quantize="int8"`` applies weight-only per-channel int8 to the large
     matmul weights ON HOST during loading (no bf16 residency on device) —
-    fits 7B checkpoints on a single 16 GB chip."""
+    fits 7B checkpoints on a single 16 GB chip. ``quantize="int4"`` packs
+    the projection matrices group-128 int4 (AWQ-style RTN, models/quant.py
+    layout, served by the Pallas dequant-matmul kernel) and keeps
+    embed/lm_head (row-gather + scale-fold paths assume per-channel
+    scales) and MoE expert stacks (decode uses the dequant einsum, not
+    the 2-D kernel) at int8 — fits 14B checkpoints on one 16 GB chip."""
     if cfg is None:
         cfg = load_config(model_dir)
     cfg = Qwen2Config(**{**cfg.__dict__, "dtype": dtype})
     tensors = _open_safetensors(model_dir)
     L = cfg.num_hidden_layers
-    q8 = quantize == "int8"
-    if quantize not in (None, "int8"):
+    q4 = quantize == "int4"
+    q8 = quantize == "int8" or q4  # int4 mode: int8 for non-projection mats
+    if quantize not in (None, "int8", "int4"):
         raise ValueError(f"unsupported quantize={quantize!r}")
 
     def stack(fmt: str, transpose: bool = False, quantizable: bool = True):
@@ -115,6 +136,10 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
         out = np.stack(mats, axis=0)
         if q8 and transpose and quantizable:  # the big matmul weights
             host = np.swapaxes(_host_f32(out), -1, -2)  # (L, in, out)
+            # int4 needs the in-dim to split into two whole group-128
+            # halves (split-half packing); tiny projections fall back int8
+            if q4 and host.shape[-2] % 256 == 0:
+                return _quant_int4_host(host)
             return _quant_int8_host(host, axis=-2)
         arr = _to_jax(out, dtype)
         if transpose:  # HF Linear stores (out, in); we want (in, out)

@@ -37,20 +37,26 @@ def quantize_weight(w: jax.Array) -> dict:
 def quantize_weight_int4(w: jax.Array, group: int = 128) -> dict:
     """Group-wise symmetric int4 (RTN, AWQ/GPTQ-style) along the in-dim,
     NIBBLE-PACKED: ``q`` is uint8 (..., in/2, out) holding two 4-bit values
-    per byte (even in-row = low nibble, odd = high), ``s4`` is f32
-    (..., in/group, out). Packed uint8 — not jnp.int4 — because S4 arrays
-    cannot cross the jit/device_put boundary on the axon TPU platform
-    (RecursionError in the plugin's relayout path, measured round 3); the
-    HBM weight stream is halved either way and the unpack (two shifts, a
-    select) fuses into the consumer matmul's operand read."""
+    per byte, ``s4`` is f32 (..., in/group, out). Packed uint8 — not
+    jnp.int4 — because S4 arrays cannot cross the jit/device_put boundary
+    on the axon TPU platform (RecursionError in the plugin's relayout
+    path, measured round 3); the HBM weight stream is halved either way.
+
+    Nibbles are stored OFFSET-BINARY (u = v + 8, u in [1, 15] for
+    v in [-7, 7]): the stored nibble is an UNSIGNED integer and the real
+    value is ``u - 8``. The Pallas kernel (ops/int4_matmul.py) exploits
+    this: unsigned nibbles come out of a byte with pure float ops (u8 ->
+    bf16 convert is exact, floor/multiply extract the halves — no integer
+    vector ops, which Mosaic legalizes poorly), and the constant -8 shift
+    folds OUT of the per-weight math into one rank-ngroups correction
+    matmul (x's per-group row-sums against the scale rows)."""
     *lead, IN, OUT = w.shape
     assert IN % group == 0 and (IN // 2) % group == 0, (IN, group)
     wf = w.astype(jnp.float32).reshape(*lead, IN // group, group, OUT)
     amax = jnp.max(jnp.abs(wf), axis=-2)                 # (..., in/g, out)
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
-    q = q.reshape(*lead, IN, OUT).astype(jnp.int8)
-    u = q.astype(jnp.uint8) & 0xF                        # two's-complement nibble
+    u = (q + 8.0).reshape(*lead, IN, OUT).astype(jnp.uint8)  # offset-binary
     # SPLIT-HALF packing: byte[i] = row i (low nibble) | row i+IN/2 (high).
     # Unpacking is then a CONCAT of two contiguous halves — no interleave —
     # which both XLA and the Pallas kernel (ops/int4_matmul.py) can consume
@@ -62,9 +68,10 @@ def quantize_weight_int4(w: jax.Array, group: int = 128) -> dict:
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
     """uint8 (..., in/2, out) -> int8 values in [-7, 7] (..., in, out):
-    low nibbles are rows [0, in/2), high nibbles rows [in/2, in)."""
-    lo = ((packed & 0xF) ^ 8).astype(jnp.int8) - 8       # sign-extend nibble
-    hi = ((packed >> 4) ^ 8).astype(jnp.int8) - 8
+    low nibbles are rows [0, in/2), high nibbles rows [in/2, in).
+    Nibbles are offset-binary (stored u = value + 8)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
     return jnp.concatenate([lo, hi], axis=-2)
 
 

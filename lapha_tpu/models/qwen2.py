@@ -518,19 +518,26 @@ def _q_matmul_f32(h: jax.Array, w) -> jax.Array:
     """h (..., IN) @ weight leaf -> (..., OUT) f32-accum.
 
     Packed-int4 leaves ({"q","s4"}, models/quant.py) route through the
-    Pallas dequant-matmul kernel on TPU (ops/int4_matmul.py): XLA cannot
-    fuse the nibble unpack into a dot operand read and materializes the
-    unpacked weights (measured 7x slower than int8 — BASELINE.md), so the
-    unpack must happen in VMEM. Everything else takes the plain einsum
-    with dequant fused by XLA."""
+    Pallas dequant-matmul kernel on TPU (ops/int4_matmul.py) at DECODE
+    row counts: XLA cannot fuse the nibble unpack into a dot operand read
+    and materializes the unpacked weights (measured 7x slower than int8 —
+    BASELINE.md), so the unpack must happen in VMEM. At PREFILL row
+    counts the call is compute-bound, the one-off bf16 materialization
+    amortizes over the tokens, and the kernel's whole-x VMEM block would
+    not fit — so large row counts take the XLA dequant einsum.
+    Everything else takes the plain einsum with dequant fused by XLA."""
     if is_quantized(w) and "s4" in w:
-        from ..ops.int4_matmul import int4_matmul
-
         lead = h.shape[:-1]
-        on_tpu = jax.default_backend() == "tpu"
-        y = int4_matmul(h.reshape(-1, h.shape[-1]), w["q"], w["s4"],
-                        interpret=not on_tpu)
-        return y.reshape(*lead, y.shape[-1])
+        rows = 1
+        for d in lead:
+            rows *= d
+        if rows <= 512:
+            from ..ops.int4_matmul import int4_matmul
+
+            on_tpu = jax.default_backend() == "tpu"
+            y = int4_matmul(h.reshape(-1, h.shape[-1]), w["q"], w["s4"],
+                            interpret=not on_tpu)
+            return y.reshape(*lead, y.shape[-1])
     return jnp.einsum("...h,hd->...d", h, dequant(w, h.dtype),
                       preferred_element_type=jnp.float32)
 

@@ -157,6 +157,35 @@ def test_int4_params_smaller_and_forward_close():
     assert len(out[0].outputs[0].token_ids) == 6
 
 
+def test_load_params_int4(tmp_path):
+    """HF checkpoint -> quantize="int4": projections whose in-dim splits
+    into whole group-128 halves pack int4 (offset-binary nibbles);
+    embed/lm_head and too-small projections fall back int8; logits track
+    the f32 load."""
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from model_fixtures import build_tiny_model_dir
+    from lapha_tpu.models import loader
+
+    d = build_tiny_model_dir(str(tmp_path / "m"), hidden=256, inter=512,
+                             heads=4, kv_heads=2)
+    pf, cf = loader.load_params(d, dtype=jnp.float32)
+    pq, cq = loader.load_params(d, dtype=jnp.float32, quantize="int4")
+    gate = pq["layers"]["mlp"]["gate_proj"]["w"]
+    assert gate["q"].dtype == jnp.uint8 and "s4" in gate  # IN=256: int4
+    assert gate["q"].shape[-2] == 128 and gate["s4"].shape[-2] == 2
+    down = pq["layers"]["mlp"]["down_proj"]["w"]
+    assert "s4" in down                                   # IN=512: int4
+    assert pq["embed"]["weight"]["q"].dtype == jnp.int8   # int8 fallback
+    ids = jnp.asarray(rng.integers(0, 2000, (1, 12)))
+    lf, _, _ = qwen2.forward(pf, cf, ids)
+    lq, _, _ = qwen2.forward(pq, cq, ids)
+    corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    # int4 RTN on a random-gaussian tiny net is the worst case (no
+    # outlier structure, 2 groups/row); real checkpoints correlate higher
+    assert corr > 0.9
+
+
 def test_int4_init_params_quantized_shapes():
     from lapha_tpu.models.quant import init_params_quantized
 
