@@ -121,7 +121,7 @@ class Engine:
         # dense/flash prefill + the banded 1-token decode_step. The two
         # optional paths whose validity model has no banding yet reject
         # loudly instead of silently attending over the full context:
-        if int(getattr(cfg, "sliding_window", 0) or 0):
+        if int(getattr(cfg, "max_window_", 0) or 0):
             if spec_decode is not None:
                 raise ValueError(
                     "spec_decode does not support sliding-window models "

@@ -67,12 +67,13 @@ def load_config(model_dir: str) -> Qwen2Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     mt = cfg.get("model_type", "qwen2")
-    # sliding_window is parsed into Qwen2Config.sliding_window by
-    # _parse_sliding_window (uniform stacks only; mixed stacks raise there)
+    # sliding_window / per-layer layer_windows are parsed by
+    # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
-                  "llama", "mistral"):
+                  "llama", "mistral", "gemma2", "gemma3_text", "gemma3"):
         raise ValueError(
-            f"unsupported model_type {mt!r} (qwen2/qwen3/llama decoder family)")
+            f"unsupported model_type {mt!r} (qwen2/qwen3/llama/gemma "
+            "decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -146,6 +147,16 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
             arr = jnp.swapaxes(arr, -1, -2)
         return arr
 
+    def stack_norm(fmt: str):
+        """RMS-norm scales. Gemma checkpoints store w with the (1 + w)
+        fold left to the module; our rms_norm multiplies the stored scale
+        directly, so fold the +1 in at load — in f32 (norm scales are
+        tiny and rms_norm upcasts anyway), matching HF's float() math."""
+        if cfg.sandwich_norms:  # gemma family proxy
+            return _to_jax(np.stack([_host_f32(_get(tensors, fmt.format(i=i)))
+                                     for i in range(L)]), jnp.float32) + 1.0
+        return stack(fmt)
+
     def stack_bias(fmt: str, dim: int):
         """q/k/v bias, or zeros when the family has none (llama/mistral) —
         the pytree stays structurally uniform so every compute path is one
@@ -162,8 +173,8 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     params: dict[str, Any] = {
         "embed": {"weight": embed},
         "layers": {
-            "input_layernorm": {"scale": stack("layers.{i}.input_layernorm.weight")},
-            "post_attention_layernorm": {"scale": stack("layers.{i}.post_attention_layernorm.weight")},
+            "input_layernorm": {"scale": stack_norm("layers.{i}.input_layernorm.weight")},
+            "post_attention_layernorm": {"scale": stack_norm("layers.{i}.post_attention_layernorm.weight")},
             "attn": {
                 "q_proj": {"w": stack("layers.{i}.self_attn.q_proj.weight", transpose=True),
                            "b": stack_bias("layers.{i}.self_attn.q_proj.bias", nh * dh)},
@@ -174,7 +185,9 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                 "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
             },
         },
-        "norm": {"scale": _to_jax(_get(tensors, "norm.weight"), dtype)},
+        "norm": {"scale": (_to_jax(_get(tensors, "norm.weight"), jnp.float32) + 1.0
+                           if cfg.sandwich_norms
+                           else _to_jax(_get(tensors, "norm.weight"), dtype))},
     }
     if cfg.num_experts > 0:
         E = cfg.num_experts
@@ -216,11 +229,16 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
             "up_proj": {"w": stack("layers.{i}.mlp.up_proj.weight", transpose=True)},
             "down_proj": {"w": stack("layers.{i}.mlp.down_proj.weight", transpose=True)},
         }
-    if cfg.qk_norm:  # qwen3 per-head q/k RMS norms
+    if cfg.sandwich_norms:  # gemma: two extra output norms per layer
+        params["layers"]["pre_feedforward_layernorm"] = {
+            "scale": stack_norm("layers.{i}.pre_feedforward_layernorm.weight")}
+        params["layers"]["post_feedforward_layernorm"] = {
+            "scale": stack_norm("layers.{i}.post_feedforward_layernorm.weight")}
+    if cfg.qk_norm:  # qwen3 / gemma3 per-head q/k RMS norms
         params["layers"]["attn"]["q_norm"] = {
-            "scale": stack("layers.{i}.self_attn.q_norm.weight")}
+            "scale": stack_norm("layers.{i}.self_attn.q_norm.weight")}
         params["layers"]["attn"]["k_norm"] = {
-            "scale": stack("layers.{i}.self_attn.k_norm.weight")}
+            "scale": stack_norm("layers.{i}.self_attn.k_norm.weight")}
     if not cfg.tie_word_embeddings:
         if _has(tensors, "lm_head.weight"):
             lm_raw = _get(tensors, "lm_head.weight")
@@ -309,17 +327,29 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
 
     put("model.embed_tokens.weight", params["embed"]["weight"])
     lp = params["layers"]
+    # gemma checkpoints store RMS-norm weights w with (1 + w) folded at
+    # runtime; loading folded the +1 in, so exporting folds it back out
+    nsub = 1.0 if cfg.sandwich_norms else 0.0
+
+    def put_norm(name, arr):
+        put(name, arr - nsub if nsub else arr)
+
     for i in range(cfg.num_hidden_layers):
         pre = f"model.layers.{i}."
-        put(pre + "input_layernorm.weight", lp["input_layernorm"]["scale"][i])
-        put(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
+        put_norm(pre + "input_layernorm.weight", lp["input_layernorm"]["scale"][i])
+        put_norm(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
+        if cfg.sandwich_norms:
+            put_norm(pre + "pre_feedforward_layernorm.weight",
+                     lp["pre_feedforward_layernorm"]["scale"][i])
+            put_norm(pre + "post_feedforward_layernorm.weight",
+                     lp["post_feedforward_layernorm"]["scale"][i])
         for proj in ("q", "k", "v"):
             put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
             if cfg.attention_bias:  # llama/qwen3 store no q/k/v bias
                 put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
         if cfg.qk_norm:
-            put(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
-            put(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
+            put_norm(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
+            put_norm(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
         if "moe" in lp:
             moe = lp["moe"]
@@ -338,7 +368,7 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
         else:
             for proj in ("gate", "up", "down"):
                 put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)
-    put("model.norm.weight", params["norm"]["scale"])
+    put_norm("model.norm.weight", params["norm"]["scale"])
     if not cfg.tie_word_embeddings and "lm_head" in params:
         put("lm_head.weight", params["lm_head"]["weight"])
     save_file(sd, os.path.join(out_dir, "model.safetensors"))

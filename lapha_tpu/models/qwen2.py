@@ -58,12 +58,20 @@ class Qwen2Config:
     # Sliding-window attention width; 0 = full attention. Parsed from HF
     # config.json by :func:`_parse_sliding_window` (Mistral-v0.1-style
     # uniform stacks; qwen2/qwen3 only when use_sliding_window is set).
-    # Mixed full/sliding layer stacks are rejected at parse time (the layer
-    # scan is uniform). Applies to prefill (dense mask + flash kernel
-    # banding), cached suffix prefill, and decode (position-windowed slot
-    # validity); the ragged decode kernel and seq-mesh/spec-decode paths
-    # fall back or reject — see decode_step / Engine.
+    # Applies to prefill (dense mask + flash kernel banding), cached
+    # suffix prefill, and decode (position-windowed slot validity); the
+    # ragged decode kernel and seq-mesh/spec-decode paths fall back or
+    # reject — see decode_step / Engine.
     sliding_window: int = 0
+    # Per-layer attention windows for HETEROGENEOUS stacks (gemma2
+    # alternates sliding/full, gemma3 runs 5 local : 1 global): () =
+    # uniform (`sliding_window` applies to every layer, possibly 0), else
+    # a length-L tuple of 0 (full) / W (sliding). The decode path selects
+    # per layer statically (the layer loop is unrolled); the prefill scan
+    # threads the window widths as a scanned operand and bands the mask
+    # in-body. Non-gemma mixed stacks (qwen with 0 < max_window_layers
+    # < L) also parse into this.
+    layer_windows: tuple = ()
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
@@ -87,10 +95,43 @@ class Qwen2Config:
     # otherwise; "pallas" forces the kernel (interpret mode off-TPU);
     # "dense" forces the reference einsum path
     attn_impl: str = "auto"
+    # ---- gemma2 / gemma3 family knobs (all inert at their defaults) ----
+    hidden_act: str = "silu"        # gemma: "gelu_pytorch_tanh" (GeGLU)
+    # gemma residual structure: post-attention/post-feedforward OUTPUT
+    # norms in addition to the two pre-norms (4 RMS norms per layer)
+    sandwich_norms: bool = False
+    # gemma scales embeddings by sqrt(hidden_size) (cast to dtype first,
+    # as HF does — the bf16 rounding of the normalizer is part of parity)
+    embed_normalizer: bool = False
+    # gemma attention scale base: softmax(q@k * query_pre_attn_scalar
+    # **-0.5); 0 = the usual head_dim
+    query_pre_attn_scalar: float = 0.0
+    attn_softcap: float = 0.0       # gemma2: cap*tanh(logits/cap) pre-mask
+    final_softcap: float = 0.0      # gemma2: same, on the lm_head logits
+    # gemma3: sliding layers rope at this theta (no scaling); full layers
+    # use rope_theta (+rope_scaling). 0 = single rope for all layers.
+    rope_local_theta: float = 0.0
 
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def attn_scale_(self) -> float:
+        return 1.0 / math.sqrt(self.query_pre_attn_scalar or self.head_dim_)
+
+    @property
+    def max_window_(self) -> int:
+        """Largest attention window anywhere in the stack (0 = none):
+        the value engine guards/compaction reason about."""
+        if self.layer_windows:
+            return max(self.layer_windows)
+        return int(self.sliding_window or 0)
+
+    def window_for_layer(self, l: int) -> int:
+        if self.layer_windows:
+            return int(self.layer_windows[l])
+        return int(self.sliding_window or 0)
 
     @staticmethod
     def _parse_rope_scaling(cfg: dict) -> tuple:
@@ -146,27 +187,37 @@ class Qwen2Config:
             "with wrong RoPE frequencies")
 
     @staticmethod
-    def _parse_sliding_window(cfg: dict) -> int:
-        """HF config.json -> uniform sliding-window width (0 = none).
+    def _parse_sliding_window(cfg: dict) -> dict:
+        """HF config.json -> {"sliding_window": W, "layer_windows": (...)}.
 
         Mirrors transformers' per-layer resolution (Qwen2Config.__init__
         layer_types default: sliding for layers >= max_window_layers when
         sliding_window is set — gated on use_sliding_window for qwen*;
-        Mistral applies it to every layer). Stacks that mix full and
-        sliding layers cannot run under this family's uniform layer scan
-        and are rejected loudly rather than loaded with a wrong mask."""
+        Mistral applies it to every layer; gemma2 alternates starting
+        sliding; gemma3 runs sliding except every Nth layer). Uniform
+        stacks parse into `sliding_window`; mixed stacks into the
+        per-layer `layer_windows` tuple."""
         mt = cfg.get("model_type", "qwen2")
         sw = cfg.get("sliding_window")
         if (mt.startswith("qwen2") or mt.startswith("qwen3")) and not cfg.get(
                 "use_sliding_window", False):
             sw = None
         if not sw:
-            return 0
+            return {"sliding_window": 0, "layer_windows": ()}
         L = cfg["num_hidden_layers"]
         lt = cfg.get("layer_types")
         if lt is None:
             if mt == "mistral":
                 lt = ["sliding_attention"] * L  # Mistral slides every layer
+            elif mt == "gemma2":
+                # HF Gemma2Config default: even-index layers slide
+                lt = ["sliding_attention" if (i + 1) % 2 else "full_attention"
+                      for i in range(L)]
+            elif mt.startswith("gemma3"):
+                # HF Gemma3TextConfig default: every Nth layer is global
+                pat = int(cfg.get("sliding_window_pattern", 6))
+                lt = ["full_attention" if (i + 1) % pat == 0
+                      else "sliding_attention" for i in range(L)]
             else:
                 # qwen2/qwen3: layers >= max_window_layers slide; a MISSING
                 # key means the HF class default 28, not 0 (defaulting to 0
@@ -175,13 +226,12 @@ class Qwen2Config:
                 lt = ["sliding_attention" if i >= mwl else "full_attention"
                       for i in range(L)]
         if all(t == "full_attention" for t in lt):
-            return 0
-        if not all(t == "sliding_attention" for t in lt):
-            raise ValueError(
-                "mixed full/sliding attention layer stacks are not "
-                f"supported (layer_types={lt[:4]}...; max_window_layers "
-                "must be 0 or >= num_hidden_layers)")
-        return int(sw)
+            return {"sliding_window": 0, "layer_windows": ()}
+        if all(t == "sliding_attention" for t in lt):
+            return {"sliding_window": int(sw), "layer_windows": ()}
+        return {"sliding_window": 0,
+                "layer_windows": tuple(
+                    int(sw) if t == "sliding_attention" else 0 for t in lt)}
 
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "Qwen2Config":
@@ -217,7 +267,7 @@ class Qwen2Config:
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6 if q3 else 10000.0),
                 rope_scaling=cls._parse_rope_scaling(cfg),
-                sliding_window=cls._parse_sliding_window(cfg),
+                **cls._parse_sliding_window(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
                 attention_bias=(cfg.get("attention_bias", False) if q3
@@ -229,6 +279,44 @@ class Qwen2Config:
                 shared_expert_intermediate_size=(0 if q3 else cfg.get(
                     "shared_expert_intermediate_size", 0)),
                 norm_topk_prob=cfg.get("norm_topk_prob", False),
+                dtype=dtype,
+            )
+        if mt in ("gemma2", "gemma3_text", "gemma3"):
+            if "text_config" in cfg:
+                raise ValueError(
+                    "multimodal gemma3 checkpoints are not supported; use "
+                    "the text-only model (model_type gemma3_text)")
+            g3 = mt.startswith("gemma3")
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim", 256),
+                max_position_embeddings=cfg.get("max_position_embeddings",
+                                                131072 if g3 else 8192),
+                rope_theta=cfg.get("rope_theta", 1e6 if g3 else 10000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attention_bias=cfg.get("attention_bias", False),
+                qk_norm=g3,  # gemma3 adds per-head q/k RMS norms
+                hidden_act=cfg.get("hidden_activation",
+                                   cfg.get("hidden_act", "gelu_pytorch_tanh")),
+                sandwich_norms=True,
+                embed_normalizer=True,
+                query_pre_attn_scalar=float(
+                    cfg.get("query_pre_attn_scalar", 256)),
+                attn_softcap=(0.0 if g3 else float(
+                    cfg.get("attn_logit_softcapping") or 0.0)),
+                final_softcap=(0.0 if g3 else float(
+                    cfg.get("final_logit_softcapping") or 0.0)),
+                rope_local_theta=(float(cfg.get("rope_local_base_freq",
+                                                10000.0)) if g3 else 0.0),
                 dtype=dtype,
             )
         if mt == "qwen3":
@@ -245,7 +333,7 @@ class Qwen2Config:
                 max_position_embeddings=cfg.get("max_position_embeddings", 32768),
                 rope_theta=cfg.get("rope_theta", 1e6),
                 rope_scaling=cls._parse_rope_scaling(cfg),
-                sliding_window=cls._parse_sliding_window(cfg),
+                **cls._parse_sliding_window(cfg),
                 rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
                 attention_bias=cfg.get("attention_bias", False),
@@ -263,7 +351,7 @@ class Qwen2Config:
             max_position_embeddings=cfg.get("max_position_embeddings", 32768),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cls._parse_rope_scaling(cfg),
-            sliding_window=cls._parse_sliding_window(cfg),
+            **cls._parse_sliding_window(cfg),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             attention_bias=cfg.get("attention_bias", mt.startswith("qwen2")),
@@ -343,6 +431,11 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
             "up_proj": {"w": init(ks[6], (L, H, I))},
             "down_proj": {"w": init(ks[7], (L, I, H))},
         }
+    if cfg.sandwich_norms:  # gemma: two extra output norms per layer
+        params["layers"]["pre_feedforward_layernorm"] = {
+            "scale": jnp.ones((L, H), cfg.dtype)}
+        params["layers"]["post_feedforward_layernorm"] = {
+            "scale": jnp.ones((L, H), cfg.dtype)}
     if cfg.qk_norm:
         params["layers"]["attn"]["q_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
         params["layers"]["attn"]["k_norm"] = {"scale": jnp.ones((L, dh), cfg.dtype)}
@@ -433,7 +526,9 @@ def _attend(q, k, v, mask, cfg):
     qg = q.reshape(B, T, nkv, group, dh)
     # f32 logits on the MXU
     logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
-    logits = logits / math.sqrt(dh)
+    logits = logits * cfg.attn_scale_
+    if cfg.attn_softcap:  # gemma2: soft-clamp logits to ±cap before mask
+        logits = jnp.tanh(logits / cfg.attn_softcap) * cfg.attn_softcap
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -452,6 +547,12 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask):
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
         impl == "auto" and on_tpu)
+    if cfg.attn_softcap or cfg.layer_windows or cfg.query_pre_attn_scalar:
+        # gemma paths the flash kernel does not express yet: logit
+        # softcapping, per-layer banding (the in-body mask select needs the
+        # dense mask), non-dh attention scale. Dense is exact; these decode
+        # weight-bound anyway.
+        use_pallas = False
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 
@@ -462,16 +563,31 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask):
 
 
 def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
-                attend_fn=None):
+                attend_fn=None, win=None, rope_loc=None, qk_idx=None):
     """One decoder layer; scanned over the stacked layer axis.
 
     ``attend_fn(q, k, v) -> att`` overrides the no-cache attention core —
     used by models/qwen2_seq.forward_seq to substitute ring attention when
-    the layer runs inside a sequence-sharded shard_map."""
+    the layer runs inside a sequence-sharded shard_map.
+
+    Heterogeneous stacks (cfg.layer_windows — gemma2/gemma3) thread the
+    per-layer window width ``win`` (traced i32 scalar, a scanned operand)
+    plus ``qk_idx = (qpos, kpos)`` broadcastable index/position arrays:
+    the banded mask is rebuilt in-body (boolean ops XLA fuses into the
+    attention select — nothing (B,T,S)-sized materializes in HBM).
+    ``rope_loc = (cos_loc, sin_loc)`` swaps in the local-rope tables on
+    windowed layers (gemma3's dual-theta rope)."""
     x, cos, sin, mask, cache_k, cache_v, cache_pos = carry
     p = layer_params
     B, T, H = x.shape
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    if win is not None and qk_idx is not None:
+        qpos, kpos = qk_idx
+        mask = mask & ((win <= 0) | (kpos > qpos - win))
+    if win is not None and rope_loc is not None:
+        cos = jnp.where(win > 0, rope_loc[0], cos)
+        sin = jnp.where(win > 0, rope_loc[1], sin)
 
     h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
     dq = lambda w: dequant(w, x.dtype)
@@ -507,10 +623,21 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
 
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + att
-
-    h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    x = x + _mlp(cfg, p, h)
+    if cfg.sandwich_norms:
+        # gemma residual structure: norm the SUBLAYER OUTPUTS (post-attn /
+        # post-ffn) in addition to the two pre-norms
+        att = rms_norm(att, p["post_attention_layernorm"]["scale"],
+                       cfg.rms_norm_eps)
+        x = x + att
+        h = rms_norm(x, p["pre_feedforward_layernorm"]["scale"],
+                     cfg.rms_norm_eps)
+        m = rms_norm(_mlp(cfg, p, h), p["post_feedforward_layernorm"]["scale"],
+                     cfg.rms_norm_eps)
+        x = x + m
+    else:
+        x = x + att
+        h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(cfg, p, h)
     return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
 
 
@@ -558,7 +685,10 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
         return out.reshape(h.shape)
     gate = _q_matmul_f32(h, p["mlp"]["gate_proj"]["w"])
     up = _q_matmul_f32(h, p["mlp"]["up_proj"]["w"])
-    act = (jax.nn.silu(gate) * up).astype(h.dtype)
+    if cfg.hidden_act == "gelu_pytorch_tanh":  # gemma GeGLU
+        act = (jax.nn.gelu(gate, approximate=True) * up).astype(h.dtype)
+    else:
+        act = (jax.nn.silu(gate) * up).astype(h.dtype)
     return _q_matmul_f32(act, p["mlp"]["down_proj"]["w"]).astype(h.dtype)
 
 
@@ -567,8 +697,12 @@ def _embed(params: dict, cfg: Qwen2Config, toks: jax.Array) -> jax.Array:
     tables gather rows then scale — never materialize the bf16 table."""
     emb = params["embed"]["weight"]
     if is_quantized(emb):
-        return emb["q"][toks].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-    return emb[toks].astype(cfg.dtype)
+        x = emb["q"][toks].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+    else:
+        x = emb[toks].astype(cfg.dtype)
+    if cfg.embed_normalizer:  # gemma: scale by sqrt(H), cast to dtype as HF
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
+    return x
 
 
 def _lm_head(params: dict, cfg: Qwen2Config, x: jax.Array) -> jax.Array:
@@ -578,10 +712,14 @@ def _lm_head(params: dict, cfg: Qwen2Config, x: jax.Array) -> jax.Array:
               else params["lm_head"]["weight"])
     if is_quantized(head_w):
         xs = x * head_w["s"][0].astype(x.dtype)
-        return jnp.einsum("...h,vh->...v", xs, head_w["q"].astype(x.dtype),
-                          preferred_element_type=jnp.float32)
-    return jnp.einsum("...h,vh->...v", x, head_w,
-                      preferred_element_type=jnp.float32)
+        logits = jnp.einsum("...h,vh->...v", xs, head_w["q"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("...h,vh->...v", x, head_w,
+                            preferred_element_type=jnp.float32)
+    if cfg.final_softcap:  # gemma2: soft-clamp the output logits
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits
 
 
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -595,29 +733,52 @@ def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
             .astype(jnp.int8), s_)
 
 
-def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None):
+def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None, rope_loc=None, qk_idx=None):
     """Scan the stacked layer params. Returns (hidden, new_kv) where new_kv is
-    the per-layer (k, v) stack when a cache is threaded, else None."""
+    the per-layer (k, v) stack when a cache is threaded, else None.
+
+    Heterogeneous stacks (cfg.layer_windows) scan the per-layer window
+    widths alongside the params; ``qk_idx``/``rope_loc`` feed the in-body
+    banding / local-rope select (_layer_body docstring)."""
     layer_params = params["layers"]
+    wins = (jnp.asarray(cfg.layer_windows, jnp.int32)
+            if cfg.layer_windows else None)
 
     if kv_cache is None:
-        def body(x, p):
-            (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p,
-                                      key_mask=key_mask)
-            return x2, None
+        if wins is None:
+            def body(x, p):
+                (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p,
+                                          key_mask=key_mask)
+                return x2, None
+            xs = layer_params
+        else:
+            def body(x, pw):
+                (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0),
+                                          pw[0], key_mask=key_mask, win=pw[1],
+                                          rope_loc=rope_loc, qk_idx=qk_idx)
+                return x2, None
+            xs = (layer_params, wins)
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        x, _ = jax.lax.scan(body, x, layer_params)
+        x, _ = jax.lax.scan(body, x, xs)
         return x, None
 
     ck, cv = kv_cache  # (L, B, S, nkv, dh)
 
-    def body(x, inputs):
-        p, ck_l, cv_l = inputs
-        (x2, *_), (nk, nv) = _layer_body(cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p)
-        return x2, (nk, nv)
-
-    x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv))
+    if wins is None:
+        def body(x, inputs):
+            p, ck_l, cv_l = inputs
+            (x2, *_), (nk, nv) = _layer_body(cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p)
+            return x2, (nk, nv)
+        x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv))
+    else:
+        def body(x, inputs):
+            p, ck_l, cv_l, w = inputs
+            (x2, *_), (nk, nv) = _layer_body(
+                cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p,
+                win=w, rope_loc=rope_loc, qk_idx=qk_idx)
+            return x2, (nk, nv)
+        x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv, wins))
     return x, (nk, nv)
 
 
@@ -656,6 +817,10 @@ def forward(
             positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta,
                           cfg.rope_scaling)
+    # gemma3 dual rope: windowed (local) layers use rope_local_theta with
+    # no scaling; the layer scan selects per layer
+    rope_loc = (rope_freqs(positions, cfg.head_dim_, cfg.rope_local_theta, ())
+                if (cfg.rope_local_theta and cfg.layer_windows) else None)
 
     W = int(cfg.sliding_window or 0)
     if kv_cache is None:
@@ -672,8 +837,11 @@ def forward(
         else:
             mask = jnp.broadcast_to(causal, (B, T, T))
             key_mask = jnp.ones((B, T), jnp.int32)
+        # heterogeneous stacks band in-body off these index arrays
+        qk_idx = ((jnp.arange(T)[None, :, None], jnp.arange(T)[None, None, :])
+                  if cfg.layer_windows else None)
         x, _ = _scan_layers(cfg, params, x, cos, sin, mask, remat=remat,
-                            key_mask=key_mask)
+                            key_mask=key_mask, rope_loc=rope_loc, qk_idx=qk_idx)
         new_cache = None
     else:
         S = kv_cache[0].shape[2]
@@ -688,7 +856,11 @@ def forward(
             # cache slots are positions in this mode (prompt at [0, plen),
             # continuation written at its position): band by slot index
             mask = mask & (kpos > qpos - W)
-        x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache, cache_pos)
+        qk_idx = ((jnp.broadcast_to(qpos, (B, T, 1)) if cp.ndim >= 1 else
+                   jnp.broadcast_to(qpos, (1, T, 1)), kpos)
+                  if cfg.layer_windows else None)
+        x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache,
+                                   cache_pos, rope_loc=rope_loc, qk_idx=qk_idx)
         new_cache = (nk, nv)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
@@ -769,15 +941,22 @@ def decode_step(
     group = nh // nkv
     B = tok.shape[0]
     S = cache_k.shape[3]
-    scale = 1.0 / math.sqrt(dh)
+    scale = cfg.attn_scale_
 
     x = _embed(params, cfg, tok)  # (B, H)
 
     cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
                           cfg.rope_scaling)  # (B, dh/2)
+    # per-layer windows: the Python layer loop is unrolled, so every
+    # heterogeneous choice below (window, rope table, ragged-vs-dense) is
+    # STATIC per layer — zero runtime dispatch (gemma2/gemma3 stacks)
+    W_layers = [cfg.window_for_layer(l) for l in range(L)]
+    cos_loc = sin_loc = None
+    if cfg.rope_local_theta and any(W_layers):
+        cos_loc, sin_loc = rope_freqs(positions, dh, cfg.rope_local_theta, ())
 
-    def rope1(v):  # (B, n, dh)
-        c, s_ = cos[:, None, :], sin[:, None, :]
+    def rope1(v, c, s_):  # (B, n, dh)
+        c, s_ = c[:, None, :], s_[:, None, :]
         v1, v2 = v[..., : dh // 2].astype(jnp.float32), v[..., dh // 2 :].astype(jnp.float32)
         return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_], -1).astype(v.dtype)
 
@@ -792,23 +971,27 @@ def decode_step(
 
     if ragged is None:
         ragged = _os.getenv("LAPHA_RAGGED_DECODE") == "1"
-    W = int(cfg.sliding_window or 0)
+    # the ragged kernel has no banding or softcap; in heterogeneous stacks
+    # the FULL layers still use it and the windowed layers go dense
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
-                  and dh % 128 == 0 and S % 256 == 0 and W == 0)
+                  and dh % 128 == 0 and S % 256 == 0
+                  and cfg.attn_softcap == 0)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
-    if not use_ragged:
+    valid = win_valid = None
+    if (not use_ragged) or any(W_layers):
         ar = jnp.arange(S)[None, :]
         valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
-        if W:
+        win_valid = {}
+        for Wl in sorted({w for w in W_layers if w}):
             # sliding window over POSITIONS, expressed in slots: prompt
             # slot j has position j; decode slot j (written one column per
             # step, contiguous up to `slot`) has position
-            # positions[b] - (slot - j). pos > positions[b] - W becomes:
+            # positions[b] - (slot - j). pos > positions[b] - Wl becomes:
             win = jnp.where(ar < lens[:, None],
-                            ar > positions[:, None] - W,   # prompt slots
-                            ar > slot - W)                 # decode slots
-            valid = valid & win
+                            ar > positions[:, None] - Wl,  # prompt slots
+                            ar > slot - Wl)                # decode slots
+            win_valid[Wl] = valid & win
     neg = jnp.float32(-1e30)
 
     def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum
@@ -818,15 +1001,20 @@ def decode_step(
         return y.astype(h.dtype)
 
     for l in range(L):
+        Wl = W_layers[l]
+        valid_l = win_valid[Wl] if Wl else valid
+        ragged_l = use_ragged and Wl == 0
+        cos_l, sin_l = ((cos_loc, sin_loc) if (Wl and cos_loc is not None)
+                        else (cos, sin))
         p = _layer_params(params, l)
         h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
         q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
         k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
         v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
-        if cfg.qk_norm:  # qwen3
+        if cfg.qk_norm:  # qwen3 / gemma3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
-        q, k = rope1(q), rope1(k)
+        q, k = rope1(q, cos_l, sin_l), rope1(k, cos_l, sin_l)
 
         if cache_scale is not None:
             kq, sk = _quantize_kv(k)  # (B, nkv, dh) -> int8 + (B, nkv)
@@ -845,7 +1033,7 @@ def decode_step(
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v[None, :, :, None, :], (l, 0, 0, slot, 0))
 
-        if use_ragged:
+        if ragged_l:
             from ..ops.ragged_decode_attention import ragged_decode_attention
 
             # full stacked cache + layer scalar: a per-layer slice here
@@ -864,23 +1052,35 @@ def decode_step(
                 att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all.astype(x.dtype),
                                  preferred_element_type=jnp.float32) * scale
                 att = att * ks_all[l][:, :, None, :]
-                att = jnp.where(valid[:, None, None, :], att, neg)
-                probs = jax.nn.softmax(att, axis=-1)
+            else:
+                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
+                                 preferred_element_type=jnp.float32) * scale
+            if cfg.attn_softcap:  # gemma2 (true logits: after k-scale fold)
+                att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
+            att = jnp.where(valid_l[:, None, None, :], att, neg)
+            probs = jax.nn.softmax(att, axis=-1)
+            if cache_scale is not None:
                 pv = (probs * vs_all[l][:, :, None, :]).astype(x.dtype)
                 o = jnp.einsum("bkgs,bksd->bkgd", pv, v_all.astype(x.dtype),
                                preferred_element_type=jnp.float32)
             else:
-                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
-                                 preferred_element_type=jnp.float32) * scale
-                att = jnp.where(valid[:, None, None, :], att, neg)
-                probs = jax.nn.softmax(att, axis=-1)
                 o = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v_all.dtype), v_all,
                                preferred_element_type=jnp.float32)
             o = o.reshape(B, nh * dh).astype(x.dtype)
-        x = x + proj(o, p["attn"]["o_proj"]["w"])
+        att_out = proj(o, p["attn"]["o_proj"]["w"])
 
-        h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(cfg, p, h2)
+        if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
+            x = x + rms_norm(att_out, p["post_attention_layernorm"]["scale"],
+                             cfg.rms_norm_eps)
+            h2 = rms_norm(x, p["pre_feedforward_layernorm"]["scale"],
+                          cfg.rms_norm_eps)
+            x = x + rms_norm(_mlp(cfg, p, h2),
+                             p["post_feedforward_layernorm"]["scale"],
+                             cfg.rms_norm_eps)
+        else:
+            x = x + att_out
+            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+            x = x + _mlp(cfg, p, h2)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, x)
@@ -935,7 +1135,12 @@ def decode_step_multi(
     group = nh // nkv
     B, T = toks.shape
     S = cache_k.shape[3]
-    scale = 1.0 / math.sqrt(dh)
+    # Engine guards reject spec_decode for windowed stacks (bitmap
+    # validity is unbanded); the remaining gemma-isms cannot silently
+    # produce wrong streams here either:
+    assert not (cfg.sandwich_norms or cfg.attn_softcap or cfg.layer_windows), \
+        "decode_step_multi does not support gemma-family stacks"
+    scale = cfg.attn_scale_
 
     x = _embed(params, cfg, toks)  # (B, T, H)
 

@@ -59,11 +59,15 @@ def forward_seq(
     step itself see :func:`decode_step_seq`.
     """
     B, T = input_ids.shape
-    if int(cfg.sliding_window or 0):
+    if cfg.max_window_:
         raise ValueError(
             "sliding-window checkpoints do not compose with sequence "
             "parallelism yet (ring attention assumes full causal masks); "
             "run this model dense or flash on a non-seq mesh")
+    if cfg.sandwich_norms or cfg.attn_softcap or cfg.query_pre_attn_scalar:
+        raise ValueError(
+            "gemma-family stacks do not compose with sequence parallelism "
+            "yet (sandwich norms / softcap are not in the seq layer body)")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape

@@ -73,7 +73,7 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"layers/attn/o_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
     (r"layers/mlp/(gate|up)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
     (r"layers/mlp/down_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
-    (r"(layers/)?(input_layernorm|post_attention_layernorm|norm)/scale$", P()),
+    (r"(layers/)?(input_layernorm|post_attention_layernorm|pre_feedforward_layernorm|post_feedforward_layernorm|norm)/scale$", P()),
     (r"value_head/(w|b)$", P()),
 ]
 

@@ -411,8 +411,10 @@ def test_mistral_sliding_window_engine_greedy_matches_hf(tiny_mistral_sw_dir):
     assert got == seq[0, len(prompt):].tolist()
 
 
-def test_mixed_sliding_layer_stack_rejected(tiny_llama_dir, tmp_path):
-    """qwen2-style max_window_layers mid-stack cannot run a uniform scan."""
+def test_mixed_sliding_layer_stack_parses_to_layer_windows(tiny_llama_dir,
+                                                           tmp_path):
+    """qwen2-style max_window_layers mid-stack -> per-layer layer_windows
+    (heterogeneous stacks became first-class with the gemma families)."""
     import json as _json
     import shutil
 
@@ -426,8 +428,10 @@ def test_mixed_sliding_layer_stack_rejected(tiny_llama_dir, tmp_path):
     cfg["max_window_layers"] = 1  # of 2 layers -> mixed stack
     with open(d / "config.json", "w") as f:
         _json.dump(cfg, f)
-    with pytest.raises(ValueError, match="mixed"):
-        loader.load_config(str(d))
+    c = loader.load_config(str(d))
+    assert c.sliding_window == 0
+    assert c.layer_windows == (0, 16)
+    assert c.max_window_ == 16
 
 
 def test_qwen2_missing_max_window_layers_uses_hf_default(tiny_llama_dir,
