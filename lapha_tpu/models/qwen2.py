@@ -526,7 +526,10 @@ def _attend(q, k, v, mask, cfg):
     qg = q.reshape(B, T, nkv, group, dh)
     # f32 logits on the MXU
     logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
-    logits = logits * cfg.attn_scale_
+    # gemma's query_pre_attn_scalar overrides; otherwise the RUNTIME head
+    # dim (callers may pass tensors whose dh differs from cfg.head_dim_)
+    logits = logits * (cfg.attn_scale_ if cfg.query_pre_attn_scalar
+                       else 1.0 / math.sqrt(dh))
     if cfg.attn_softcap:  # gemma2: soft-clamp logits to ±cap before mask
         logits = jnp.tanh(logits / cfg.attn_softcap) * cfg.attn_softcap
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
@@ -535,30 +538,43 @@ def _attend(q, k, v, mask, cfg):
     return out.reshape(B, T, nh, dh).astype(q.dtype)
 
 
-def _dispatch_attend(cfg, q, k, v, mask, key_mask):
+def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None):
     """Choose flash (pallas) vs dense attention for the no-cache path.
 
     Accepted impl names: "pallas"/"flash"/"flash_attention_2" force the
     Pallas kernel (interpret mode off-TPU — the reference yaml's
     flash_attention_2 maps here); "auto" = kernel on TPU, dense elsewhere;
     anything else ("dense"/"eager"/"sdpa") = dense. The kernel is fully
-    differentiable (ops/flash_attention.py backward)."""
+    differentiable (ops/flash_attention.py backward) and carries the
+    gemma knobs (scale override + logit softcap) natively.
+
+    Heterogeneous stacks (cfg.layer_windows): ``win`` is the traced
+    per-layer window scanned through the layer body. When the stack is
+    two-valued {0, W} (gemma2/gemma3), a ``lax.cond`` picks between the
+    banded and full kernels — both compile once for the whole scan.
+    Stacks with >2 distinct widths fall back to the dense in-body mask."""
     impl = str(getattr(cfg, "attn_impl", "auto")).lower()
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
         impl == "auto" and on_tpu)
-    if cfg.attn_softcap or cfg.layer_windows or cfg.query_pre_attn_scalar:
-        # gemma paths the flash kernel does not express yet: logit
-        # softcapping, per-layer banding (the in-body mask select needs the
-        # dense mask), non-dh attention scale. Dense is exact; these decode
-        # weight-bound anyway.
-        use_pallas = False
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, key_mask, causal=True,
-                               window=int(cfg.sliding_window or 0),
-                               interpret=not on_tpu)
+        kw = dict(causal=True, scale=cfg.attn_scale_,
+                  softcap=float(cfg.attn_softcap), interpret=not on_tpu)
+        if cfg.layer_windows:
+            Wmax = cfg.max_window_
+            if win is not None and set(cfg.layer_windows) <= {0, Wmax}:
+                return jax.lax.cond(
+                    win > 0,
+                    lambda q_, k_, v_: flash_attention(
+                        q_, k_, v_, key_mask, window=Wmax, **kw),
+                    lambda q_, k_, v_: flash_attention(
+                        q_, k_, v_, key_mask, window=0, **kw),
+                    q, k, v)
+        else:
+            return flash_attention(q, k, v, key_mask,
+                                   window=int(cfg.sliding_window or 0), **kw)
     return _attend(q, k, v, mask, cfg)
 
 
@@ -619,7 +635,7 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     else:
         new_k = new_v = None
         att = (attend_fn(q, k, v) if attend_fn is not None
-               else _dispatch_attend(cfg, q, k, v, mask, key_mask))
+               else _dispatch_attend(cfg, q, k, v, mask, key_mask, win=win))
 
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
                      preferred_element_type=jnp.float32).astype(x.dtype)

@@ -44,7 +44,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int,
-                  block_k: int, scale: float, causal: bool, window: int = 0):
+                  block_k: int, scale: float, causal: bool, window: int = 0,
+                  softcap: float = 0.0):
     dh = q_ref.shape[-1]
     q = q_ref[0].astype(jnp.float32) * scale  # (Bq, dh)
     T = k_ref.shape[1]
@@ -58,6 +59,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (Bq, Bk)
+        if softcap:  # gemma2: soft-clamp the scaled logits to ±cap
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :] > 0
         if causal:
@@ -100,7 +103,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
 
 def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
                block_q: int, block_k: int, scale: float, causal: bool,
-               window: int = 0):
+               window: int = 0, softcap: float = 0.0):
     dh = q_ref.shape[-1]
     T = k_ref.shape[1]
     qb = pl.program_id(1)
@@ -127,10 +130,18 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
         # with no finite lse contributes nothing. (Broadcast the f32 BEFORE
         # comparing: Mosaic can't minor-dim-reshape i1 vectors.)
         row_ok = lse[:, None] > NEG_INF * 0.5
-        p = jnp.where(valid & row_ok, jnp.exp(s - lse[:, None]), 0.0)
+        if softcap:  # p is over the CAPPED scores; d(cap)/d(s) = 1 - (c/cap)^2
+            c = jnp.tanh(s * (1.0 / softcap)) * softcap
+            dcds = 1.0 - (c * (1.0 / softcap)) ** 2
+            p = jnp.where(valid & row_ok, jnp.exp(c - lse[:, None]), 0.0)
+        else:
+            dcds = None
+            p = jnp.where(valid & row_ok, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (Bq, Bk)
         ds = p * (dp - dd[:, None])
+        if softcap:
+            ds = ds * dcds
         return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
@@ -149,7 +160,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, d_ref, dq_ref, *,
 
 def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
                 dk_ref, dv_ref, *, block_q: int, block_k: int, scale: float,
-                causal: bool, window: int = 0):
+                causal: bool, window: int = 0, softcap: float = 0.0):
     dh = k_ref.shape[-1]
     T = q_ref.shape[1]
     kb = pl.program_id(1)
@@ -176,12 +187,20 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
             valid = valid & (k_pos > q_pos - window)
         # same NEG_INF-lse guard as _dq_kernel (padded query columns here)
         row_ok = lse[None, :] > NEG_INF * 0.5
-        p_t = jnp.where(valid & row_ok, jnp.exp(s_t - lse[None, :]), 0.0)
+        if softcap:  # same capped-score p + chain rule as _dq_kernel
+            c_t = jnp.tanh(s_t * (1.0 / softcap)) * softcap
+            dcds_t = 1.0 - (c_t * (1.0 / softcap)) ** 2
+            p_t = jnp.where(valid & row_ok, jnp.exp(c_t - lse[None, :]), 0.0)
+        else:
+            dcds_t = None
+            p_t = jnp.where(valid & row_ok, jnp.exp(s_t - lse[None, :]), 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
             p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)  # (Bk, Bq)
         ds_t = p_t * (dp_t - dd[None, :])
+        if softcap:
+            ds_t = ds_t * dcds_t
         dk_acc = dk_acc + jax.lax.dot_general(
             ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk_acc, dv_acc
@@ -216,27 +235,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_attention_vjp(q, k, v, mask, causal, window, block_q, block_k,
-                         interpret):
+                         interpret, scale, softcap):
     out, _lse = _flash_forward(q, k, v, mask, causal=causal, window=window,
                                block_q=block_q, block_k=block_k,
-                               interpret=interpret)
+                               interpret=interpret, scale=scale,
+                               softcap=softcap)
     return out
 
 
-def _flash_fwd(q, k, v, mask, causal, window, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, mask, causal, window, block_q, block_k, interpret,
+               scale, softcap):
     out, lse = _flash_forward(q, k, v, mask, causal=causal, window=window,
                               block_q=block_q, block_k=block_k,
-                              interpret=interpret)
+                              interpret=interpret, scale=scale,
+                              softcap=softcap)
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_bwd(causal, window, block_q, block_k, interpret, res, g):
+def _flash_bwd(causal, window, block_q, block_k, interpret, scale, softcap,
+               res, g):
     q, k, v, mask, out, lse = res
     dq, dk, dv = _flash_backward(q, k, v, mask, out, lse, g, causal=causal,
                                  window=window, block_q=block_q,
-                                 block_k=block_k, interpret=interpret)
+                                 block_k=block_k, interpret=interpret,
+                                 scale=scale, softcap=softcap)
     # mask is integer-valued: its cotangent is float0
     dmask = None if mask is None else np.zeros(mask.shape, jax.dtypes.float0)
     return dq, dk, dv, dmask
@@ -256,14 +280,22 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Flash attention, differentiable. q:(B,T,nh,dh) k,v:(B,T,nkv,dh),
     mask:(B,T) key validity. ``window`` > 0 bands the causal mask to the
     last ``window`` positions (sliding-window attention, Mistral-style;
-    static, so out-of-band blocks are skipped, not just masked). Returns
-    (B,T,nh,dh) in q.dtype."""
+    static, so out-of-band blocks are skipped, not just masked).
+    ``scale`` overrides the 1/sqrt(dh) logit scale (gemma's
+    query_pre_attn_scalar); ``softcap`` > 0 soft-clamps the scaled logits
+    to ±softcap via cap*tanh(s/cap) before the softmax (gemma2), with the
+    exact chain rule in both backward kernels. Returns (B,T,nh,dh) in
+    q.dtype."""
     return _flash_attention_vjp(q, k, v, mask, causal, window, block_q,
-                                block_k, interpret)
+                                block_k, interpret,
+                                float(scale) if scale is not None else None,
+                                float(softcap))
 
 
 def _pad_inputs(q, k, v, mask, block_q, block_k):
@@ -281,7 +313,8 @@ def _pad_inputs(q, k, v, mask, block_q, block_k):
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "window", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret", "scale",
+                                             "softcap"))
 def _flash_forward(
     q: jax.Array,  # (B, T, nh, dh)
     k: jax.Array,  # (B, T, nkv, dh)
@@ -293,12 +326,14 @@ def _flash_forward(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
 ):
     """Returns (out (B,T,nh,dh), lse (B,nh,T) f32)."""
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
     group = nh // nkv
-    scale = 1.0 / math.sqrt(dh)
+    scale = scale if scale is not None else 1.0 / math.sqrt(dh)
 
     q, k, v, mask, Tp = _pad_inputs(q, k, v, mask, block_q, block_k)
 
@@ -312,7 +347,8 @@ def _flash_forward(
 
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal, window=window),
+                          scale=scale, causal=causal, window=window,
+                          softcap=softcap),
         out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dh), q.dtype),
                    jax.ShapeDtypeStruct((B * nh, 1, Tp), jnp.float32)),
         grid=grid,
@@ -335,14 +371,16 @@ def _flash_forward(
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "window", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret", "scale",
+                                             "softcap"))
 def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
                     block_q: int, block_k: int, interpret: bool,
-                    window: int = 0):
+                    window: int = 0, scale: float | None = None,
+                    softcap: float = 0.0):
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
     group = nh // nkv
-    scale = 1.0 / math.sqrt(dh)
+    scale = scale if scale is not None else 1.0 / math.sqrt(dh)
     q_dtype, k_dtype, v_dtype = q.dtype, k.dtype, v.dtype
 
     # D = rowsum(dO ∘ O) in f32 (one fused elementwise reduce outside pallas)
@@ -368,7 +406,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal, window=window),
+                          scale=scale, causal=causal, window=window,
+                          softcap=softcap),
         out_shape=jax.ShapeDtypeStruct((B * nh, Tp, dh), q_dtype),
         grid=(B * nh, Tp // block_q),
         in_specs=[
@@ -387,7 +426,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
     # dk/dv: group is the innermost grid axis; output block index ignores it
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, causal=causal, window=window),
+                          scale=scale, causal=causal, window=window,
+                          softcap=softcap),
         out_shape=(jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32),
                    jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32)),
         grid=(B * nkv, Tp // block_k, group),

@@ -229,3 +229,64 @@ def test_flash_window_backward_matches_dense():
         if name == "q":
             a, b = a[valid], b[valid]
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+# --------------------------------------------- gemma knobs (scale + softcap)
+
+def test_flash_softcap_and_scale_match_dense():
+    """Forward with query_pre_attn_scalar scale + gemma2 softcap == the
+    dense path evaluated through the same cfg knobs."""
+    B, T, nh, nkv, dh = 2, 96, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[1, T - 11:] = 0
+    mask = jnp.asarray(mask)
+    cfg = Qwen2Config.tiny(num_attention_heads=nh, num_key_value_heads=nkv,
+                           query_pre_attn_scalar=24.0, attn_softcap=50.0)
+    causal_m = jnp.tril(jnp.ones((T, T), bool))[None] & (mask[:, None, :] > 0)
+    dense = qwen2._attend(q, k, v, causal_m, cfg)
+    flash = flash_attention(q, k, v, mask, causal=True, block_q=32,
+                            block_k=32, interpret=True,
+                            scale=cfg.attn_scale_, softcap=50.0)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(flash)[valid],
+                               np.asarray(dense)[valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_softcap_backward_matches_dense():
+    """dq/dk/dv through the tanh softcap == dense autodiff (the chain
+    rule lives in BOTH backward kernels)."""
+    B, T, nh, nkv, dh = 2, 64, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 5:] = 0
+    mask = jnp.asarray(mask)
+    g_out = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    g_out = g_out * mask[:, :, None, None].astype(jnp.float32)
+    cfg = Qwen2Config.tiny(num_attention_heads=nh, num_key_value_heads=nkv,
+                           query_pre_attn_scalar=20.0, attn_softcap=30.0)
+    causal_m = jnp.tril(jnp.ones((T, T), bool))[None] & (mask[:, None, :] > 0)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, causal=True, block_q=32,
+                            block_k=32, interpret=True,
+                            scale=cfg.attn_scale_, softcap=30.0)
+        return jnp.sum(o * g_out)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(qwen2._attend(q, k, v, causal_m, cfg) * g_out)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    valid = np.asarray(mask) > 0
+    for name, a, b in zip("qkv", gf, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "q":
+            a, b = a[valid], b[valid]
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4,
+                                   err_msg=f"d{name}")

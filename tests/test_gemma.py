@@ -269,3 +269,50 @@ def test_gemma2_int8_quantized_decode_runs(tiny_gemma2_dir):
     out = eng.generate(["5 6 7 8"], SamplingParams(n=1, temperature=0.0,
                                                    max_tokens=6))
     assert len(out[0].outputs[0].token_ids) == 6
+
+
+def test_gemma2_flash_matches_dense(tiny_gemma2_dir):
+    """The per-layer lax.cond flash path (banded/full kernels + softcap +
+    query scale) == the dense in-body-banded path."""
+    params, cfg = loader.load_params(tiny_gemma2_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 24)))
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :5] = 0
+    mask = jnp.asarray(mask)
+    dense, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="dense"), ids,
+        attention_mask=mask)
+    flash, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="pallas"), ids,
+        attention_mask=mask)
+    d, f = np.asarray(dense), np.asarray(flash)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(f[valid], d[valid], rtol=2e-3, atol=2e-3)
+
+
+def test_gemma3_flash_matches_dense(tiny_gemma3_dir):
+    params, cfg = loader.load_params(tiny_gemma3_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 24)))
+    dense, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="dense"), ids)
+    flash, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, attn_impl="pallas"), ids)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_flash_training_grads_finite(tiny_gemma2_dir):
+    """jax.grad through the cond-dispatched flash kernels (remat on)."""
+    params, cfg = loader.load_params(tiny_gemma2_dir, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, attn_impl="pallas")
+    ids = jnp.asarray(rng.integers(0, 512, size=(1, 16)))
+
+    def loss(p):
+        logits, _, _ = qwen2.forward(p, cfg, ids, remat=True)
+        lp = jax.nn.log_softmax(logits[:, :-1])
+        tgt = ids[:, 1:]
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
