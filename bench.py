@@ -76,6 +76,16 @@ def main():
             num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
             max_position_embeddings=4096, rope_theta=1e6, dtype=jnp.bfloat16,
         )
+    elif preset == "14b":
+        # Qwen2.5-14B architecture: bf16 (29.6 GB) and even int8 (15.3 GB)
+        # exceed one 16 GB v5e — this preset exists for BENCH_QUANT=int4
+        # (group-128 packed projections ~7.4 GB + int8 embed/lm_head)
+        cfg = Qwen2Config(
+            vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+            num_hidden_layers=48, num_attention_heads=40, num_key_value_heads=8,
+            head_dim=128, max_position_embeddings=4096, rope_theta=1e6,
+            dtype=jnp.bfloat16,
+        )
     else:
         cfg = Qwen2Config.tiny(vocab_size=2048)
 

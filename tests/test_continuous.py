@@ -277,3 +277,39 @@ def test_sliding_window_model_through_scheduler_with_compaction():
         assert outB.outputs[0].token_ids == refB
     finally:
         ce.stop()
+
+
+def test_gemma_style_mixed_window_model_through_scheduler():
+    """A gemma-style heterogeneous stack (alternating sliding/full layers,
+    sandwich norms, softcaps, GeGLU) decodes through the continuous
+    scheduler with compaction forced, matching the sync engine greedy."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        Qwen2Config.tiny(vocab_size=300, num_hidden_layers=2),
+        layer_windows=(6, 0), sandwich_norms=True, hidden_act="gelu_pytorch_tanh",
+        embed_normalizer=True, query_pre_attn_scalar=24.0,
+        attn_softcap=50.0, final_softcap=30.0)
+    params = qwen2.init_params(cfg, jax.random.key(12))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=96, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    ce = ContinuousEngine(eng, prompt_slab=32, chunk=4)
+    ce.start()
+    try:
+        spA = SamplingParams(n=1, temperature=0.0, max_tokens=60)
+        spB = SamplingParams(n=1, temperature=0.0, max_tokens=40)
+        futA = ce.submit("long A", spA)
+        t0 = time.time()
+        while ce.steps_executed < 30 and time.time() - t0 < 60:
+            time.sleep(0.01)
+        futB = ce.submit("short b", spB)
+        outB = futB.result(timeout=120)
+        outA = futA.result(timeout=120)
+        assert getattr(ce, "compactions", 0) >= 1, "compaction never triggered"
+        refA = eng.generate(["long A"], spA)[0].outputs[0].token_ids
+        refB = eng.generate(["short b"], spB)[0].outputs[0].token_ids
+        assert outA.outputs[0].token_ids == refA
+        assert outB.outputs[0].token_ids == refB
+    finally:
+        ce.stop()
