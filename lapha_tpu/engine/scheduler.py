@@ -116,6 +116,12 @@ class ContinuousEngine:
         # scale-row DMAs — two extra tiny transfers per chunk — stall its
         # pipeline; dense int8 halves the bulk KV read and wins the whole
         # table). The best overall config here is kv_quant="int8".
+        # Sliding-window layers (mistral/gemma3 stacks) ride the ragged
+        # path with window-clipped ranges (decode_step win_ranges): their
+        # per-row traffic is O(W), not O(S), so for windowed models the
+        # bf16-ragged-vs-int8-dense tradeoff shifts toward ragged as S/W
+        # grows (int8-dense still reads all S columns; unmeasured — the
+        # numbers above are full-attention 1.5B).
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"

@@ -59,9 +59,9 @@ class Qwen2Config:
     # config.json by :func:`_parse_sliding_window` (Mistral-v0.1-style
     # uniform stacks; qwen2/qwen3 only when use_sliding_window is set).
     # Applies to prefill (dense mask + flash kernel banding), cached
-    # suffix prefill, and decode (position-windowed slot validity); the
-    # ragged decode kernel and seq-mesh/spec-decode paths fall back or
-    # reject — see decode_step / Engine.
+    # suffix prefill, and decode (position-windowed slot validity; the
+    # ragged kernel bands via window-clipped DMA ranges — O(W) traffic at
+    # S >> W); seq-mesh/spec-decode paths reject — see decode_step/Engine.
     sliding_window: int = 0
     # Per-layer attention windows for HETEROGENEOUS stacks (gemma2
     # alternates sliding/full, gemma3 runs 5 local : 1 global): () =
@@ -987,15 +987,17 @@ def decode_step(
 
     if ragged is None:
         ragged = _os.getenv("LAPHA_RAGGED_DECODE") == "1"
-    # the ragged kernel has no banding or softcap; in heterogeneous stacks
-    # the FULL layers still use it and the windowed layers go dense
+    # the kernel has no softcap (gemma2 goes dense); WINDOWED layers ride
+    # it with window-clipped ranges (pstart/dstart' below) — at S >> W
+    # that cuts their cache reads from O(S) to O(W) per row, the
+    # vLLM-per-layer-window-cache role realized as ranged DMA
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
                   and dh % 128 == 0 and S % 256 == 0
                   and cfg.attn_softcap == 0)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
     valid = win_valid = None
-    if (not use_ragged) or any(W_layers):
+    if not use_ragged:
         ar = jnp.arange(S)[None, :]
         valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
         win_valid = {}
@@ -1008,6 +1010,15 @@ def decode_step(
                             ar > positions[:, None] - Wl,  # prompt slots
                             ar > slot - Wl)                # decode slots
             win_valid[Wl] = valid & win
+    # the same window conditions as RANGES for the ragged kernel: prompt
+    # slots [positions-Wl+1, lens), decode slots [max(dstart, slot-Wl+1),
+    # slot] — clipped starts, same two-segment structure as unbanded
+    win_ranges = {}
+    if use_ragged:
+        for Wl in sorted({w for w in W_layers if w}):
+            win_ranges[Wl] = (
+                jnp.clip(positions - (Wl - 1), 0, lens),
+                jnp.maximum(dstart, slot - (Wl - 1)))
     neg = jnp.float32(-1e30)
 
     def proj(h, w, b=None):  # (B,H) @ (H,D) f32-accum
@@ -1018,8 +1029,8 @@ def decode_step(
 
     for l in range(L):
         Wl = W_layers[l]
-        valid_l = win_valid[Wl] if Wl else valid
-        ragged_l = use_ragged and Wl == 0
+        valid_l = None if use_ragged else (win_valid[Wl] if Wl else valid)
+        ragged_l = use_ragged
         cos_l, sin_l = ((cos_loc, sin_loc) if (Wl and cos_loc is not None)
                         else (cos, sin))
         p = _layer_params(params, l)
@@ -1055,10 +1066,14 @@ def decode_step(
             # full stacked cache + layer scalar: a per-layer slice here
             # would materialize an 88 MB pallas operand per layer-step.
             # int8 caches compose: the kernel DMAs the scale rows too.
+            # Windowed layers pass window-clipped range starts; the layer
+            # loop is unrolled so the choice is static per layer.
+            pstart_l, dstart_l = win_ranges[Wl] if Wl else (None, dstart)
             o = ragged_decode_attention(
-                q, cache_k, cache_v, l, lens, dstart, slot,
+                q, cache_k, cache_v, l, lens, dstart_l, slot,
                 cache_scale=((ks_all, vs_all) if cache_scale is not None
-                             else None))
+                             else None),
+                pstart=pstart_l, scale=scale)
             o = o.reshape(B, nh * dh).astype(x.dtype)
         else:
             k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views

@@ -8,12 +8,23 @@ most of that traffic is masked-out garbage.
 
 This kernel DMAs only the chunks intersecting each row's valid ranges:
 
-  valid(b, j) = j < lens[b]  OR  dstart[b] <= j <= slot
+  valid(b, j) = pstart[b] <= j < lens[b]  OR  dstart[b] <= j <= slot
 
 (the engine's slot-uniform layout: [0, lens[b]) is the row's prompt,
 [dstart[b], slot] its decode columns; dstart >= lens always, so the two
-ranges never overlap). Chunk count per row = ceil(lens/bk) + the decode-
-range chunks — NOT S/bk.
+ranges never overlap). Chunk count per row = the prompt-range chunks +
+the decode-range chunks — NOT S/bk.
+
+``pstart`` (default 0) is the banding hook for SLIDING-WINDOW layers
+(Mistral stacks, gemma3's 5-local:1-global pattern): a window of width W
+admits prompt slots (positions) > positions[b] - W and decode slots
+> slot - W, which are exactly the same two-range structure with clipped
+starts — the caller passes pstart = clip(positions - W + 1, 0, lens) and
+dstart' = max(dstart, slot - W + 1) and the kernel reads ~2*W/bk chunks
+per row instead of the whole context (at S >> W this is the difference
+between O(S) and O(W) cache traffic per windowed layer). An empty prompt
+range (pstart >= lens — the window has slid past the whole prompt) walks
+zero prompt chunks.
 
 Grid (B/block_rows, nkv): each program owns ``block_rows`` rows and walks
 their chunk lists as ONE flattened loop with double-buffered HBM→VMEM DMA
@@ -54,29 +65,29 @@ NEG_INF = -1e30
 _GPAD = 8  # query-group rows padded to the f32 sublane tile
 
 
-def _kernel(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
-            o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float,
-            block_rows: int):
+def _kernel(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+            k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, *, block_k: int,
+            scale: float, block_rows: int):
     """bf16-cache entry (pallas passes refs positionally)."""
-    _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
-                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+    _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+                 k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
                  scale=scale, block_rows=block_rows)
 
 
-def _kernel_q8(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
-               ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem,
-               *, block_k: int, scale: float, block_rows: int):
+def _kernel_q8(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+               k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr,
+               vs_scr, sem, *, block_k: int, scale: float, block_rows: int):
     """int8-cache entry: scale planes as two extra inputs + VMEM scratch."""
-    _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm,
-                 v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+    _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+                 k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
                  scale=scale, block_rows=block_rows,
                  ks_hbm=ks_hbm, vs_hbm=vs_hbm, ks_scr=ks_scr, vs_scr=vs_scr)
 
 
-def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
-                 o_ref, k_scr, v_scr, sem, *, block_k: int, scale: float,
-                 block_rows: int, ks_hbm=None, vs_hbm=None, ks_scr=None,
-                 vs_scr=None):
+def _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+                 k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, *, block_k: int,
+                 scale: float, block_rows: int, ks_hbm=None, vs_hbm=None,
+                 ks_scr=None, vs_scr=None):
     quantized = ks_hbm is not None
     pb = pl.program_id(0)
     h = pl.program_id(1)
@@ -91,25 +102,28 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
     def row_params(r):
         """r: traced or static in [0, NB). Scalars from SMEM."""
         rb = pb * NB + r
-        n1 = lens_ref[rb]          # prompt range [0, n1)
+        p0 = pstart_ref[rb]        # prompt range [p0, n1) — p0 > 0 on
+        n1 = lens_ref[rb]          # windowed layers; empty when p0 >= n1
         d0 = dstart_ref[rb]        # decode range [d0, sl]
-        nc1 = (n1 + block_k - 1) // block_k
+        c1_lo = p0 // block_k
+        nc1 = jnp.where(p0 >= n1, 0,
+                        (n1 + block_k - 1) // block_k - c1_lo)
         c2_lo = d0 // block_k
-        nc = nc1 + (ndc - c2_lo)   # >= 1 always (n1 >= 1, d0 <= sl)
-        return n1, d0, nc1, c2_lo, nc
+        nc = nc1 + (ndc - c2_lo)   # >= 1 always (d0 <= sl)
+        return p0, n1, d0, c1_lo, nc1, c2_lo, nc
 
     # flattened chunk count across this program's rows (static unroll of NB)
-    total = row_params(0)[4]
+    total = row_params(0)[6]
     for r in range(1, NB):
-        total = total + row_params(r)[4]
+        total = total + row_params(r)[6]
 
     def chunk_of(r, i):
-        n1, d0, nc1, c2_lo, nc = row_params(r)
-        return jnp.where(i < nc1, i, c2_lo + (i - nc1))
+        p0, n1, d0, c1_lo, nc1, c2_lo, nc = row_params(r)
+        return jnp.where(i < nc1, c1_lo + i, c2_lo + (i - nc1))
 
     def next_ri(r, i):
         """(row, chunk) after (r, i); every row has >= 1 chunk."""
-        nc = row_params(r)[4]
+        nc = row_params(r)[6]
         last = (i + 1) >= nc
         return jnp.where(last, r + 1, r), jnp.where(last, 0, i + 1)
 
@@ -162,7 +176,7 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
             start_dma((t + 1) % 2, nr, ni)
 
         wait_dma(buf, r, i)
-        n1, d0, nc1, c2_lo, nc = row_params(r)
+        p0, n1, d0, c1_lo, nc1, c2_lo, nc = row_params(r)
         q = q_ref[pl.ds(r, 1)][0, 0].astype(jnp.float32) * scale
 
         k = k_scr[buf].astype(jnp.float32)  # (bk, dh)
@@ -183,7 +197,7 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
         # i1 vectors (measured on v5e: "failed to legalize operation
         # 'arith.select'" with vector<8x128xi1> operands).
         in_prompt_seg = i < nc1  # scalar bool, broadcasts
-        valid = ((in_prompt_seg & (k_pos < n1))
+        valid = ((in_prompt_seg & (k_pos >= p0) & (k_pos < n1))
                  | (~in_prompt_seg & (k_pos >= d0) & (k_pos <= sl)))
         s = jnp.where(valid, s, NEG_INF)
 
@@ -213,7 +227,8 @@ def _kernel_impl(lens_ref, dstart_ref, slot_ref, layer_ref, q_ref, k_hbm, v_hbm,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_k", "block_rows", "interpret"))
+                   static_argnames=("block_k", "block_rows", "interpret",
+                                    "scale"))
 def ragged_decode_attention(
     q: jax.Array,        # (B, nh, dh) current-token queries
     k_cache: jax.Array,  # (L, B, nkv, S, dh) — full stacked decode cache
@@ -223,13 +238,22 @@ def ragged_decode_attention(
     dstart: jax.Array,   # (B,) first decode column (>= lens everywhere)
     slot: jax.Array,     # scalar — latest written column (inclusive)
     cache_scale=None,    # int8 caches: ((L,B,nkv,S) K scales, same for V)
+    pstart: jax.Array | None = None,  # (B,) first valid PROMPT slot
     *,
     block_k: int = 256,
     block_rows: int = 8,
     interpret: bool = False,
+    scale: float | None = None,
 ) -> jax.Array:
     """Returns (B, nh, dh) in q.dtype. Cache slots outside
-    [0, lens[b]) ∪ [dstart[b], slot] are never read (ragged HBM savings).
+    [pstart[b], lens[b]) ∪ [dstart[b], slot] are never read (ragged HBM
+    savings); ``pstart`` defaults to 0 (full-attention layers).
+
+    Sliding-window layers pass pstart = clip(positions - W + 1, 0, lens)
+    and dstart = max(dstart, slot - W + 1) — the window clips both ranges
+    and the kernel's traffic drops to O(W) per row (module docstring).
+    ``scale`` overrides the 1/sqrt(dh) logit scale (gemma's
+    query_pre_attn_scalar).
 
     ``cache_scale`` switches to int8-cache mode (composes the ragged read
     savings with the int8-KV traffic halving): per-chunk scale rows are
@@ -243,7 +267,7 @@ def ragged_decode_attention(
     S = k_cache.shape[3]
     nkv = k_cache.shape[2]
     group = nh // nkv
-    scale = 1.0 / math.sqrt(dh)
+    scale = (1.0 / math.sqrt(dh)) if scale is None else float(scale)
     bk = min(block_k, S)
     assert S % bk == 0, (S, bk)
     NB = max(1, min(block_rows, B))
@@ -255,6 +279,8 @@ def ragged_decode_attention(
 
     Bp = ((B + NB - 1) // NB) * NB
     lens_p, dstart_p = lens.astype(jnp.int32), dstart.astype(jnp.int32)
+    pstart_p = (jnp.zeros_like(lens_p) if pstart is None
+                else pstart.astype(jnp.int32))
     if Bp != B:
         # stub rows: 1-token prompt + dstart aligned to slot's chunk, so
         # each stub walks exactly 2 chunks of dead DMA (chunk 0 for the
@@ -265,6 +291,7 @@ def ragged_decode_attention(
         # reading garbage that lands in dropped rows.
         qg = jnp.pad(qg, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
         lens_p = jnp.pad(lens_p, (0, Bp - B), constant_values=1)
+        pstart_p = jnp.pad(pstart_p, (0, Bp - B))  # stubs: 1-token prompt
         stub_d = (jnp.asarray(slot, jnp.int32) // bk) * bk
         dstart_p = jnp.concatenate(
             [dstart_p, jnp.full((Bp - B,), stub_d, jnp.int32)])
@@ -287,13 +314,13 @@ def ragged_decode_attention(
     scratch += [pltpu.SemaphoreType.DMA((2, 4 if quantized else 2))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(Bp // NB, nkv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((NB, 1, G, dh), lambda pb, h, *_: (pb, h, 0, 0)),
         scratch_shapes=scratch,
     )
-    args = [lens_p, dstart_p,
+    args = [pstart_p, lens_p, dstart_p,
             jnp.asarray(slot, jnp.int32).reshape(1),
             jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache]
     if quantized:

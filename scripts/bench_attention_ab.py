@@ -20,11 +20,15 @@ warmup, min taken. Random weights/caches generated ON device.
 Usage: python scripts/bench_attention_ab.py   (TPU; ~10 min of compiles
 first run, seconds after via the persistent compilation cache)
 Env: AB_STEPS (default 32), AB_CONFIGS (comma list to subset, e.g.
-"dense:bf16,ragged8:int8"), AB_S, AB_B.
+"dense:bf16,ragged8:int8"), AB_S, AB_B. AB_WINDOW=W overlays a
+gemma3-style 5-local:1-global layer_windows stack (window W) on the same
+1.5B geometry — measures the BANDED ragged path (window-clipped DMA
+ranges, O(W) traffic on 5/6 of the layers) against dense full-S reads.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -114,6 +118,12 @@ def main():
             num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
             max_position_embeddings=S, rope_theta=1e6, dtype=jnp.bfloat16,
         )
+    W = int(os.getenv("AB_WINDOW", "0"))
+    if W:
+        # gemma3 pattern: every 6th layer global, the rest windowed at W
+        cfg = dataclasses.replace(cfg, layer_windows=tuple(
+            0 if (i + 1) % 6 == 0 else W
+            for i in range(cfg.num_hidden_layers)))
     params = qwen2.init_params(cfg, jax.random.key(0))
 
     rng = np.random.default_rng(0)

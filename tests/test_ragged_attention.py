@@ -137,3 +137,143 @@ def test_stub_rows_chunk_aligned_dstart():
         ref = dense_ref(q, np.asarray(k)[0], np.asarray(v)[0],
                         np.asarray(lens), np.asarray(dstart), slot)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def dense_ref_banded(q, k, v, pstart, lens, dstart, slot):
+    """dense_ref with the banded prompt range [pstart, lens)."""
+    B, nh, dh = q.shape
+    nkv, S = k.shape[1], k.shape[2]
+    ar = np.arange(S)[None, :]
+    valid = ((ar >= pstart[:, None]) & (ar < lens[:, None])) | (
+        (ar >= dstart[:, None]) & (ar <= slot))
+    qg = np.asarray(q, np.float32).reshape(B, nkv, nh // nkv, dh)
+    s = np.einsum("bkgd,bksd->bkgs", qg, np.asarray(k, np.float32)) / np.sqrt(dh)
+    s = np.where(valid[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bkgs,bksd->bkgd", p, np.asarray(v, np.float32)).reshape(B, nh, dh)
+
+
+def test_banded_pstart_matches_dense():
+    """Sliding-window banding: pstart clips the prompt range (including a
+    row whose window slid past the WHOLE prompt — zero prompt chunks) and
+    a clipped dstart narrows the decode range."""
+    rng = np.random.default_rng(21)
+    B, S, nh, nkv, dh = 4, 256, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([37, 120, 64, 5], jnp.int32)
+    # row 0: mid-prompt unaligned pstart; row 1: chunk-2 pstart; row 2:
+    # pstart == lens (EMPTY prompt range); row 3: pstart 0 (no banding)
+    pstart = jnp.asarray([11, 70, 64, 0], jnp.int32)
+    # decode range [d0, slot] with window-clipped starts (>= lens rows ok)
+    dstart = jnp.asarray([160, 140, 130, 128], jnp.int32)
+    slot = jnp.asarray(173, jnp.int32)
+    for bk in (32, 64):
+        out = ragged_decode_attention(q, k, v, 0, lens, dstart, slot,
+                                      pstart=pstart, block_k=bk,
+                                      interpret=True)
+        ref = dense_ref_banded(q, np.asarray(k)[0], np.asarray(v)[0],
+                               np.asarray(pstart), np.asarray(lens),
+                               np.asarray(dstart), 173)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_banded_int8_and_stub_rows():
+    """Banding composes with int8 cache_scale mode and with stub-row
+    padding (B % block_rows != 0)."""
+    rng = np.random.default_rng(22)
+    B, S, nh, nkv, dh = 3, 128, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    kf = rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32)
+    vf = rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32)
+
+    def q8(a):
+        s = np.maximum(np.abs(a).max(-1) / 127.0, 1e-12)
+        return np.clip(np.round(a / s[..., None]), -127, 127).astype(np.int8), s
+
+    kq, ks = q8(kf)
+    vq, vs = q8(vf)
+    lens = jnp.asarray([30, 40, 12], jnp.int32)
+    pstart = jnp.asarray([25, 40, 0], jnp.int32)
+    dstart = jnp.asarray([70, 68, 64], jnp.int32)
+    slot = jnp.asarray(75, jnp.int32)
+    out = ragged_decode_attention(
+        q, jnp.asarray(kq), jnp.asarray(vq), 0, lens, dstart, slot,
+        cache_scale=(jnp.asarray(ks.astype(np.float32)),
+                     jnp.asarray(vs.astype(np.float32))),
+        pstart=pstart, block_k=32, block_rows=2, interpret=True)
+    kd = kq[0].astype(np.float32) * ks[0][..., None]
+    vd = vq[0].astype(np.float32) * vs[0][..., None]
+    ref = dense_ref_banded(q, kd, vd, np.asarray(pstart), np.asarray(lens),
+                           np.asarray(dstart), 75)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_scale_override():
+    """gemma's query_pre_attn_scalar: an explicit logit scale replaces
+    1/sqrt(dh)."""
+    rng = np.random.default_rng(23)
+    B, S, nh, nkv, dh = 2, 64, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([10, 20], jnp.int32)
+    dstart = jnp.asarray([32, 32], jnp.int32)
+    slot = jnp.asarray(40, jnp.int32)
+    myscale = 0.0625
+    out = ragged_decode_attention(q, k, v, 0, lens, dstart, slot,
+                                  block_k=32, interpret=True, scale=myscale)
+    # dense ref with the same scale
+    ar = np.arange(S)[None, :]
+    valid = (ar < np.asarray(lens)[:, None]) | ((ar >= 32) & (ar <= 40))
+    qg = np.asarray(q).reshape(B, nkv, nh // nkv, dh)
+    s = np.einsum("bkgd,bksd->bkgs", qg, np.asarray(k)[0]) * myscale
+    s = np.where(valid[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bkgs,bksd->bkgd", p, np.asarray(v)[0]).reshape(B, nh, dh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_step_windowed_ragged_matches_dense(monkeypatch):
+    """decode_step wiring: a heterogeneous windowed stack (gemma3-style
+    {0, W} layers) produces the same logits through the BANDED ragged path
+    as through the dense win_valid path (the kernel runs in interpret mode
+    with the backend patched to TPU so use_ragged engages on CPU)."""
+    import functools
+
+    import lapha_tpu.ops.ragged_decode_attention as rda
+    from lapha_tpu.models import qwen2
+
+    cfg = qwen2.Qwen2Config.tiny(
+        head_dim=128, num_attention_heads=4, num_key_value_heads=2,
+        num_hidden_layers=2, layer_windows=(0, 8))
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    B, S, L = 2, 256, cfg.num_hidden_layers
+    nkv, dh = cfg.num_key_value_heads, cfg.head_dim_
+    rng = np.random.default_rng(5)
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    tok = jnp.asarray([3, 7], jnp.int32)
+    lens = jnp.asarray([5, 9], jnp.int32)
+    dstart = jnp.asarray([16, 18], jnp.int32)
+    slot = jnp.asarray(22, jnp.int32)
+    positions = lens + (slot - dstart)  # rows decoded since admission
+
+    dense_logits, _, _, _ = qwen2.decode_step(
+        params, cfg, tok, positions, ck, cv, slot, lens, dstart,
+        ragged=False)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(rda, "ragged_decode_attention",
+                        functools.partial(rda.ragged_decode_attention.__wrapped__
+                                          if hasattr(rda.ragged_decode_attention, "__wrapped__")
+                                          else rda.ragged_decode_attention,
+                                          interpret=True))
+    ragged_logits, _, _, _ = qwen2.decode_step(
+        params, cfg, tok, positions, ck, cv, slot, lens, dstart,
+        ragged=True)
+    np.testing.assert_allclose(np.asarray(ragged_logits),
+                               np.asarray(dense_logits), rtol=2e-4, atol=2e-4)
