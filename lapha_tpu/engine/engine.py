@@ -177,10 +177,28 @@ class Engine:
             self._write_prefix_impl, donate_argnums=(0, 1))
         self._decode_jit = jax.jit(
             self._decode_impl,
-            static_argnames=("T", "static_top_k", "ragged", "use_presence"),
+            static_argnames=("T", "static_top_k", "ragged", "use_presence",
+                             "win_pad"),
             donate_argnums=(1, 2),  # donate kv cache
-            donate_argnames=("cache_scale",),  # int8-KV scale planes
+            donate_argnames=("cache_scale", "win_cache"),
         )
+        # windowed-short decode caches (sync path): static layer split for
+        # sliding-window stacks — full-attention layers keep full-S panels,
+        # windowed layers get a short (Wpad + decode-budget)-column stack
+        # (qwen2.decode_step win_cache). Cuts decode-resident KV memory
+        # (the n-fan-out-multiplied cost) AND windowed layers' per-step
+        # reads at long prompts. vLLM role: per-layer window-sized caches.
+        lw = [cfg.window_for_layer(l) for l in range(cfg.num_hidden_layers)]
+        self._win_split = None
+        if any(lw):
+            self._win_split = (
+                tuple(l for l, w in enumerate(lw) if not w),   # full layers
+                tuple(l for l, w in enumerate(lw) if w),       # windowed
+                max(lw))
+        # no donation: every output is transposed/gathered, so the inputs
+        # can never alias (donating just warns)
+        self._install_win_jit = jax.jit(
+            self._install_win_impl, static_argnames=("Sw", "Wpad"))
         self._decode_spec_jit = jax.jit(
             self._decode_spec_impl,
             static_argnames=("T", "K", "M", "static_top_k"),
@@ -189,6 +207,37 @@ class Engine:
         )
         self._quantize_cache_jit = jax.jit(self._quantize_cache_impl,
                                            donate_argnums=(0, 1))
+
+    def _install_win_impl(self, ck, cv, lens, slab, *, Sw: int, Wpad: int):
+        """Prefill-layout caches (L, B, S, nkv, dh) -> the windowed-short
+        decode install: full-attention layers transpose to the decode
+        layout as usual; windowed layers keep only each row's prompt TAIL
+        ([lens-Wpad, lens), gathered per row with clipped indices — cols
+        before slot 0 are masked invalid by decode_step) plus Sw - Wpad
+        empty decode columns. Returns (full_k, full_v, win_cache dict)."""
+        full_idx, win_idx, _ = self._win_split
+        S = ck.shape[2]
+        woff = lens - Wpad
+        idx = jnp.clip(woff[:, None] + jnp.arange(Wpad)[None, :], 0, S - 1)
+
+        def grab_win(c):
+            cw = jnp.take(c, jnp.asarray(win_idx, jnp.int32), axis=0)
+            tail = jnp.take_along_axis(
+                cw, idx[None, :, :, None, None], axis=2)    # (Lw,B,Wpad,..)
+            tail = jnp.pad(
+                tail, ((0, 0), (0, 0), (0, Sw - Wpad), (0, 0), (0, 0)))
+            return jnp.transpose(tail, (0, 1, 3, 2, 4))     # decode layout
+
+        def grab_full(c):
+            # full_idx may be empty (uniform-window stacks): a (0, ...)
+            # stack threads through decode_step untouched
+            return jnp.transpose(
+                jnp.take(c, jnp.asarray(full_idx, jnp.int32), axis=0),
+                (0, 1, 3, 2, 4))
+
+        wc = {"k": grab_win(ck), "v": grab_win(cv),
+              "woff": woff, "slab": slab}
+        return grab_full(ck), grab_full(cv), wc
 
     @staticmethod
     def _quantize_cache_impl(ck, cv):
@@ -304,6 +353,7 @@ class Engine:
         temperature, top_k, top_p, min_p, rep_pen,
         T: int, static_top_k: int = 0, ragged: bool = False,
         cache_scale=None, use_presence: bool = True,
+        win_cache=None, win_pad: int = 0,
     ):
         """Generate up to T tokens for all B rows (slot-uniform cache).
 
@@ -337,11 +387,12 @@ class Engine:
 
         def cond(st):
             i = st[0]
-            fin = st[9]
+            fin = st[10]
             return (i < T) & ~jnp.all(fin)
 
         def body(st):
-            i, ck, cv, scl, pres, logits, pos, slot, k, fin, em, hs, toks, lps = st
+            (i, ck, cv, scl, wc, pres, logits, pos, slot, k, fin, em, hs,
+             toks, lps) = st
             k, sub = jax.random.split(k)
             tok, lp = sampling.sample(
                 logits, sub,
@@ -376,6 +427,17 @@ class Engine:
                         params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                         mesh=self.seq_mesh, return_hidden=self.collect_h0,
                     )
+            elif win_cache is not None:
+                out = qwen2.decode_step(
+                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=self.collect_h0, ragged=ragged,
+                    cache_scale=(scl if cache_scale is not None else None),
+                    win_cache=wc, win_pad=win_pad,
+                )
+                if cache_scale is not None:
+                    new_logits, hidden, ck, cv, scl, wc = out
+                else:
+                    new_logits, hidden, ck, cv, wc = out
             elif cache_scale is not None:
                 new_logits, hidden, ck, cv, scl = qwen2.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
@@ -393,16 +455,21 @@ class Engine:
                 hs = hs + hidden.astype(jnp.float32) * (~fin)[:, None]
             toks = jax.lax.dynamic_update_slice(toks, emit[:, None], (0, i))
             lps = jax.lax.dynamic_update_slice(lps, emit_lp[:, None], (0, i))
-            return (i + 1, ck, cv, scl, pres, new_logits, pos + 1, slot + 1, k,
-                    new_fin, em, hs, toks, lps)
+            return (i + 1, ck, cv, scl, wc, pres, new_logits, pos + 1,
+                    slot + 1, k, new_fin, em, hs, toks, lps)
 
         st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v,
                cache_scale if cache_scale is not None else (),
+               win_cache if win_cache is not None else (),
                presence, last_logits, positions_next, slot_next, key,
                finished, emitted, h0, toks0, lps0)
         st = jax.lax.while_loop(cond, body, st0)
-        (_, ck, cv, scl, pres, logits, pos, slot, _, fin, em, hs, toks, lps) = st
-        return toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs, scl
+        (_, ck, cv, scl, wc, pres, logits, pos, slot, _, fin, em, hs,
+         toks, lps) = st
+        # wc is returned (then dropped) so the donated windowed-cache
+        # buffers alias outputs instead of doubling residency
+        return (toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs,
+                scl, wc)
 
     def _decode_spec_impl(
         self, params, cache_k, cache_v, presence, last_logits,
@@ -907,13 +974,36 @@ class Engine:
             budget = min(max_new, S - Lp)
         T = _round_up(max(budget, 1), self.decode_chunk)  # emit-buffer bucket
         h_gen = np.zeros((B, self.cfg.hidden_size), np.float32) if self.collect_h0 else None
+        win_cache = None
+        win_pad = 0
         if budget > 0:
-            # decode cache layout: (L, B, nkv, S, dh) — see qwen2.decode_step
-            ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
-            cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
+            # windowed-short install (sliding-window stacks, sync path):
+            # windowed layers keep only Wpad prompt-tail + decode columns
+            # instead of full-S panels — engages when that actually saves
+            # (long prompts). seq/spec already reject windowed models.
+            if (self._win_split is not None and self.seq_mesh is None
+                    and self.spec_decode is None):
+                Wpad = _round_up(self._win_split[2],
+                                 min(self.pad_multiple, 128))
+                if Wpad + (S - Lp) + min(self.pad_multiple, 128) <= S:
+                    win_pad = Wpad
+            if win_pad:
+                Sw = win_pad + (S - Lp)
+                ck, cv, win_cache = self._install_win_jit(
+                    ck, cv, lens_j, jnp.asarray(Lp, jnp.int32),
+                    Sw=Sw, Wpad=win_pad)
+            else:
+                # decode cache layout: (L, B, nkv, S, dh) — see decode_step
+                ck = jnp.transpose(ck, (0, 1, 3, 2, 4))
+                cv = jnp.transpose(cv, (0, 1, 3, 2, 4))
             cache_scale = None
             if self.kv_quant == "int8":
                 ck, cv, cache_scale = self._quantize_cache_jit(ck, cv)
+                if win_cache is not None:
+                    wk, wv, wscl = self._quantize_cache_jit(
+                        win_cache["k"], win_cache["v"])
+                    win_cache = dict(win_cache, k=wk, v=wv,
+                                     ks=wscl[0], vs=wscl[1])
             if self.seq_mesh is not None:
                 # split slot residency across the sequence shards up front —
                 # inside the decode loop shard_map keeps it resident there
@@ -967,7 +1057,7 @@ class Engine:
                         tot_tok / max(1, tot_act), 3),
                 }
             else:
-                toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl = \
+                toks_d, lps_d, finished, (ck, cv), presence, positions_next, slot_next, _em, last_logits, hs, _scl, _wc = \
                     self._decode_jit(
                         self.params, ck, cv, presence, last_logits,
                         lens_j, jnp.full((B,), Lp, jnp.int32),
@@ -977,6 +1067,7 @@ class Engine:
                         temperature, top_k, top_p, min_p, rep_pen,
                         T=T, static_top_k=static_top_k,
                         cache_scale=cache_scale, use_presence=use_presence,
+                        win_cache=win_cache, win_pad=win_pad,
                     )
             toks = np.asarray(toks_d)[:, :budget]
             lps = np.asarray(lps_d)[:, :budget]

@@ -336,7 +336,7 @@ class ContinuousEngine:
             cache_scale=st["scale"],
         )
         toks_d, lps_d, fin_d, (st["ck"], st["cv"]), st["presence"], pos_d, \
-            slot_d, em_d, st["last_logits"], hs_d, scl_d = out
+            slot_d, em_d, st["last_logits"], hs_d, scl_d, _wc = out
         if st["scale"] is not None:
             st["scale"] = scl_d
 

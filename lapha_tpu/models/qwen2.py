@@ -913,6 +913,8 @@ def decode_step(
     return_hidden: bool = False,
     ragged: bool | None = None,
     cache_scale: tuple[jax.Array, jax.Array] | None = None,
+    win_cache: dict | None = None,
+    win_pad: int = 0,
 ):
     """One-token decode for all rows — the engine's hot loop body.
 
@@ -949,8 +951,26 @@ def decode_step(
     int8 — traffic is int8, compute is exact given the quantized values.
     Composes with ``ragged`` (the kernel DMAs scale rows with the chunks).
 
+    ``win_cache`` switches SLIDING-WINDOW layers to a SHORT per-layer cache
+    (the vLLM per-layer-window-cache capability, slot-uniform realization):
+    instead of full-S panels, windowed layers read/write a
+    (Lw, B, nkv, Sw, dh) stack where Sw = win_pad + decode-budget columns —
+    cols [0, win_pad) hold each row's prompt TAIL (full slots
+    [woff[b], woff[b]+win_pad), woff = lens - win_pad, gathered at install
+    by the engine) and cols [win_pad, Sw) the decode columns (this step
+    writes col win_pad + slot - slab). At long prompts this cuts both the
+    windowed layers' decode reads (O(Sw) not O(S)) and the decode-resident
+    cache memory (the n-fan-out-multiplied cost). In this mode ``cache_k``/
+    ``cache_v`` (and ``cache_scale``) hold ONLY the full-attention layers,
+    stacked in layer order — the static layer loop maps l to its stack.
+    Dict keys: "k"/"v" (+"ks"/"vs" f32 (Lw,B,nkv,Sw) when int8), "woff"
+    (B,), "slab" (scalar: the decode region's first full slot). Assumes
+    dstart == slab for every row (the sync engine's geometry — rows
+    admitted mid-stream need the full-S path).
+
     Returns (logits (B,V) f32, hidden (B,H)|None, cache_k, cache_v) — plus
-    the updated ``cache_scale`` tuple appended when quantized.
+    the updated ``cache_scale`` tuple appended when quantized, plus the
+    updated ``win_cache`` dict appended when windowed-short mode is on.
     """
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -996,12 +1016,40 @@ def decode_step(
                   and cfg.attn_softcap == 0)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
+    # windowed-short mode: static layer -> stack-index maps (the loop is
+    # unrolled, cfg.layer_windows is static)
+    full_map = {l: l for l in range(L)}
+    wvalid = {}
+    if win_cache is not None:
+        full_map = {}
+        win_map = {}
+        for l, w in enumerate(W_layers):
+            (win_map if w else full_map)[l] = len(win_map if w else full_map)
+        win_k, win_v = win_cache["k"], win_cache["v"]
+        win_q8 = "ks" in win_cache
+        if win_q8:
+            wks_all, wvs_all = win_cache["ks"], win_cache["vs"]
+        Sw = win_k.shape[3]
+        Wpad = win_pad
+        woff = win_cache["woff"]
+        wslot = Wpad + (slot - win_cache["slab"])  # this step's short col
+        arw = jnp.arange(Sw)[None, :]
+        jprompt = woff[:, None] + arw  # full-slot index of prompt-tail cols
+        base_prompt = (arw < Wpad) & (jprompt >= 0) & (jprompt < lens[:, None])
+        base_dec = (arw >= Wpad) & (arw <= wslot)
+        for Wl in sorted({w for w in W_layers if w}):
+            # prompt slot j has position j; short decode col c holds full
+            # slot slab + (c - Wpad) => window (pos > positions - Wl):
+            wvalid[Wl] = (
+                (base_prompt & (jprompt > positions[:, None] - Wl))
+                | (base_dec & (arw > wslot - Wl)))
     valid = win_valid = None
-    if not use_ragged:
+    need_full_masks = (not use_ragged) and len(full_map) > 0
+    if need_full_masks:
         ar = jnp.arange(S)[None, :]
         valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))  # (B, S)
         win_valid = {}
-        for Wl in sorted({w for w in W_layers if w}):
+        for Wl in sorted({w for w in W_layers if w}) if win_cache is None else ():
             # sliding window over POSITIONS, expressed in slots: prompt
             # slot j has position j; decode slot j (written one column per
             # step, contiguous up to `slot`) has position
@@ -1014,7 +1062,7 @@ def decode_step(
     # slots [positions-Wl+1, lens), decode slots [max(dstart, slot-Wl+1),
     # slot] — clipped starts, same two-segment structure as unbanded
     win_ranges = {}
-    if use_ragged:
+    if use_ragged and win_cache is None:
         for Wl in sorted({w for w in W_layers if w}):
             win_ranges[Wl] = (
                 jnp.clip(positions - (Wl - 1), 0, lens),
@@ -1027,10 +1075,35 @@ def decode_step(
             y = y + b.astype(jnp.float32)
         return y.astype(h.dtype)
 
+    def dense_att(q_, k_all, v_all, valid_l, ks_row=None, vs_row=None):
+        """Masked full-read attention over one layer's (B, nkv, Sx, dh)
+        panels (Sx = S or the windowed Sw). int8 panels: cast in registers,
+        fold the scale rows outside the dots (exact given quantized values,
+        same order everywhere so streams stay bit-equal)."""
+        qg = q_.reshape(B, nkv, group, dh)
+        if ks_row is not None:
+            att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all.astype(x.dtype),
+                             preferred_element_type=jnp.float32) * scale
+            att = att * ks_row[:, :, None, :]
+        else:
+            att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
+                             preferred_element_type=jnp.float32) * scale
+        if cfg.attn_softcap:  # gemma2 (true logits: after k-scale fold)
+            att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
+        att = jnp.where(valid_l[:, None, None, :], att, neg)
+        probs = jax.nn.softmax(att, axis=-1)
+        if vs_row is not None:
+            pv = (probs * vs_row[:, :, None, :]).astype(x.dtype)
+            o_ = jnp.einsum("bkgs,bksd->bkgd", pv, v_all.astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+        else:
+            o_ = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v_all.dtype),
+                            v_all, preferred_element_type=jnp.float32)
+        return o_.reshape(B, nh * dh).astype(x.dtype)
+
     for l in range(L):
         Wl = W_layers[l]
-        valid_l = None if use_ragged else (win_valid[Wl] if Wl else valid)
-        ragged_l = use_ragged
+        short_l = win_cache is not None and Wl > 0  # static per layer
         cos_l, sin_l = ((cos_loc, sin_loc) if (Wl and cos_loc is not None)
                         else (cos, sin))
         p = _layer_params(params, l)
@@ -1043,62 +1116,73 @@ def decode_step(
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
         q, k = rope1(q, cos_l, sin_l), rope1(k, cos_l, sin_l)
 
-        if cache_scale is not None:
-            kq, sk = _quantize_kv(k)  # (B, nkv, dh) -> int8 + (B, nkv)
-            vq, sv = _quantize_kv(v)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, kq[None, :, :, None, :], (l, 0, 0, slot, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, vq[None, :, :, None, :], (l, 0, 0, slot, 0))
-            ks_all = jax.lax.dynamic_update_slice(
-                ks_all, sk[None, :, :, None], (l, 0, 0, slot))
-            vs_all = jax.lax.dynamic_update_slice(
-                vs_all, sv[None, :, :, None], (l, 0, 0, slot))
-        else:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k[None, :, :, None, :], (l, 0, 0, slot, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v[None, :, :, None, :], (l, 0, 0, slot, 0))
-
-        if ragged_l:
-            from ..ops.ragged_decode_attention import ragged_decode_attention
-
-            # full stacked cache + layer scalar: a per-layer slice here
-            # would materialize an 88 MB pallas operand per layer-step.
-            # int8 caches compose: the kernel DMAs the scale rows too.
-            # Windowed layers pass window-clipped range starts; the layer
-            # loop is unrolled so the choice is static per layer.
-            pstart_l, dstart_l = win_ranges[Wl] if Wl else (None, dstart)
-            o = ragged_decode_attention(
-                q, cache_k, cache_v, l, lens, dstart_l, slot,
-                cache_scale=((ks_all, vs_all) if cache_scale is not None
-                             else None),
-                pstart=pstart_l, scale=scale)
-            o = o.reshape(B, nh * dh).astype(x.dtype)
-        else:
-            k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views
-            qg = q.reshape(B, nkv, group, dh)
-            if cache_scale is not None:
-                # int8 reads: cast in registers, fold scales outside the dots
-                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all.astype(x.dtype),
-                                 preferred_element_type=jnp.float32) * scale
-                att = att * ks_all[l][:, :, None, :]
+        if short_l:
+            # windowed-short layer: write this step's K/V at the SHORT
+            # column wslot; attention reads only the Sw-panel
+            wi = win_map[l]
+            if win_q8:
+                kq, sk = _quantize_kv(k)
+                vq, sv = _quantize_kv(v)
+                win_k = jax.lax.dynamic_update_slice(
+                    win_k, kq[None, :, :, None, :], (wi, 0, 0, wslot, 0))
+                win_v = jax.lax.dynamic_update_slice(
+                    win_v, vq[None, :, :, None, :], (wi, 0, 0, wslot, 0))
+                wks_all = jax.lax.dynamic_update_slice(
+                    wks_all, sk[None, :, :, None], (wi, 0, 0, wslot))
+                wvs_all = jax.lax.dynamic_update_slice(
+                    wvs_all, sv[None, :, :, None], (wi, 0, 0, wslot))
+                o = dense_att(q, win_k[wi], win_v[wi], wvalid[Wl],
+                              wks_all[wi], wvs_all[wi])
             else:
-                att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all,
-                                 preferred_element_type=jnp.float32) * scale
-            if cfg.attn_softcap:  # gemma2 (true logits: after k-scale fold)
-                att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
-            att = jnp.where(valid_l[:, None, None, :], att, neg)
-            probs = jax.nn.softmax(att, axis=-1)
+                win_k = jax.lax.dynamic_update_slice(
+                    win_k, k[None, :, :, None, :], (wi, 0, 0, wslot, 0))
+                win_v = jax.lax.dynamic_update_slice(
+                    win_v, v[None, :, :, None, :], (wi, 0, 0, wslot, 0))
+                o = dense_att(q, win_k[wi], win_v[wi], wvalid[Wl])
+            att_out = proj(o, p["attn"]["o_proj"]["w"])
+        else:
+            fi = full_map[l]
             if cache_scale is not None:
-                pv = (probs * vs_all[l][:, :, None, :]).astype(x.dtype)
-                o = jnp.einsum("bkgs,bksd->bkgd", pv, v_all.astype(x.dtype),
-                               preferred_element_type=jnp.float32)
+                kq, sk = _quantize_kv(k)  # (B, nkv, dh) -> int8 + (B, nkv)
+                vq, sv = _quantize_kv(v)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, kq[None, :, :, None, :], (fi, 0, 0, slot, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, vq[None, :, :, None, :], (fi, 0, 0, slot, 0))
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, sk[None, :, :, None], (fi, 0, 0, slot))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, sv[None, :, :, None], (fi, 0, 0, slot))
             else:
-                o = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v_all.dtype), v_all,
-                               preferred_element_type=jnp.float32)
-            o = o.reshape(B, nh * dh).astype(x.dtype)
-        att_out = proj(o, p["attn"]["o_proj"]["w"])
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k[None, :, :, None, :], (fi, 0, 0, slot, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v[None, :, :, None, :], (fi, 0, 0, slot, 0))
+
+            if use_ragged:
+                from ..ops.ragged_decode_attention import ragged_decode_attention
+
+                # full stacked cache + layer scalar: a per-layer slice here
+                # would materialize an 88 MB pallas operand per layer-step.
+                # int8 caches compose: the kernel DMAs the scale rows too.
+                # Windowed layers (full-S mode) pass window-clipped range
+                # starts; the loop is unrolled so the choice is static.
+                pstart_l, dstart_l = win_ranges[Wl] if Wl else (None, dstart)
+                o = ragged_decode_attention(
+                    q, cache_k, cache_v, fi, lens, dstart_l, slot,
+                    cache_scale=((ks_all, vs_all) if cache_scale is not None
+                                 else None),
+                    pstart=pstart_l, scale=scale)
+                o = o.reshape(B, nh * dh).astype(x.dtype)
+            else:
+                valid_l = (win_valid[Wl] if (Wl and win_cache is None)
+                           else valid)
+                # cache_k[fi] etc. are static zero-copy views
+                o = dense_att(
+                    q, cache_k[fi], cache_v[fi], valid_l,
+                    ks_all[fi] if cache_scale is not None else None,
+                    vs_all[fi] if cache_scale is not None else None)
+            att_out = proj(o, p["attn"]["o_proj"]["w"])
 
         if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
             x = x + rms_norm(att_out, p["post_attention_layernorm"]["scale"],
@@ -1115,9 +1199,15 @@ def decode_step(
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, x)
+    out = (logits, (x if return_hidden else None), cache_k, cache_v)
     if cache_scale is not None:
-        return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)
-    return logits, (x if return_hidden else None), cache_k, cache_v
+        out = out + ((ks_all, vs_all),)
+    if win_cache is not None:
+        wc = dict(win_cache, k=win_k, v=win_v)
+        if win_q8:
+            wc.update(ks=wks_all, vs=wvs_all)
+        out = out + (wc,)
+    return out
 
 
 def decode_step_multi(
