@@ -70,10 +70,11 @@ def load_config(model_dir: str) -> Qwen2Config:
     # sliding_window / per-layer layer_windows are parsed by
     # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
-                  "llama", "mistral", "gemma2", "gemma3_text", "gemma3"):
+                  "llama", "mistral", "mixtral", "phi3", "gemma2",
+                  "gemma3_text", "gemma3"):
         raise ValueError(
-            f"unsupported model_type {mt!r} (qwen2/qwen3/llama/gemma "
-            "decoder family)")
+            f"unsupported model_type {mt!r} (qwen2/qwen3/llama/mistral/"
+            "mixtral/phi3/gemma decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -107,6 +108,22 @@ def _quant_int4_host(a: np.ndarray, group: int = 128) -> dict:
     return {"q": jnp.asarray(packed), "s4": jnp.asarray(scale.astype(np.float32))}
 
 
+# MoE tensor-name layouts: (router, expert gate/up/down) format strings.
+# "qwen" = Qwen1.5-MoE / Qwen2-57B / Qwen3-MoE; "mixtral" = Mixtral-8x7B
+# (HF MixtralSparseMoeBlock: w1=gate, w3=up, w2=down under
+# block_sparse_moe). Compute is layout-independent (ops/moe.py).
+_MOE_FMTS = {
+    "qwen": ("layers.{i}.mlp.gate.weight",
+             "layers.{i}.mlp.experts.{e}.gate_proj.weight",
+             "layers.{i}.mlp.experts.{e}.up_proj.weight",
+             "layers.{i}.mlp.experts.{e}.down_proj.weight"),
+    "mixtral": ("layers.{i}.block_sparse_moe.gate.weight",
+                "layers.{i}.block_sparse_moe.experts.{e}.w1.weight",
+                "layers.{i}.block_sparse_moe.experts.{e}.w3.weight",
+                "layers.{i}.block_sparse_moe.experts.{e}.w2.weight"),
+}
+
+
 def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat16,
                 quantize: str | None = None) -> tuple[dict, Qwen2Config]:
     """Load an HF Qwen2 checkpoint directory into the stacked pytree.
@@ -129,12 +146,17 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     if quantize not in (None, "int8", "int4"):
         raise ValueError(f"unsupported quantize={quantize!r}")
 
-    def stack(fmt: str, transpose: bool = False, quantizable: bool = True):
-        mats = []
-        for i in range(L):
-            a = _get(tensors, fmt.format(i=i))
-            mats.append(a)
-        out = np.stack(mats, axis=0)
+    def stack_raw(fmt: str) -> np.ndarray:
+        return np.stack([_get(tensors, fmt.format(i=i)) for i in range(L)],
+                        axis=0)
+
+    def finish(out: np.ndarray, transpose: bool = False,
+               quantizable: bool = True):
+        """Convert a stacked raw (L, ...) host array to the device tree
+        leaf: quantize (int8/int4) the big transposed matmul weights, else
+        cast to dtype. Split-fused layouts (phi3 qkv_proj/gate_up_proj)
+        slice the raw array first and feed the pieces through here so
+        quantization semantics are identical to per-tensor checkpoints."""
         if q8 and transpose and quantizable:  # the big matmul weights
             host = np.swapaxes(_host_f32(out), -1, -2)  # (L, in, out)
             # int4 needs the in-dim to split into two whole group-128
@@ -146,6 +168,9 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
         if transpose:  # HF Linear stores (out, in); we want (in, out)
             arr = jnp.swapaxes(arr, -1, -2)
         return arr
+
+    def stack(fmt: str, transpose: bool = False, quantizable: bool = True):
+        return finish(stack_raw(fmt), transpose, quantizable)
 
     def stack_norm(fmt: str):
         """RMS-norm scales. Gemma checkpoints store w with the (1 + w)
@@ -170,20 +195,34 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     embed_raw = _get(tensors, "embed_tokens.weight")
     embed = (_quant_int8_host(_host_f32(embed_raw), axis=0) if q8
              else _to_jax(embed_raw, dtype))
+    if cfg.fused_qkv:  # phi3: one qkv_proj mat, split [q; k; v] on out-dim
+        qkv = stack_raw("layers.{i}.self_attn.qkv_proj.weight")  # (L, op, H)
+        qd, kd = nh * dh, nkv * dh
+        attn = {
+            "q_proj": {"w": finish(qkv[:, :qd], transpose=True),
+                       "b": jnp.zeros((L, qd), dtype)},
+            "k_proj": {"w": finish(qkv[:, qd:qd + kd], transpose=True),
+                       "b": jnp.zeros((L, kd), dtype)},
+            "v_proj": {"w": finish(qkv[:, qd + kd:], transpose=True),
+                       "b": jnp.zeros((L, kd), dtype)},
+            "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
+        }
+    else:
+        attn = {
+            "q_proj": {"w": stack("layers.{i}.self_attn.q_proj.weight", transpose=True),
+                       "b": stack_bias("layers.{i}.self_attn.q_proj.bias", nh * dh)},
+            "k_proj": {"w": stack("layers.{i}.self_attn.k_proj.weight", transpose=True),
+                       "b": stack_bias("layers.{i}.self_attn.k_proj.bias", nkv * dh)},
+            "v_proj": {"w": stack("layers.{i}.self_attn.v_proj.weight", transpose=True),
+                       "b": stack_bias("layers.{i}.self_attn.v_proj.bias", nkv * dh)},
+            "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
+        }
     params: dict[str, Any] = {
         "embed": {"weight": embed},
         "layers": {
             "input_layernorm": {"scale": stack_norm("layers.{i}.input_layernorm.weight")},
             "post_attention_layernorm": {"scale": stack_norm("layers.{i}.post_attention_layernorm.weight")},
-            "attn": {
-                "q_proj": {"w": stack("layers.{i}.self_attn.q_proj.weight", transpose=True),
-                           "b": stack_bias("layers.{i}.self_attn.q_proj.bias", nh * dh)},
-                "k_proj": {"w": stack("layers.{i}.self_attn.k_proj.weight", transpose=True),
-                           "b": stack_bias("layers.{i}.self_attn.k_proj.bias", nkv * dh)},
-                "v_proj": {"w": stack("layers.{i}.self_attn.v_proj.weight", transpose=True),
-                           "b": stack_bias("layers.{i}.self_attn.v_proj.bias", nkv * dh)},
-                "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
-            },
+            "attn": attn,
         },
         "norm": {"scale": (_to_jax(_get(tensors, "norm.weight"), jnp.float32) + 1.0
                            if cfg.sandwich_norms
@@ -204,15 +243,16 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                 return _quant_int8_host(_host_f32(out), axis=-2)
             return _to_jax(out, dtype)
 
+        router_fmt, gate_fmt, up_fmt, down_fmt = _MOE_FMTS[cfg.moe_layout]
         params["layers"]["moe"] = {
             # router and shared-expert sigmoid gate stay full-precision under
             # int8 loading: they are tiny and routing is precision-sensitive
-            "router": {"w": stack("layers.{i}.mlp.gate.weight", transpose=True,
+            "router": {"w": stack(router_fmt, transpose=True,
                                   quantizable=False)},
             "experts": {
-                "gate_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.gate_proj.weight")},
-                "up_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.up_proj.weight")},
-                "down_proj": {"w": stack_experts("layers.{i}.mlp.experts.{e}.down_proj.weight")},
+                "gate_proj": {"w": stack_experts(gate_fmt)},
+                "up_proj": {"w": stack_experts(up_fmt)},
+                "down_proj": {"w": stack_experts(down_fmt)},
             },
         }
         if cfg.shared_expert_intermediate_size > 0:  # qwen2_moe only
@@ -223,6 +263,14 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                 "gate": {"w": stack("layers.{i}.mlp.shared_expert_gate.weight",
                                     transpose=True, quantizable=False)},
             }
+    elif cfg.fused_qkv:  # phi3: gate_up_proj fused, chunk(2) = [gate; up]
+        gu = stack_raw("layers.{i}.mlp.gate_up_proj.weight")  # (L, 2I, H)
+        I = cfg.intermediate_size
+        params["layers"]["mlp"] = {
+            "gate_proj": {"w": finish(gu[:, :I], transpose=True)},
+            "up_proj": {"w": finish(gu[:, I:], transpose=True)},
+            "down_proj": {"w": stack("layers.{i}.mlp.down_proj.weight", transpose=True)},
+        }
     else:
         params["layers"]["mlp"] = {
             "gate_proj": {"w": stack("layers.{i}.mlp.gate_proj.weight", transpose=True)},
@@ -343,21 +391,31 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
                      lp["pre_feedforward_layernorm"]["scale"][i])
             put_norm(pre + "post_feedforward_layernorm.weight",
                      lp["post_feedforward_layernorm"]["scale"][i])
-        for proj in ("q", "k", "v"):
-            put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
-            if cfg.attention_bias:  # llama/qwen3 store no q/k/v bias
-                put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
+        if cfg.fused_qkv:  # phi3: write the fused [q; k; v] mat back
+            put(pre + "self_attn.qkv_proj.weight",
+                jnp.concatenate([lp["attn"][f"{p}_proj"]["w"][i]
+                                 for p in ("q", "k", "v")], axis=-1),
+                transpose=True)
+        else:
+            for proj in ("q", "k", "v"):
+                put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
+                if cfg.attention_bias:  # llama/qwen3 store no q/k/v bias
+                    put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
         if cfg.qk_norm:
             put_norm(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
             put_norm(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
         if "moe" in lp:
             moe = lp["moe"]
-            put(pre + "mlp.gate.weight", moe["router"]["w"][i], transpose=True)
+            router_fmt, gate_fmt, up_fmt, down_fmt = _MOE_FMTS[cfg.moe_layout]
+            # _MOE_FMTS keys are loader-relative; export adds "model."
+            put("model." + router_fmt.format(i=i), moe["router"]["w"][i],
+                transpose=True)
             E = moe["experts"]["gate_proj"]["w"].shape[1]
             for e in range(E):
-                for proj in ("gate", "up", "down"):
-                    put(pre + f"mlp.experts.{e}.{proj}_proj.weight",
+                for proj, fmt in (("gate", gate_fmt), ("up", up_fmt),
+                                  ("down", down_fmt)):
+                    put("model." + fmt.format(i=i, e=e),
                         moe["experts"][f"{proj}_proj"]["w"][i, e], transpose=True)
             if "shared" in moe:  # qwen2_moe; qwen3_moe has no shared expert
                 for proj in ("gate", "up", "down"):
@@ -365,6 +423,13 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
                         moe["shared"][f"{proj}_proj"]["w"][i], transpose=True)
                 put(pre + "mlp.shared_expert_gate.weight",
                     moe["shared"]["gate"]["w"][i], transpose=True)
+        elif cfg.fused_qkv:  # phi3: fused [gate; up]
+            put(pre + "mlp.gate_up_proj.weight",
+                jnp.concatenate([lp["mlp"]["gate_proj"]["w"][i],
+                                 lp["mlp"]["up_proj"]["w"][i]], axis=-1),
+                transpose=True)
+            put(pre + "mlp.down_proj.weight", lp["mlp"]["down_proj"]["w"][i],
+                transpose=True)
         else:
             for proj in ("gate", "up", "down"):
                 put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)

@@ -75,6 +75,10 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses bias on q/k/v only
+    # HF checkpoint stores fused qkv_proj + gate_up_proj mats (phi3
+    # family). Loader splits at load / export re-fuses; the runtime pytree
+    # and every compute path are identical to per-tensor checkpoints.
+    fused_qkv: bool = False
     qk_norm: bool = False  # qwen3: per-head RMS norm on q/k before RoPE
     # Mixture-of-experts (qwen2_moe family): num_experts == 0 means dense.
     # All layers must be sparse (decoder_sparse_step=1, no mlp_only_layers —
@@ -85,6 +89,12 @@ class Qwen2Config:
     moe_intermediate_size: int = 0
     shared_expert_intermediate_size: int = 0
     norm_topk_prob: bool = False
+    # HF checkpoint tensor layout for the MoE subtree: "qwen"
+    # (mlp.gate / mlp.experts.{e}.{gate,up,down}_proj, Qwen1.5-MoE /
+    # Qwen3-MoE) or "mixtral" (block_sparse_moe.gate /
+    # block_sparse_moe.experts.{e}.{w1,w3,w2} = gate/up/down). Compute is
+    # identical (ops/moe.py); only loader/export key names differ.
+    moe_layout: str = "qwen"
     moe_impl: str = "auto"  # auto | gather | dense | dispatch (ops/moe.py)
     # dispatch-impl expert bucket width: C = ceil(top_k*S/E * this).
     # Larger = fewer capacity drops under routing skew, more FLOPs/memory;
@@ -207,8 +217,9 @@ class Qwen2Config:
         L = cfg["num_hidden_layers"]
         lt = cfg.get("layer_types")
         if lt is None:
-            if mt == "mistral":
-                lt = ["sliding_attention"] * L  # Mistral slides every layer
+            if mt in ("mistral", "mixtral", "phi3"):
+                # these families slide every layer when the key is set
+                lt = ["sliding_attention"] * L
             elif mt == "gemma2":
                 # HF Gemma2Config default: even-index layers slide
                 lt = ["sliding_attention" if (i + 1) % 2 else "full_attention"
@@ -240,6 +251,36 @@ class Qwen2Config:
         already carries: no q/k/v bias, usually untied embeddings, big
         rope_theta)."""
         mt = cfg.get("model_type", "qwen2")
+        if mt == "mixtral":
+            # Mixtral-8x7B/8x22B: llama-style attention (no qkv bias, big
+            # rope_theta) + 8-expert top-2 sparse FFN with NO shared expert.
+            # HF MixtralSparseMoeBlock routes softmax-over-all -> top-k ->
+            # renormalize, i.e. exactly the norm_topk_prob=True path of
+            # ops/moe.route; experts use the FULL intermediate_size and the
+            # w1/w3/w2 tensor layout (moe_layout="mixtral").
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+                rope_theta=cfg.get("rope_theta", 1e6),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+                attention_bias=False,
+                num_experts=cfg["num_local_experts"],
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+                moe_intermediate_size=cfg["intermediate_size"],
+                norm_topk_prob=True,
+                moe_layout="mixtral",
+                dtype=dtype,
+            )
         if mt in ("qwen2_moe", "qwen3_moe"):
             # qwen2_moe (Qwen1.5-MoE-A2.7B): qkv bias + sigmoid-gated shared
             # expert. qwen3_moe (Qwen3-30B-A3B): per-head q/k RMS norm, no
@@ -317,6 +358,37 @@ class Qwen2Config:
                     cfg.get("final_logit_softcapping") or 0.0)),
                 rope_local_theta=(float(cfg.get("rope_local_base_freq",
                                                 10000.0)) if g3 else 0.0),
+                dtype=dtype,
+            )
+        if mt == "phi3":
+            # Phi-3/3.5-mini and Phi-4: llama-style decoder with fused
+            # qkv_proj/gate_up_proj checkpoint mats (split at load), no
+            # biases, uniform sliding window when set. The 128k "longrope"
+            # variants are rejected by _parse_rope_scaling (frequencies
+            # would be silently wrong); partial-rotary variants
+            # (phi-4-mini, partial_rotary_factor < 1) are rejected here.
+            prf = float(cfg.get("partial_rotary_factor") or 1.0)
+            if prf != 1.0:
+                raise ValueError(
+                    f"phi3 partial_rotary_factor={prf} is not supported "
+                    "(RoPE is applied to the full head_dim)")
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+                attention_bias=False,
+                fused_qkv=True,
                 dtype=dtype,
             )
         if mt == "qwen3":

@@ -418,6 +418,119 @@ def test_qwen3_moe_int8_load(tiny_hf_qwen3_moe_dir):
     assert float(jnp.max(jnp.abs(l1 - l2))) < 0.15
 
 
+# --------------------------------------------------------------- mixtral
+
+@pytest.fixture(scope="module")
+def tiny_hf_mixtral_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_mixtral")
+    hf_cfg = MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=1e6,
+        num_local_experts=4, num_experts_per_tok=2,
+        tie_word_embeddings=False, torch_dtype="float32",
+    )
+    torch.manual_seed(3)
+    model = MixtralForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_mixtral_config_from_hf(tiny_hf_mixtral_dir):
+    cfg = loader.load_config(tiny_hf_mixtral_dir)
+    assert cfg.num_experts == 4
+    assert cfg.num_experts_per_tok == 2
+    assert cfg.moe_intermediate_size == 96   # experts use intermediate_size
+    assert cfg.shared_expert_intermediate_size == 0
+    assert cfg.norm_topk_prob                # softmax -> topk -> renormalize
+    assert cfg.moe_layout == "mixtral"
+    assert not cfg.attention_bias
+    assert cfg.sliding_window == 0           # null in the default config
+
+
+def test_mixtral_sliding_window_parses():
+    """Mixtral applies the window to EVERY layer when set (HF
+    modeling_mixtral: create_sliding_window_causal_mask for all layers)."""
+    cfg = Qwen2Config.from_hf({
+        "model_type": "mixtral", "vocab_size": 128, "hidden_size": 32,
+        "intermediate_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 2, "num_local_experts": 4,
+        "num_experts_per_tok": 2, "sliding_window": 16,
+    })
+    assert cfg.sliding_window == 16 and cfg.layer_windows == ()
+
+
+def test_mixtral_logits_match_hf(tiny_hf_mixtral_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralForCausalLM
+
+    params, cfg = loader.load_params(tiny_hf_mixtral_dir, dtype=jnp.float32)
+    assert "shared" not in params["layers"]["moe"]
+    ids = rng.integers(0, 512, size=(2, 11))
+    hf = MixtralForCausalLM.from_pretrained(tiny_hf_mixtral_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_mixtral_engine_greedy_matches_hf(tiny_hf_mixtral_dir):
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_hf_mixtral_dir, dtype=jnp.float32)
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    eng = Engine(params, cfg, IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    prompt = [5, 6, 7, 8, 9]
+    got = eng.generate([" ".join(map(str, prompt))],
+                       SamplingParams(n=1, temperature=0.0, max_tokens=6)
+                       )[0].outputs[0].token_ids
+    hf = MixtralForCausalLM.from_pretrained(tiny_hf_mixtral_dir).eval()
+    seq = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(6):
+            nxt = hf(seq).logits[0, -1].argmax().item()
+            seq = torch.cat([seq, torch.tensor([[nxt]])], 1)
+    assert got == seq[0, len(prompt):].tolist()
+
+
+def test_mixtral_export_roundtrip(tiny_hf_mixtral_dir, tmp_path):
+    """Export writes the w1/w3/w2 block_sparse_moe names back, so the dir
+    reloads both through this loader AND vanilla MixtralForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralForCausalLM
+
+    params, cfg = loader.load_params(tiny_hf_mixtral_dir, dtype=jnp.float32)
+    out = str(tmp_path / "mixtral_export")
+    loader.export_hf(params, cfg, out, src_config_dir=tiny_hf_mixtral_dir)
+    params2, cfg2 = loader.load_params(out, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(1, 9))
+    l1, _, _ = qwen2.forward(params, cfg, jnp.asarray(ids))
+    l2, _, _ = qwen2.forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+    hf = MixtralForCausalLM.from_pretrained(out).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(l1), ref, rtol=2e-3, atol=2e-3)
+
+
 def test_moe_decode_step_seq_matches(tiny_moe_model):
     """Sequence-sharded one-token decode with MoE layers == single-shard
     decode_step (the engine's SP path on a sparse model)."""
