@@ -1,0 +1,670 @@
+"""DeepSeek-V2/V3 decoder family — Multi-head Latent Attention, TPU-first.
+
+Model-family widening beyond the reference (which serves only dense
+Qwen2.5 via HF AutoModel, /root/reference/trainer/mtpo_trainer.py:643-663).
+DeepSeek's MLA compresses the per-token KV state into ONE shared latent
+vector (kv_lora_rank + qk_rope_head_dim floats, e.g. 576 for V3) instead
+of per-head K/V (nh * (qk_head_dim + v_head_dim)) — the decode cache
+shrinks ~10-50x and, on TPU, decode attention becomes two large
+MXU-friendly matmuls over a single MQA-style cache stream instead of nh
+grouped reads:
+
+    scores_h = (W_UK,h^T q_nope,h) . c  +  q_pe,h . k_pe      (absorbed)
+    out_h    = W_UV,h (sum_s attn_s c_s)
+
+(the "weight absorption" identity: K_h = W_UK,h c and V_h = W_UV,h c are
+never materialized at decode time). Prefill/training expand K/V per head
+exactly like HF's eager path and reuse the Pallas flash kernel with V
+padded to qk_head_dim (HF flash does the same pad,
+modeling_deepseek_v2.py DeepseekV2Attention.forward).
+
+Structure notes vs the qwen2 module: DeepSeek stacks are heterogeneous —
+the first ``first_k_dense_replace`` layers use a dense SwiGLU MLP, the
+rest the DeepSeek MoE block (n_routed_experts + n_shared_experts plain
+shared MLP, grouped/sigmoid routing — ops/moe.route_deepseek). The
+params pytree therefore holds TWO uniformly-stacked layer groups
+("dense_layers", "moe_layers") scanned in sequence; decode unrolls both.
+
+HF semantics mirrored from transformers 4.57 modeling_deepseek_v2/_v3
+(the parity references in tests/test_deepseek.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .quant import dequant, is_quantized
+from .qwen2 import Qwen2Config, rms_norm, rope_freqs, apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepseekConfig:
+    """Static (jit-hashable) DeepSeek-V2/V3 architecture description."""
+
+    vocab_size: int = 102400
+    hidden_size: int = 2048
+    intermediate_size: int = 10944     # dense-layer MLP width
+    num_hidden_layers: int = 27
+    num_attention_heads: int = 16
+    # ---- MLA ----
+    q_lora_rank: int = 0               # 0 = full q_proj (V2-Lite)
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    rope_interleave: bool = True       # V2 always; V3 config flag
+    # ---- rope ----
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rope_scaling: tuple = ()           # Qwen2Config._parse_rope_scaling tuple
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    # ---- MoE ----
+    n_routed_experts: int = 0          # 0 = fully dense model
+    num_experts_per_tok: int = 6
+    moe_intermediate_size: int = 1408
+    n_shared_experts: int = 2          # shared MLP width = n * moe_inter
+    first_k_dense_replace: int = 1
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"        # greedy|group_limited_greedy|noaux_tc
+    n_group: int = 1
+    topk_group: int = 1
+    norm_topk_prob: bool = False
+    scoring_func: str = "softmax"      # softmax (V2) | sigmoid (V3)
+    moe_impl: str = "auto"             # ops/moe.py exec strategy
+    moe_capacity_factor: float = 2.0
+    attn_impl: str = "auto"            # auto | pallas | dense
+    dtype: Any = jnp.bfloat16
+
+    # duck-typed knobs qwen2._embed/_lm_head read (inert here; plain class
+    # attributes, deliberately NOT dataclass fields)
+    embed_normalizer = False
+    final_softcap = 0.0
+
+    @property
+    def qk_head_dim_(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def cache_width_(self) -> int:
+        """Latent decode-cache width per token per layer: the normed
+        compressed KV plus the shared roped key."""
+        return self.kv_lora_rank + self.qk_rope_head_dim
+
+    @property
+    def num_dense_layers_(self) -> int:
+        if self.n_routed_experts <= 0:
+            return self.num_hidden_layers
+        return min(self.first_k_dense_replace, self.num_hidden_layers)
+
+    @property
+    def num_moe_layers_(self) -> int:
+        return self.num_hidden_layers - self.num_dense_layers_
+
+    @property
+    def attn_scale_(self) -> float:
+        return 1.0 / math.sqrt(self.qk_head_dim_)
+
+    @classmethod
+    def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "DeepseekConfig":
+        """Build from an HF config.json dict (model_type deepseek_v2 or
+        deepseek_v3). Rope scaling reuses Qwen2Config's parser — DeepSeek
+        long-context checkpoints use YaRN with mscale/mscale_all_dim,
+        which resolve into the ("yarn", ...) tuple's attention factor."""
+        mt = cfg.get("model_type", "deepseek_v2")
+        if mt not in ("deepseek_v2", "deepseek_v3"):
+            raise ValueError(f"not a deepseek config: model_type={mt!r}")
+        v3 = mt == "deepseek_v3"
+        n_routed = int(cfg.get("n_routed_experts") or 0)
+        if cfg.get("attention_bias", False):
+            raise ValueError("deepseek attention_bias=True is not supported "
+                             "(no released checkpoint sets it)")
+        if int(cfg.get("moe_layer_freq", 1) or 1) != 1:
+            raise ValueError("moe_layer_freq != 1 is not supported (MoE "
+                             "layers must be the contiguous suffix)")
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            q_lora_rank=int(cfg.get("q_lora_rank") or 0),
+            kv_lora_rank=cfg["kv_lora_rank"],
+            qk_nope_head_dim=cfg["qk_nope_head_dim"],
+            qk_rope_head_dim=cfg["qk_rope_head_dim"],
+            v_head_dim=cfg["v_head_dim"],
+            # HF V2 ropes with complex pair math (= interleaved); V3 has
+            # the flag (default True)
+            rope_interleave=bool(cfg.get("rope_interleave", True)),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=Qwen2Config._parse_rope_scaling(cfg),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            n_routed_experts=n_routed,
+            num_experts_per_tok=int(cfg.get("num_experts_per_tok") or 6),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 1408),
+            n_shared_experts=int(cfg.get("n_shared_experts") or 0),
+            first_k_dense_replace=int(cfg.get("first_k_dense_replace", 0)),
+            routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+            topk_method=cfg.get("topk_method",
+                                "noaux_tc" if v3 else "greedy"),
+            n_group=int(cfg.get("n_group") or 1),
+            topk_group=int(cfg.get("topk_group") or 1),
+            norm_topk_prob=bool(cfg.get("norm_topk_prob", False)),
+            scoring_func=cfg.get("scoring_func",
+                                 "sigmoid" if v3 else "softmax"),
+            dtype=dtype,
+        )
+
+
+# --------------------------------------------------------------- building
+# blocks
+
+
+def _apply_rope_ds(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                   interleave: bool) -> jax.Array:
+    """DeepSeek rope on (B, T, n, d). ``interleave`` pairs (x[2i], x[2i+1])
+    at frequency inv[i] (HF V2 complex math / V3 interleave path): the
+    de-interleave permutation + rotate-half is the same rotation with a
+    consistent output ordering, and only the q_pe . k_pe inner product
+    (permutation-invariant when applied to both sides) enters attention."""
+    if interleave:
+        x = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    return apply_rope(x, cos, sin)
+
+
+def _matmul(h: jax.Array, w) -> jax.Array:
+    """h (..., IN) @ leaf (IN, OUT) -> (..., OUT) f32 accum; int8 leaves
+    dequant at the use site (fused by XLA)."""
+    return jnp.einsum("...h,hd->...d", h, dequant(w, h.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _q_heads(cfg: DeepseekConfig, p: dict, h: jax.Array) -> jax.Array:
+    """Query projection -> (..., nh, qk_head_dim) [nope | pe] per head."""
+    if cfg.q_lora_rank > 0:
+        qa = rms_norm(_matmul(h, p["q_a"]["w"]).astype(h.dtype),
+                      p["q_a_norm"]["scale"], cfg.rms_norm_eps)
+        q = _matmul(qa, p["q_b"]["w"])
+    else:
+        q = _matmul(h, p["q"]["w"])
+    return q.astype(h.dtype).reshape(
+        *h.shape[:-1], cfg.num_attention_heads, cfg.qk_head_dim_)
+
+
+def _latent(cfg: DeepseekConfig, p: dict, h: jax.Array, cos, sin):
+    """kv_a projection -> (c_norm (..., r), k_pe_roped (..., 1, rope)).
+
+    These two ARE the decode cache content: everything per-head is
+    recovered from them through kv_b (absorbed at decode)."""
+    ckv = _matmul(h, p["kv_a"]["w"]).astype(h.dtype)
+    c, k_pe = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
+    c = rms_norm(c, p["kv_a_norm"]["scale"], cfg.rms_norm_eps)
+    k_pe = _apply_rope_ds(k_pe[..., None, :], cos, sin, cfg.rope_interleave)
+    return c, k_pe
+
+
+def _split_kv_b(cfg: DeepseekConfig, p: dict, dtype):
+    """kv_b weight (r, nh*(dn+dv)) -> (W_UK (r, nh, dn), W_UV (r, nh, dv))."""
+    w = dequant(p["kv_b"]["w"], dtype).reshape(
+        cfg.kv_lora_rank, cfg.num_attention_heads,
+        cfg.qk_nope_head_dim + cfg.v_head_dim)
+    return w[..., :cfg.qk_nope_head_dim], w[..., cfg.qk_nope_head_dim:]
+
+
+def _mla_attend_full(cfg: DeepseekConfig, q, k, v, mask, key_mask):
+    """Prefill/training attention on per-head expanded K/V.
+
+    q/k: (B, T, nh, qk_head_dim), v: (B, T, nh, v_head_dim). Flash (the
+    Pallas kernel) pads V up to qk_head_dim exactly as HF's
+    flash_attention_2 path does, then slices the output back."""
+    impl = str(cfg.attn_impl).lower()
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
+        impl == "auto" and on_tpu)
+    if use_pallas and key_mask is not None:
+        from ..ops.flash_attention import flash_attention
+
+        dv, dq = cfg.v_head_dim, cfg.qk_head_dim_
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dq - dv)))
+        out = flash_attention(q, k, vp, key_mask, causal=True,
+                              scale=cfg.attn_scale_, window=0, softcap=0.0,
+                              interpret=not on_tpu)
+        return out[..., :dv]
+    B, T, nh, dq = q.shape
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * cfg.attn_scale_
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _moe_ffn(cfg: DeepseekConfig, p: dict, h: jax.Array) -> jax.Array:
+    """DeepSeek MoE block on (..., H): grouped/sigmoid routing
+    (ops/moe.route_deepseek) + the shared exec strategies + plain shared
+    expert MLP (no sigmoid gate — HF DeepseekV2MoE.shared_experts)."""
+    from ..ops import moe as _moe
+
+    H = h.shape[-1]
+    x = h.reshape(-1, H)
+    routing = _moe.route_deepseek(
+        x, p["moe"]["router"]["w"], p["moe"]["router"].get("bias"),
+        top_k=cfg.num_experts_per_tok, scoring=cfg.scoring_func,
+        topk_method=cfg.topk_method, n_group=cfg.n_group,
+        topk_group=cfg.topk_group, norm_topk=cfg.norm_topk_prob,
+        routed_scaling_factor=cfg.routed_scaling_factor)
+    impl = cfg.moe_impl
+    if impl == "auto":
+        impl = "dispatch" if jax.default_backend() == "tpu" else "gather"
+    kw = dict(top_k=cfg.num_experts_per_tok, norm_topk=False,
+              routing=routing)
+    if impl == "gather":
+        out = _moe.moe_ffn_gather(x, p["moe"], **kw)
+    elif impl == "dense":
+        out = _moe.moe_ffn_dense(x, p["moe"], **kw)
+    elif impl == "dispatch":
+        out = _moe.moe_ffn_dispatch(
+            x, p["moe"], capacity_factor=cfg.moe_capacity_factor, **kw)
+    else:
+        raise ValueError(f"unknown moe impl {impl!r}")
+    if "shared" in p["moe"]:
+        out = out + _moe.shared_expert(x, p["moe"]["shared"])
+    return out.reshape(h.shape)
+
+
+def _dense_ffn(p: dict, h: jax.Array) -> jax.Array:
+    gate = _matmul(h, p["mlp"]["gate_proj"]["w"])
+    up = _matmul(h, p["mlp"]["up_proj"]["w"])
+    act = (jax.nn.silu(gate) * up).astype(h.dtype)
+    return _matmul(act, p["mlp"]["down_proj"]["w"]).astype(h.dtype)
+
+
+def _layer_body(cfg: DeepseekConfig, x, p, cos, sin, mask, key_mask):
+    """One prefill/training decoder layer (either group — the MLP flavor
+    is decided by the pytree structure, static per scan). Returns
+    (x, latent (B, T, cache_width)) — the latent IS the decode cache."""
+    B, T, H = x.shape
+    nh = cfg.num_attention_heads
+    h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+
+    q = _q_heads(cfg, p["attn"], h)
+    q_nope, q_pe = jnp.split(q, [cfg.qk_nope_head_dim], axis=-1)
+    q_pe = _apply_rope_ds(q_pe, cos, sin, cfg.rope_interleave)
+    c, k_pe = _latent(cfg, p["attn"], h, cos, sin)
+
+    wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
+    k_nope = jnp.einsum("btr,rhd->bthd", c, wk,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.einsum("btr,rhd->bthd", c, wv,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, T, nh, cfg.qk_rope_head_dim))],
+        axis=-1)
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+
+    att = _mla_attend_full(cfg, q_full, k, v, mask, key_mask)
+    att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * cfg.v_head_dim),
+                     dequant(p["attn"]["o"]["w"], x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + att
+    h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    ffn = _moe_ffn(cfg, p, h) if "moe" in p else _dense_ffn(p, h)
+    x = x + ffn.astype(x.dtype)
+    latent = jnp.concatenate([c, k_pe[..., 0, :]], axis=-1)
+    return x, latent
+
+
+def forward(
+    params: dict,
+    cfg: DeepseekConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array | None = None,
+    positions: jax.Array | None = None,
+    remat: bool = False,
+    return_hidden: bool = False,
+    compute_logits: bool = True,
+    return_latent: bool = False,
+):
+    """Prefill/training forward over (B, T) token ids.
+
+    Returns (logits, last_hidden | None, latents | None) where ``latents``
+    (requested via ``return_latent``) is the (L, B, T, cache_width) stack
+    of per-layer [c_norm | k_pe_roped] vectors — exactly what
+    :func:`decode_step` consumes as its cache content."""
+    from .qwen2 import _embed, _lm_head  # shared embed/head (int8-aware)
+
+    B, T = input_ids.shape
+    x = _embed(params, cfg, input_ids)
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos, sin = rope_freqs(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
+
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
+    if attention_mask is not None:
+        mask = causal & (attention_mask[:, None, :] > 0)
+        key_mask = attention_mask
+    else:
+        mask = jnp.broadcast_to(causal, (B, T, T))
+        key_mask = jnp.ones((B, T), jnp.int32)
+
+    def scan_group(x, group):
+        def body(x, p):
+            x2, lat = _layer_body(cfg, x, p, cos, sin, mask, key_mask)
+            return x2, lat
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        return jax.lax.scan(body, x, group)
+
+    lats = []
+    if "dense_layers" in params:
+        x, lat_d = scan_group(x, params["dense_layers"])
+        lats.append(lat_d)
+    if "moe_layers" in params:
+        x, lat_m = scan_group(x, params["moe_layers"])
+        lats.append(lat_m)
+    latents = jnp.concatenate(lats, axis=0) if return_latent else None
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    if not compute_logits:
+        return None, (x if return_hidden else None), latents
+    logits = _lm_head(params, cfg, x)
+    return logits, (x if return_hidden else None), latents
+
+
+# --------------------------------------------------------------- decode
+
+
+def init_latent_cache(cfg: DeepseekConfig, batch: int, max_len: int) -> jax.Array:
+    """(L, B, S, kv_lora_rank + qk_rope_head_dim) — the WHOLE decode
+    state. At V3 scale this is 61*576 = 34 KB/token vs ~3.4 MB/token for
+    an equivalent dense-head cache: the reason MLA serves long contexts."""
+    return jnp.zeros(
+        (cfg.num_hidden_layers, batch, max_len, cfg.cache_width_), cfg.dtype)
+
+
+def _layer_slice(params: dict, cfg: DeepseekConfig, l: int) -> dict:
+    """Static layer-l view over the two stacked groups."""
+    Ld = cfg.num_dense_layers_
+    if l < Ld:
+        return jax.tree.map(lambda w: w[l], params["dense_layers"])
+    return jax.tree.map(lambda w: w[l - Ld], params["moe_layers"])
+
+
+def decode_step(
+    params: dict,
+    cfg: DeepseekConfig,
+    token: jax.Array,      # (B,) int32 — token emitted last step
+    positions: jax.Array,  # (B,) int32 rope position of this token
+    cache: jax.Array,      # (L, B, S, cache_width)
+    slot: jax.Array,       # scalar int32 — cache column to write
+    kv_valid: jax.Array,   # (B, S) bool — readable columns INCLUDING slot
+):
+    """One-token MLA decode via weight absorption.
+
+    Per layer the cache column ``slot`` receives [c_norm | k_pe] for this
+    token, then attention reads the SINGLE shared latent stream:
+
+        q_lat,h = W_UK,h^T q_nope,h           (per-head absorb: (r,))
+        s_h     = q_lat,h . c_s + q_pe,h . k_pe_s      over valid s
+        ctx_h   = W_UV,h (sum_s softmax(s)_s c_s)
+
+    No per-head K/V is ever materialized — cache traffic per layer-step is
+    S * cache_width bytes regardless of nh (the MQA property that makes
+    MLA decode HBM-cheap). Returns (logits (B, V), hidden (B, H),
+    new_cache)."""
+    from .qwen2 import _embed, _lm_head
+
+    B = token.shape[0]
+    nh, r = cfg.num_attention_heads, cfg.kv_lora_rank
+    x = _embed(params, cfg, token[:, None])  # (B, 1, H)
+    cos, sin = rope_freqs(positions[:, None], cfg.qk_rope_head_dim,
+                          cfg.rope_theta, cfg.rope_scaling)
+
+    new_cache = cache
+    for l in range(cfg.num_hidden_layers):
+        p = _layer_slice(params, cfg, l)
+        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        q = _q_heads(cfg, p["attn"], h)[:, 0]          # (B, nh, dq)
+        q_nope, q_pe = jnp.split(q, [cfg.qk_nope_head_dim], axis=-1)
+        q_pe = _apply_rope_ds(q_pe[:, None], cos, sin,
+                              cfg.rope_interleave)[:, 0]
+        c1, kpe1 = _latent(cfg, p["attn"], h, cos, sin)  # (B,1,r), (B,1,1,p)
+        lat = jnp.concatenate([c1[:, 0], kpe1[:, 0, 0, :]], axis=-1)  # (B,W)
+
+        layer_cache = jax.lax.dynamic_update_slice(
+            new_cache[l], lat[:, None, :], (0, slot, 0))
+        new_cache = new_cache.at[l].set(layer_cache)
+
+        wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
+        q_lat = jnp.einsum("bhd,rhd->bhr", q_nope, wk,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        cc = layer_cache[..., :r]                       # (B, S, r)
+        kp = layer_cache[..., r:]                       # (B, S, rope)
+        scores = (jnp.einsum("bhr,bsr->bhs", q_lat, cc,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhp,bsp->bhs", q_pe, kp,
+                               preferred_element_type=jnp.float32))
+        scores = scores * cfg.attn_scale_
+        scores = jnp.where(kv_valid[:, None, :], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhs,bsr->bhr", attn, cc,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.einsum("bhr,rhd->bhd", ctx, wv,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        att = jnp.einsum("bd,dh->bh",
+                         out.reshape(B, nh * cfg.v_head_dim),
+                         dequant(p["attn"]["o"]["w"], x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        xb = x[:, 0] + att
+        h2 = rms_norm(xb, p["post_attention_layernorm"]["scale"],
+                      cfg.rms_norm_eps)
+        ffn = _moe_ffn(cfg, p, h2) if "moe" in p else _dense_ffn(p, h2)
+        x = (xb + ffn.astype(xb.dtype))[:, None, :]
+
+    hidden = rms_norm(x[:, 0], params["norm"]["scale"], cfg.rms_norm_eps)
+    logits = _lm_head(params, cfg, hidden)
+    return logits, hidden, new_cache
+
+
+# --------------------------------------------------------------- init /
+# loading
+
+
+def init_params(cfg: DeepseekConfig, key: jax.Array) -> dict:
+    """Random-init pytree (tests / benches); layout mirrors load_params."""
+    keys = iter(jax.random.split(key, 64))
+    dt = cfg.dtype
+    sc = 0.02
+
+    def mat(*shape):
+        return jax.random.normal(next(keys), shape, dt) * sc
+
+    def attn_group(L):
+        a = {
+            "kv_a": {"w": mat(L, cfg.hidden_size, cfg.cache_width_)},
+            "kv_a_norm": {"scale": jnp.ones((L, cfg.kv_lora_rank), dt)},
+            "kv_b": {"w": mat(L, cfg.kv_lora_rank,
+                              cfg.num_attention_heads
+                              * (cfg.qk_nope_head_dim + cfg.v_head_dim))},
+            "o": {"w": mat(L, cfg.num_attention_heads * cfg.v_head_dim,
+                           cfg.hidden_size)},
+        }
+        if cfg.q_lora_rank > 0:
+            a["q_a"] = {"w": mat(L, cfg.hidden_size, cfg.q_lora_rank)}
+            a["q_a_norm"] = {"scale": jnp.ones((L, cfg.q_lora_rank), dt)}
+            a["q_b"] = {"w": mat(L, cfg.q_lora_rank,
+                                 cfg.num_attention_heads * cfg.qk_head_dim_)}
+        else:
+            a["q"] = {"w": mat(L, cfg.hidden_size,
+                               cfg.num_attention_heads * cfg.qk_head_dim_)}
+        return a
+
+    def norms(L):
+        return {"input_layernorm": {"scale": jnp.ones((L, cfg.hidden_size), dt)},
+                "post_attention_layernorm":
+                    {"scale": jnp.ones((L, cfg.hidden_size), dt)}}
+
+    params: dict[str, Any] = {
+        "embed": {"weight": mat(cfg.vocab_size, cfg.hidden_size)},
+        "norm": {"scale": jnp.ones((cfg.hidden_size,), dt)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": mat(cfg.vocab_size, cfg.hidden_size)}
+    Ld, Lm = cfg.num_dense_layers_, cfg.num_moe_layers_
+    if Ld:
+        params["dense_layers"] = {
+            **norms(Ld), "attn": attn_group(Ld),
+            "mlp": {"gate_proj": {"w": mat(Ld, cfg.hidden_size, cfg.intermediate_size)},
+                    "up_proj": {"w": mat(Ld, cfg.hidden_size, cfg.intermediate_size)},
+                    "down_proj": {"w": mat(Ld, cfg.intermediate_size, cfg.hidden_size)}},
+        }
+    if Lm:
+        E, I = cfg.n_routed_experts, cfg.moe_intermediate_size
+        moe: dict[str, Any] = {
+            "router": {"w": mat(Lm, cfg.hidden_size, E)},
+            "experts": {
+                "gate_proj": {"w": mat(Lm, E, cfg.hidden_size, I)},
+                "up_proj": {"w": mat(Lm, E, cfg.hidden_size, I)},
+                "down_proj": {"w": mat(Lm, E, I, cfg.hidden_size)},
+            },
+        }
+        if cfg.scoring_func == "sigmoid":
+            moe["router"]["bias"] = jnp.zeros((Lm, E), jnp.float32)
+        if cfg.n_shared_experts > 0:
+            Is = I * cfg.n_shared_experts
+            moe["shared"] = {
+                "gate_proj": {"w": mat(Lm, cfg.hidden_size, Is)},
+                "up_proj": {"w": mat(Lm, cfg.hidden_size, Is)},
+                "down_proj": {"w": mat(Lm, Is, cfg.hidden_size)},
+            }
+        params["moe_layers"] = {**norms(Lm), "attn": attn_group(Lm),
+                                "moe": moe}
+    return params
+
+
+def load_params(model_dir: str, cfg: DeepseekConfig | None = None,
+                dtype=jnp.bfloat16, quantize: str | None = None
+                ) -> tuple[dict, DeepseekConfig]:
+    """Load an HF deepseek_v2/v3 safetensors checkpoint into the two-group
+    stacked pytree. ``quantize="int8"`` applies weight-only per-channel
+    int8 to the big matmul weights on host (the 7B/V2-Lite-on-one-chip fit
+    lever); routers, norms and the tiny rope-side mats stay full precision."""
+    from . import loader as _ld
+
+    if cfg is None:
+        cfg = _ld.load_config(model_dir)
+    if not isinstance(cfg, DeepseekConfig):
+        raise ValueError("load_params(deepseek) needs a DeepseekConfig")
+    cfg = dataclasses.replace(cfg, dtype=dtype)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r} for deepseek "
+                         "(int8 only)")
+    q8 = quantize == "int8"
+    tensors = _ld._open_safetensors(model_dir)
+
+    def get_stack(layers: list[int], fmt: str, transpose=True,
+                  quantizable=True):
+        out = __import__("numpy").stack(
+            [_ld._get(tensors, fmt.format(i=i)) for i in layers], axis=0)
+        if q8 and transpose and quantizable:
+            host = __import__("numpy").swapaxes(_ld._host_f32(out), -1, -2)
+            return _ld._quant_int8_host(host, axis=-2)
+        arr = _ld._to_jax(out, dtype)
+        return jnp.swapaxes(arr, -1, -2) if transpose else arr
+
+    def get_experts(layers: list[int], fmt: str):
+        np = __import__("numpy")
+        mats = []
+        for i in layers:
+            per = [np.swapaxes(_ld._get(tensors, fmt.format(i=i, e=e)), -1, -2)
+                   for e in range(cfg.n_routed_experts)]
+            mats.append(np.stack(per, axis=0))
+        out = np.stack(mats, axis=0)
+        if q8:
+            return _ld._quant_int8_host(_ld._host_f32(out), axis=-2)
+        return _ld._to_jax(out, dtype)
+
+    def attn_group(layers: list[int]) -> dict:
+        a = {
+            "kv_a": {"w": get_stack(layers, "layers.{i}.self_attn.kv_a_proj_with_mqa.weight",
+                                    quantizable=False)},
+            "kv_a_norm": {"scale": get_stack(layers, "layers.{i}.self_attn.kv_a_layernorm.weight",
+                                             transpose=False)},
+            "kv_b": {"w": get_stack(layers, "layers.{i}.self_attn.kv_b_proj.weight")},
+            "o": {"w": get_stack(layers, "layers.{i}.self_attn.o_proj.weight")},
+        }
+        if cfg.q_lora_rank > 0:
+            a["q_a"] = {"w": get_stack(layers, "layers.{i}.self_attn.q_a_proj.weight",
+                                       quantizable=False)}
+            a["q_a_norm"] = {"scale": get_stack(layers, "layers.{i}.self_attn.q_a_layernorm.weight",
+                                                transpose=False)}
+            a["q_b"] = {"w": get_stack(layers, "layers.{i}.self_attn.q_b_proj.weight")}
+        else:
+            a["q"] = {"w": get_stack(layers, "layers.{i}.self_attn.q_proj.weight")}
+        return a
+
+    def norms(layers: list[int]) -> dict:
+        return {
+            "input_layernorm": {"scale": get_stack(layers, "layers.{i}.input_layernorm.weight",
+                                                   transpose=False)},
+            "post_attention_layernorm": {"scale": get_stack(
+                layers, "layers.{i}.post_attention_layernorm.weight",
+                transpose=False)},
+        }
+
+    params: dict[str, Any] = {
+        "embed": {"weight": _ld._to_jax(_ld._get(tensors, "embed_tokens.weight"), dtype)},
+        "norm": {"scale": _ld._to_jax(_ld._get(tensors, "norm.weight"), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": _ld._to_jax(_ld._get(tensors, "lm_head.weight"), dtype)}
+
+    Ld = cfg.num_dense_layers_
+    dense_idx = list(range(Ld))
+    moe_idx = list(range(Ld, cfg.num_hidden_layers))
+    if dense_idx:
+        params["dense_layers"] = {
+            **norms(dense_idx), "attn": attn_group(dense_idx),
+            "mlp": {
+                "gate_proj": {"w": get_stack(dense_idx, "layers.{i}.mlp.gate_proj.weight")},
+                "up_proj": {"w": get_stack(dense_idx, "layers.{i}.mlp.up_proj.weight")},
+                "down_proj": {"w": get_stack(dense_idx, "layers.{i}.mlp.down_proj.weight")},
+            },
+        }
+    if moe_idx:
+        moe: dict[str, Any] = {
+            "router": {"w": get_stack(moe_idx, "layers.{i}.mlp.gate.weight",
+                                      quantizable=False)},
+            "experts": {
+                "gate_proj": {"w": get_experts(moe_idx, "layers.{i}.mlp.experts.{e}.gate_proj.weight")},
+                "up_proj": {"w": get_experts(moe_idx, "layers.{i}.mlp.experts.{e}.up_proj.weight")},
+                "down_proj": {"w": get_experts(moe_idx, "layers.{i}.mlp.experts.{e}.down_proj.weight")},
+            },
+        }
+        if _ld._has(tensors, "layers.{i}.mlp.gate.e_score_correction_bias"
+                    .format(i=moe_idx[0])):
+            moe["router"]["bias"] = get_stack(
+                moe_idx, "layers.{i}.mlp.gate.e_score_correction_bias",
+                transpose=False).astype(jnp.float32)
+        if cfg.n_shared_experts > 0:
+            moe["shared"] = {
+                "gate_proj": {"w": get_stack(moe_idx, "layers.{i}.mlp.shared_experts.gate_proj.weight")},
+                "up_proj": {"w": get_stack(moe_idx, "layers.{i}.mlp.shared_experts.up_proj.weight")},
+                "down_proj": {"w": get_stack(moe_idx, "layers.{i}.mlp.shared_experts.down_proj.weight")},
+            }
+        params["moe_layers"] = {**norms(moe_idx), "attn": attn_group(moe_idx),
+                                "moe": moe}
+    return params, cfg

@@ -67,6 +67,10 @@ def load_config(model_dir: str) -> Qwen2Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     mt = cfg.get("model_type", "qwen2")
+    if mt in ("deepseek_v2", "deepseek_v3"):  # MLA family -> its own config
+        from .deepseek import DeepseekConfig
+
+        return DeepseekConfig.from_hf(cfg)
     # sliding_window / per-layer layer_windows are parsed by
     # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
@@ -74,7 +78,7 @@ def load_config(model_dir: str) -> Qwen2Config:
                   "gemma3_text", "gemma3"):
         raise ValueError(
             f"unsupported model_type {mt!r} (qwen2/qwen3/llama/mistral/"
-            "mixtral/phi3/gemma decoder family)")
+            "mixtral/phi3/gemma/deepseek decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -138,6 +142,11 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
     the 2-D kernel) at int8 — fits 14B checkpoints on one 16 GB chip."""
     if cfg is None:
         cfg = load_config(model_dir)
+    if type(cfg).__name__ == "DeepseekConfig":  # MLA family -> its loader
+        from . import deepseek
+
+        return deepseek.load_params(model_dir, cfg, dtype=dtype,
+                                    quantize=quantize)
     cfg = Qwen2Config(**{**cfg.__dict__, "dtype": dtype})
     tensors = _open_safetensors(model_dir)
     L = cfg.num_hidden_layers

@@ -116,6 +116,60 @@ def route(x: jax.Array, router_w, top_k: int, norm_topk: bool):
     return topw.astype(x.dtype), topi.astype(jnp.int32)
 
 
+def route_deepseek(x: jax.Array, router_w, bias, *, top_k: int,
+                   scoring: str, topk_method: str, n_group: int,
+                   topk_group: int, norm_topk: bool,
+                   routed_scaling_factor: float):
+    """DeepSeek-V2/V3 token routing (HF DeepseekV2MoEGate /
+    DeepseekV3TopkRouter parity). x: (N, H) -> (topw (N,k), topi (N,k)).
+
+    - scoring "softmax" (V2): scores = softmax(logits) in f32; top-k of
+      scores directly ("greedy") or within the best ``topk_group`` of
+      ``n_group`` expert groups ranked by their MAX score
+      ("group_limited_greedy"). HF's V2 gate applies NO top-k
+      renormalization (modeling_deepseek_v2.DeepseekV2MoEGate.forward).
+    - scoring "sigmoid" (V3, topk_method "noaux_tc"): selection uses
+      scores + e_score_correction_bias, groups ranked by the SUM of their
+      top-2 biased scores; the returned weights are the UNBIASED sigmoid
+      scores at the selected experts, optionally renormalized
+      (denominator + 1e-20, HF DeepseekV3TopkRouter.forward).
+    Both scale the final weights by ``routed_scaling_factor``."""
+    logits = jnp.einsum("nh,he->ne", x.astype(jnp.float32),
+                        dequant(router_w, jnp.float32),
+                        preferred_element_type=jnp.float32)
+    E = logits.shape[-1]
+    if scoring == "softmax":
+        scores = jax.nn.softmax(logits, axis=-1)
+    elif scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r} (softmax|sigmoid)")
+    choice = scores if bias is None else scores + bias.astype(jnp.float32)
+
+    if topk_method == "greedy":
+        topw, topi = jax.lax.top_k(choice, top_k)
+    elif topk_method in ("group_limited_greedy", "noaux_tc"):
+        g = choice.reshape(-1, n_group, E // n_group)
+        if topk_method == "noaux_tc":  # V3: groups ranked by top-2 sum
+            gs = jax.lax.top_k(g, 2)[0].sum(axis=-1)
+        else:                          # V2: groups ranked by max
+            gs = g.max(axis=-1)
+        _, gidx = jax.lax.top_k(gs, topk_group)
+        gmask = jnp.zeros_like(gs).at[
+            jnp.arange(gs.shape[0])[:, None], gidx].set(1.0)
+        masked = jnp.where(
+            jnp.repeat(gmask, E // n_group, axis=-1) > 0, choice, 0.0)
+        topw, topi = jax.lax.top_k(masked, top_k)
+    else:
+        raise ValueError(f"unknown topk_method {topk_method!r}")
+    if bias is not None:  # noaux_tc: combine weights are the UNBIASED scores
+        topw = jnp.take_along_axis(scores, topi, axis=-1)
+    if norm_topk:
+        topw = topw / (jnp.sum(topw, axis=-1, keepdims=True) + 1e-20)
+    topw = topw * routed_scaling_factor
+    return topw.astype(x.dtype), topi.astype(jnp.int32)
+
+
 def _expert_ffn_batched(xe: jax.Array, experts: dict, dtype) -> jax.Array:
     """(E, C, H) → (E, C, H): every expert's SwiGLU on its own rows."""
     g = jnp.einsum("ech,ehi->eci", xe, dequant(experts["gate_proj"]["w"], dtype),
@@ -146,13 +200,18 @@ def _grouped_gemm(xs: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Ar
                               preferred_element_type=jnp.float32)
 
 
-def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.Array:
-    """Sort + grouped-GEMM execution. x: (N, H) → (N, H), exact."""
+def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
+                   routing=None) -> jax.Array:
+    """Sort + grouped-GEMM execution. x: (N, H) → (N, H), exact.
+
+    ``routing=(topw, topi)`` bypasses the Qwen-style router — used by the
+    DeepSeek block whose grouped/sigmoid routing is computed upstream."""
     N, H = x.shape
     experts = p["experts"]
     E = experts["gate_proj"]["w"].shape[0] if not isinstance(
         experts["gate_proj"]["w"], dict) else experts["gate_proj"]["w"]["q"].shape[0]
-    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+    topw, topi = routing if routing is not None else route(
+        x, p["router"]["w"], top_k, norm_topk)
 
     flat_e = topi.reshape(N * top_k)
     order = jnp.argsort(flat_e)                      # stable: ties keep token order
@@ -174,7 +233,8 @@ def moe_ffn_gather(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax
     return out.astype(dtype)
 
 
-def moe_ffn_dense(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.Array:
+def moe_ffn_dense(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
+                  routing=None) -> jax.Array:
     """All-experts execution with sparse combine weights. Exact; the expert
     axis shards over the mesh ``model`` axis (expert parallelism)."""
     N, H = x.shape
@@ -182,7 +242,8 @@ def moe_ffn_dense(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.
     experts = p["experts"]
     wg = dequant(experts["gate_proj"]["w"], dtype)
     E = wg.shape[0]
-    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+    topw, topi = routing if routing is not None else route(
+        x, p["router"]["w"], top_k, norm_topk)
     cw = jnp.zeros((N, E), jnp.float32).at[
         jnp.arange(N)[:, None], topi].add(topw.astype(jnp.float32))
 
@@ -197,7 +258,7 @@ def moe_ffn_dense(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool) -> jax.
 
 def moe_ffn_dispatch(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
                      capacity_factor: float = 2.0,
-                     group_size: int = 512) -> jax.Array:
+                     group_size: int = 512, routing=None) -> jax.Array:
     """Capacity-bucketed dispatch/combine einsums (expert-parallel path).
 
     Tokens are split into groups of ``group_size`` (bounds the (S, E, C)
@@ -211,7 +272,8 @@ def moe_ffn_dispatch(x: jax.Array, p: dict, *, top_k: int, norm_topk: bool,
     experts = p["experts"]
     wg = dequant(experts["gate_proj"]["w"], dtype)
     E = wg.shape[0]
-    topw, topi = route(x, p["router"]["w"], top_k, norm_topk)
+    topw, topi = routing if routing is not None else route(
+        x, p["router"]["w"], top_k, norm_topk)
 
     sel, keep, pos, S, G, C = _dispatch_buckets(
         topi, N, E, top_k, capacity_factor, group_size)
@@ -249,6 +311,8 @@ def shared_expert(x: jax.Array, p: dict) -> jax.Array:
     a = (jax.nn.silu(g) * u).astype(dtype)
     y = jnp.einsum("ni,io->no", a, dequant(p["down_proj"]["w"], dtype),
                    preferred_element_type=jnp.float32)
+    if "gate" not in p:  # deepseek shared experts: plain MLP, no gate
+        return y.astype(dtype)
     gate = jax.nn.sigmoid(
         jnp.einsum("nh,ho->no", x, dequant(p["gate"]["w"], dtype),
                    preferred_element_type=jnp.float32))
