@@ -75,6 +75,27 @@ class Engine:
     ):
         self.params = params
         self.cfg = cfg
+        # model-module dispatch: DeepSeek (MLA) configs route forward/
+        # decode_step/init_kv_cache to models.deepseek — the Engine's
+        # cache plumbing (slot-uniform install, prefix reuse, fan-out
+        # gather, compaction) is layout-level and the latent cache rides
+        # it MQA-shaped (nkv=1, dh=cache_width; see deepseek.init_kv_cache)
+        if type(cfg).__name__ == "DeepseekConfig":
+            from ..models import deepseek as _mod
+
+            if kv_quant is not None:
+                raise ValueError("kv_quant is not supported for MLA latent "
+                                 "caches yet")
+            if spec_decode is not None:
+                raise ValueError("spec_decode does not support deepseek yet "
+                                 "(decode_step_multi is qwen2-family)")
+            if seq_mesh is not None:
+                raise ValueError("seq_mesh does not support deepseek yet "
+                                 "(ring/distributed-softmax paths are "
+                                 "qwen2-family)")
+        else:
+            _mod = qwen2
+        self._mod = _mod
         self.tokenizer = tokenizer
         self.max_model_len = int(max_model_len)
         self.max_batch = int(max_batch)
@@ -261,10 +282,10 @@ class Engine:
         Returns (last_logits (P, V) at each row's final real token,
         kv (L, P, S, nkv, dh))."""
         P, Lp = ids.shape
-        cache = qwen2.init_kv_cache(self.cfg, P, S)
+        cache = self._mod.init_kv_cache(self.cfg, P, S)
         kv_valid = jnp.zeros((P, S), jnp.bool_).at[:, :Lp].set(mask > 0)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, hidden, cache = qwen2.forward(
+        logits, hidden, cache = self._mod.forward(
             params, self.cfg, ids,
             positions=positions,
             kv_cache=cache,
@@ -329,7 +350,7 @@ class Engine:
         ar = jnp.arange(S)[None, :]
         kv_valid = ar < (starts + real_lens)[:, None]
         positions = starts[:, None] + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, hidden, (ck, cv) = qwen2.forward(
+        logits, hidden, (ck, cv) = self._mod.forward(
             params, self.cfg, ids,
             positions=positions,
             kv_cache=(cache_k, cache_v),
@@ -428,7 +449,7 @@ class Engine:
                         mesh=self.seq_mesh, return_hidden=self.collect_h0,
                     )
             elif win_cache is not None:
-                out = qwen2.decode_step(
+                out = self._mod.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                     return_hidden=self.collect_h0, ragged=ragged,
                     cache_scale=(scl if cache_scale is not None else None),
@@ -439,13 +460,13 @@ class Engine:
                 else:
                     new_logits, hidden, ck, cv, wc = out
             elif cache_scale is not None:
-                new_logits, hidden, ck, cv, scl = qwen2.decode_step(
+                new_logits, hidden, ck, cv, scl = self._mod.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                     return_hidden=self.collect_h0, ragged=ragged,
                     cache_scale=scl,
                 )
             else:
-                new_logits, hidden, ck, cv = qwen2.decode_step(
+                new_logits, hidden, ck, cv = self._mod.decode_step(
                     params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
                     return_hidden=self.collect_h0, ragged=ragged,
                 )

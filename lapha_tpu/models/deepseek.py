@@ -82,10 +82,28 @@ class DeepseekConfig:
     attn_impl: str = "auto"            # auto | pallas | dense
     dtype: Any = jnp.bfloat16
 
-    # duck-typed knobs qwen2._embed/_lm_head read (inert here; plain class
-    # attributes, deliberately NOT dataclass fields)
+    # duck-typed knobs qwen2._embed/_lm_head and the Engine read (inert
+    # here; plain class attributes, deliberately NOT dataclass fields)
     embed_normalizer = False
     final_softcap = 0.0
+    sliding_window = 0
+    layer_windows = ()
+    max_window_ = 0
+
+    def window_for_layer(self, l: int) -> int:
+        return 0
+
+    @property
+    def num_key_value_heads(self) -> int:
+        """MLA's latent cache is MQA-shaped: ONE shared 'head' per layer.
+        The Engine reads this (with :attr:`head_dim_`) only for cache
+        allocation/layout math, which is exactly right for the latent."""
+        return 1
+
+    @property
+    def head_dim_(self) -> int:
+        """Engine-facing cache vector width (see num_key_value_heads)."""
+        return self.cache_width_
 
     @property
     def qk_head_dim_(self) -> int:
@@ -323,23 +341,90 @@ def _layer_body(cfg: DeepseekConfig, x, p, cos, sin, mask, key_mask):
     return x, latent
 
 
+def _mla_attend_dense(cfg: DeepseekConfig, q, k, v, mask):
+    """Masked dense attention: q (B,T,nh,dq), k (B,S,nh,dq),
+    v (B,S,nh,dv), mask (B,T,S)."""
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * cfg.attn_scale_
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _layer_body_cached(cfg: DeepseekConfig, x, p, cos, sin, mask,
+                       ck_l, cv_l, cache_pos):
+    """One decoder layer in cache-threaded (engine prefill) mode: the T
+    new tokens' latents are WRITTEN into the layer's prefill-layout cache
+    (B, S, 1, cache_width) at ``cache_pos`` (scalar, or (B,) per-row
+    offsets for batched prefix-hit suffix prefill), then attention expands
+    per-head K/V from the WHOLE cache (reused prefix latents included).
+    ``cv_l`` is carried untouched — MLA has no second cache plane; the
+    Engine's (ck, cv) pair keeps its layout code model-agnostic."""
+    B, T, H = x.shape
+    nh, r = cfg.num_attention_heads, cfg.kv_lora_rank
+    h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+
+    q = _q_heads(cfg, p["attn"], h)
+    q_nope, q_pe = jnp.split(q, [cfg.qk_nope_head_dim], axis=-1)
+    q_pe = _apply_rope_ds(q_pe, cos, sin, cfg.rope_interleave)
+    c, k_pe = _latent(cfg, p["attn"], h, cos, sin)
+    lat = jnp.concatenate([c, k_pe[..., 0, :]], axis=-1)[:, :, None, :]
+
+    if getattr(cache_pos, "ndim", 0) >= 1:  # per-row suffix offsets
+        b_idx = jnp.arange(B)[:, None]
+        t_idx = cache_pos[:, None] + jnp.arange(T)[None, :]
+        nk = ck_l.at[b_idx, t_idx].set(lat)
+    else:
+        nk = jax.lax.dynamic_update_slice(ck_l, lat, (0, cache_pos, 0, 0))
+
+    c_all = nk[:, :, 0, :r]                       # (B, S, r)
+    kpe_all = nk[:, :, 0, r:]                     # (B, S, rope)
+    wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
+    k_nope = jnp.einsum("bsr,rhd->bshd", c_all, wk,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.einsum("bsr,rhd->bshd", c_all, wv,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    S = c_all.shape[1]
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(kpe_all[:, :, None, :],
+                                  (B, S, nh, cfg.qk_rope_head_dim))], axis=-1)
+    q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+    att = _mla_attend_dense(cfg, q_full, k, v, mask)
+    att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * cfg.v_head_dim),
+                     dequant(p["attn"]["o"]["w"], x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + att
+    h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    ffn = _moe_ffn(cfg, p, h) if "moe" in p else _dense_ffn(p, h)
+    return x + ffn.astype(x.dtype), nk
+
+
 def forward(
     params: dict,
     cfg: DeepseekConfig,
     input_ids: jax.Array,
     attention_mask: jax.Array | None = None,
     positions: jax.Array | None = None,
+    kv_cache: tuple[jax.Array, jax.Array] | None = None,
+    cache_pos: Any = 0,
+    kv_valid: jax.Array | None = None,
     remat: bool = False,
     return_hidden: bool = False,
     compute_logits: bool = True,
     return_latent: bool = False,
 ):
-    """Prefill/training forward over (B, T) token ids.
+    """Full forward pass; same two modes/contract as qwen2.forward so the
+    Engine serves MLA models through identical plumbing:
 
-    Returns (logits, last_hidden | None, latents | None) where ``latents``
-    (requested via ``return_latent``) is the (L, B, T, cache_width) stack
-    of per-layer [c_norm | k_pe_roped] vectors — exactly what
-    :func:`decode_step` consumes as its cache content."""
+    * prefill/training — ``kv_cache=None``: causal attention over (B, T).
+    * cache-threaded — ``kv_cache=(ck, cv)`` of shape (L, B, S, 1,
+      cache_width): the T tokens' latents are written at ``cache_pos`` and
+      attend where ``kv_valid`` (B, S) is true; ``cv`` is carried inert.
+
+    ``return_latent`` (no-cache mode) additionally returns the
+    (L, B, T, cache_width) latent stack — the decode cache content."""
     from .qwen2 import _embed, _lm_head  # shared embed/head (int8-aware)
 
     B, T = input_ids.shape
@@ -352,47 +437,88 @@ def forward(
     cos, sin = rope_freqs(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
                           cfg.rope_scaling)
 
-    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
-    if attention_mask is not None:
-        mask = causal & (attention_mask[:, None, :] > 0)
-        key_mask = attention_mask
+    Ld = cfg.num_dense_layers_
+    if kv_cache is None:
+        causal = jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
+        if attention_mask is not None:
+            mask = causal & (attention_mask[:, None, :] > 0)
+            key_mask = attention_mask
+        else:
+            mask = jnp.broadcast_to(causal, (B, T, T))
+            key_mask = jnp.ones((B, T), jnp.int32)
+
+        def scan_group(x, group):
+            def body(x, p):
+                return _layer_body(cfg, x, p, cos, sin, mask, key_mask)
+            if remat:
+                body = jax.checkpoint(body, prevent_cse=False)
+            return jax.lax.scan(body, x, group)
+
+        lats = []
+        if "dense_layers" in params:
+            x, lat_d = scan_group(x, params["dense_layers"])
+            lats.append(lat_d)
+        if "moe_layers" in params:
+            x, lat_m = scan_group(x, params["moe_layers"])
+            lats.append(lat_m)
+        latents = jnp.concatenate(lats, axis=0) if return_latent else None
+        new_cache = None
     else:
-        mask = jnp.broadcast_to(causal, (B, T, T))
-        key_mask = jnp.ones((B, T), jnp.int32)
+        ck, cv = kv_cache
+        S = ck.shape[2]
+        kpos = jnp.arange(S)[None, None, :]
+        cp = jnp.asarray(cache_pos)
+        cp_btc = cp[:, None, None] if cp.ndim >= 1 else cp
+        valid = (kv_valid[:, None, :] if kv_valid is not None
+                 else (kpos < (cp_btc + T)))
+        qpos = cp_btc + jnp.arange(T)[None, :, None]
+        mask = valid & (kpos <= qpos)
 
-    def scan_group(x, group):
-        def body(x, p):
-            x2, lat = _layer_body(cfg, x, p, cos, sin, mask, key_mask)
-            return x2, lat
-        if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
-        return jax.lax.scan(body, x, group)
+        def scan_cached(x, group, ck_g, cv_g):
+            def body(x, inp):
+                p, ckl, cvl = inp
+                x2, nkl = _layer_body_cached(cfg, x, p, cos, sin, mask,
+                                             ckl, cvl, cache_pos)
+                return x2, (nkl, cvl)
+            return jax.lax.scan(body, x, (group, ck_g, cv_g))
 
-    lats = []
-    if "dense_layers" in params:
-        x, lat_d = scan_group(x, params["dense_layers"])
-        lats.append(lat_d)
-    if "moe_layers" in params:
-        x, lat_m = scan_group(x, params["moe_layers"])
-        lats.append(lat_m)
-    latents = jnp.concatenate(lats, axis=0) if return_latent else None
+        nks, nvs = [], []
+        if "dense_layers" in params:
+            x, (nk, nv) = scan_cached(x, params["dense_layers"],
+                                      ck[:Ld], cv[:Ld])
+            nks.append(nk); nvs.append(nv)
+        if "moe_layers" in params:
+            x, (nk, nv) = scan_cached(x, params["moe_layers"],
+                                      ck[Ld:], cv[Ld:])
+            nks.append(nk); nvs.append(nv)
+        new_cache = (jnp.concatenate(nks, axis=0) if len(nks) > 1 else nks[0],
+                     jnp.concatenate(nvs, axis=0) if len(nvs) > 1 else nvs[0])
+        latents = None
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     if not compute_logits:
-        return None, (x if return_hidden else None), latents
+        return None, (x if return_hidden else None), \
+            (new_cache if kv_cache is not None else latents)
     logits = _lm_head(params, cfg, x)
-    return logits, (x if return_hidden else None), latents
+    return logits, (x if return_hidden else None), \
+        (new_cache if kv_cache is not None else latents)
 
 
 # --------------------------------------------------------------- decode
 
 
-def init_latent_cache(cfg: DeepseekConfig, batch: int, max_len: int) -> jax.Array:
-    """(L, B, S, kv_lora_rank + qk_rope_head_dim) — the WHOLE decode
-    state. At V3 scale this is 61*576 = 34 KB/token vs ~3.4 MB/token for
-    an equivalent dense-head cache: the reason MLA serves long contexts."""
-    return jnp.zeros(
-        (cfg.num_hidden_layers, batch, max_len, cfg.cache_width_), cfg.dtype)
+def init_kv_cache(cfg: DeepseekConfig, batch: int, max_len: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Engine-contract prefill-layout cache pair, MQA-shaped for MLA:
+    (L, B, S, 1, kv_lora_rank + qk_rope_head_dim). The "k" plane holds the
+    latent [c_norm | k_pe]; the "v" plane exists only so the Engine's
+    model-agnostic layout code (transpose/gather/compaction/prefix store)
+    handles one pair shape — it is never read or written by compute, so
+    XLA sees pure identities through it. At V3 scale the latent is
+    61 x 576 x 2 B = 69 KB/token vs ~3.8 MB/token for per-head K/V —
+    the MLA serving win."""
+    shape = (cfg.num_hidden_layers, batch, max_len, 1, cfg.cache_width_)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
 def _layer_slice(params: dict, cfg: DeepseekConfig, l: int) -> dict:
@@ -406,34 +532,53 @@ def _layer_slice(params: dict, cfg: DeepseekConfig, l: int) -> dict:
 def decode_step(
     params: dict,
     cfg: DeepseekConfig,
-    token: jax.Array,      # (B,) int32 — token emitted last step
-    positions: jax.Array,  # (B,) int32 rope position of this token
-    cache: jax.Array,      # (L, B, S, cache_width)
-    slot: jax.Array,       # scalar int32 — cache column to write
-    kv_valid: jax.Array,   # (B, S) bool — readable columns INCLUDING slot
+    tok: jax.Array,        # (B,) int32 — the tokens to forward
+    positions: jax.Array,  # (B,) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, 1, S, cache_width) — decode layout
+    cache_v: jax.Array,    # carried inert (see init_kv_cache)
+    slot: jax.Array,       # scalar int32 — uniform cache slot for this step
+    lens: jax.Array,       # (B,) int32 — prompt lengths (prefix validity)
+    dstart: jax.Array,     # (B,) int32 — first VALID decode slot per row
+    return_hidden: bool = False,
+    ragged: bool | None = None,
+    cache_scale=None,
+    win_cache=None,
+    win_pad: int = 0,
 ):
-    """One-token MLA decode via weight absorption.
+    """One-token MLA decode via weight absorption — the Engine's hot loop
+    body for this family (same contract as qwen2.decode_step; slot-uniform
+    validity: slot j readable for row b iff j < lens[b] or
+    dstart[b] <= j <= slot).
 
-    Per layer the cache column ``slot`` receives [c_norm | k_pe] for this
-    token, then attention reads the SINGLE shared latent stream:
+    Per layer the cache column ``slot`` receives [c_norm | k_pe], then
+    attention reads the SINGLE shared latent stream:
 
-        q_lat,h = W_UK,h^T q_nope,h           (per-head absorb: (r,))
-        s_h     = q_lat,h . c_s + q_pe,h . k_pe_s      over valid s
+        q_lat,h = W_UK,h^T q_nope,h            (per-head absorb: (r,))
+        s_h     = q_lat,h . c_s + q_pe,h . k_pe_s       over valid s
         ctx_h   = W_UV,h (sum_s softmax(s)_s c_s)
 
-    No per-head K/V is ever materialized — cache traffic per layer-step is
-    S * cache_width bytes regardless of nh (the MQA property that makes
-    MLA decode HBM-cheap). Returns (logits (B, V), hidden (B, H),
-    new_cache)."""
+    No per-head K/V is ever materialized — cache traffic per layer-step
+    is S * cache_width bytes regardless of nh (the MQA property that
+    makes MLA decode HBM-cheap). ``ragged`` is accepted and ignored (the
+    latent width is not kernel-tileable; the dense masked read IS the
+    cheap path here); int8-KV and windowed-short caches are qwen2-family
+    features and reject loudly."""
     from .qwen2 import _embed, _lm_head
 
-    B = token.shape[0]
+    if cache_scale is not None:
+        raise ValueError("kv_quant int8 is not supported for MLA latent "
+                         "caches yet")
+    if win_cache is not None:
+        raise ValueError("sliding-window caches do not apply to deepseek")
+    B = tok.shape[0]
     nh, r = cfg.num_attention_heads, cfg.kv_lora_rank
-    x = _embed(params, cfg, token[:, None])  # (B, 1, H)
+    S = cache_k.shape[3]
+    x = _embed(params, cfg, tok[:, None])  # (B, 1, H)
     cos, sin = rope_freqs(positions[:, None], cfg.qk_rope_head_dim,
                           cfg.rope_theta, cfg.rope_scaling)
+    ar = jnp.arange(S)[None, :]
+    valid = (ar < lens[:, None]) | ((ar >= dstart[:, None]) & (ar <= slot))
 
-    new_cache = cache
     for l in range(cfg.num_hidden_layers):
         p = _layer_slice(params, cfg, l)
         h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
@@ -445,20 +590,20 @@ def decode_step(
         lat = jnp.concatenate([c1[:, 0], kpe1[:, 0, 0, :]], axis=-1)  # (B,W)
 
         layer_cache = jax.lax.dynamic_update_slice(
-            new_cache[l], lat[:, None, :], (0, slot, 0))
-        new_cache = new_cache.at[l].set(layer_cache)
+            cache_k[l], lat[:, None, None, :], (0, 0, slot, 0))
+        cache_k = cache_k.at[l].set(layer_cache)
 
         wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
         q_lat = jnp.einsum("bhd,rhd->bhr", q_nope, wk,
                            preferred_element_type=jnp.float32).astype(x.dtype)
-        cc = layer_cache[..., :r]                       # (B, S, r)
-        kp = layer_cache[..., r:]                       # (B, S, rope)
+        cc = layer_cache[:, 0, :, :r]                   # (B, S, r)
+        kp = layer_cache[:, 0, :, r:]                   # (B, S, rope)
         scores = (jnp.einsum("bhr,bsr->bhs", q_lat, cc,
                              preferred_element_type=jnp.float32)
                   + jnp.einsum("bhp,bsp->bhs", q_pe, kp,
                                preferred_element_type=jnp.float32))
         scores = scores * cfg.attn_scale_
-        scores = jnp.where(kv_valid[:, None, :], scores, -1e30)
+        scores = jnp.where(valid[:, None, :], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhs,bsr->bhr", attn, cc,
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -476,7 +621,7 @@ def decode_step(
 
     hidden = rms_norm(x[:, 0], params["norm"]["scale"], cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, hidden)
-    return logits, hidden, new_cache
+    return logits, (hidden if return_hidden else None), cache_k, cache_v
 
 
 # --------------------------------------------------------------- init /

@@ -60,8 +60,21 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, n_seq: int = 1,
 # collectives), while the always-on shared expert uses the same TP split as
 # a dense MLP. The router and the shared-expert sigmoid gate are tiny and
 # replicated.
+#
+# DeepSeek (models/deepseek.py) reuses these where paths coincide (expert
+# stacks, shared experts, dense MLPs, norms — the dense_layers/moe_layers
+# group prefixes still contain "layers/"); MLA-specific mats get their own
+# rules: q_b/kv_b shard the head-major OUT dim over ``model`` (per-head
+# absorb einsums stay head-parallel; the o-proj contraction psums), while
+# the latent-side mats (q_a, kv_a — outputs shared by every head) and the
+# tiny a-norms replicate over ``model`` and FSDP over ``data``.
 PARAM_RULES: list[tuple[str, P]] = [
-    (r"layers/moe/router/w$", P()),
+    (r"layers/moe/router/(w|bias)$", P()),
+    (r"layers/attn/(q|q_b)/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/attn/(q_a|kv_a)/w$", P(None, DATA_AXIS)),
+    (r"layers/attn/kv_b/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/attn/o/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"layers/attn/(q_a_norm|kv_a_norm)/scale$", P()),
     (r"layers/moe/experts/(gate|up|down)_proj/w$", P(None, MODEL_AXIS)),
     (r"layers/moe/shared/(gate|up)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
     (r"layers/moe/shared/down_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),

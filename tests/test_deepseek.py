@@ -139,23 +139,33 @@ def test_v3_logits_match_hf(tiny_hf_v3_dir):
 
 
 def test_latent_decode_matches_forward(tiny_hf_v3_dir):
-    """The absorbed latent-cache decode == the full forward on the
-    extended sequence (weight-absorption identity), over several steps."""
+    """Cached prefill + absorbed latent-cache decode == the full no-cache
+    forward on the extended sequence (weight-absorption identity), over
+    several steps — the Engine contract end to end."""
     params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
     B, T0, S, steps = 2, 9, 24, 5
     ids = jnp.asarray(rng.integers(2, 512, size=(B, T0)))
-    logits, _, lat = deepseek.forward(params, cfg, ids, return_latent=True)
-    cache = deepseek.init_latent_cache(cfg, B, S)
-    cache = cache.at[:, :, :T0, :].set(lat)
+    ref0, _, _ = deepseek.forward(params, cfg, ids)
+    ck, cv = deepseek.init_kv_cache(cfg, B, S)
+    kv_valid = jnp.broadcast_to(jnp.arange(S)[None, :] < T0, (B, S))
+    logits, _, (ck, cv) = deepseek.forward(
+        params, cfg, ids, kv_cache=(ck, cv), cache_pos=0, kv_valid=kv_valid)
+    # cache-threaded prefill must equal the no-cache forward
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref0),
+                               rtol=1e-4, atol=1e-4)
+    # prefill layout (L,B,S,1,W) -> decode layout (L,B,1,S,W)
+    ckd = jnp.transpose(ck, (0, 1, 3, 2, 4))
+    cvd = jnp.transpose(cv, (0, 1, 3, 2, 4))
+    lens = jnp.full((B,), T0, jnp.int32)
+    dstart = jnp.full((B,), T0, jnp.int32)
     seq = ids
     step_fn = jax.jit(deepseek.decode_step, static_argnums=(1,))
     nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     for t in range(steps):
         slot = T0 + t
-        valid = jnp.broadcast_to(jnp.arange(S)[None, :] <= slot, (B, S))
-        lg, _, cache = step_fn(params, cfg, nxt,
-                               jnp.full((B,), slot, jnp.int32), cache,
-                               jnp.asarray(slot, jnp.int32), valid)
+        lg, _, ckd, cvd = step_fn(
+            params, cfg, nxt, jnp.full((B,), slot, jnp.int32), ckd, cvd,
+            jnp.asarray(slot, jnp.int32), lens, dstart)
         seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
         ref, _, _ = deepseek.forward(params, cfg, seq)
         np.testing.assert_allclose(np.asarray(lg), np.asarray(ref[:, -1]),
@@ -163,35 +173,76 @@ def test_latent_decode_matches_forward(tiny_hf_v3_dir):
         nxt = jnp.argmax(lg, -1).astype(jnp.int32)
 
 
-def test_greedy_decode_matches_hf(tiny_hf_v2_dir):
-    """Greedy continuation through the latent cache == HF greedy."""
-    torch = pytest.importorskip("torch")
-    from transformers import DeepseekV2ForCausalLM
+class _IdTok:
+    eos_token_id = 1
+    pad_token_id = 0
 
-    params, cfg = loader.load_params(tiny_hf_v2_dir, dtype=jnp.float32)
-    prompt = [5, 6, 7, 8, 9]
-    T0, S, steps = len(prompt), 16, 6
-    ids = jnp.asarray([prompt])
-    logits, _, lat = deepseek.forward(params, cfg, ids, return_latent=True)
-    cache = deepseek.init_latent_cache(cfg, 1, S).at[:, :, :T0, :].set(lat)
-    got = []
-    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-    for t in range(steps):
-        got.append(int(nxt[0]))
-        slot = T0 + t
-        valid = jnp.broadcast_to(jnp.arange(S)[None, :] <= slot, (1, S))
-        lg, _, cache = deepseek.decode_step(
-            params, cfg, nxt, jnp.full((1,), slot, jnp.int32), cache,
-            jnp.asarray(slot, jnp.int32), valid)
-        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+    def __call__(self, text, add_special_tokens=True, **kw):
+        return {"input_ids": [int(w) for w in text.split()]}
 
-    hf = DeepseekV2ForCausalLM.from_pretrained(tiny_hf_v2_dir).eval()
+    def decode(self, ids, **kw):
+        return " ".join(str(int(i)) for i in ids)
+
+
+def _hf_greedy(hf, torch, prompt, steps):
     seq = torch.tensor([prompt])
     with torch.no_grad():
         for _ in range(steps):
             nt = hf(seq).logits[0, -1].argmax().item()
             seq = torch.cat([seq, torch.tensor([[nt]])], 1)
-    assert got == seq[0, T0:].tolist()
+    return seq[0, len(prompt):].tolist()
+
+
+def test_engine_greedy_matches_hf(tiny_hf_v2_dir):
+    """MLA models serve through the REAL Engine (dispatched decode path,
+    slot-uniform latent cache) — greedy == HF greedy."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV2ForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_hf_v2_dir, dtype=jnp.float32)
+    eng = Engine(params, cfg, _IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    prompt = [5, 6, 7, 8, 9]
+    got = eng.generate([" ".join(map(str, prompt))],
+                       SamplingParams(n=1, temperature=0.0, max_tokens=6)
+                       )[0].outputs[0].token_ids
+    hf = DeepseekV2ForCausalLM.from_pretrained(tiny_hf_v2_dir).eval()
+    assert got == _hf_greedy(hf, torch, prompt, 6)
+
+
+def test_engine_prefix_hit_matches_hf(tiny_hf_v3_dir):
+    """Prefix-KV reuse on the latent cache: a second request extending a
+    cached prompt takes the suffix-prefill path (per-row cache_pos writes
+    into the latent plane) and still matches HF greedy."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV3ForCausalLM
+
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    eng = Engine(params, cfg, _IdTok(), max_model_len=64, max_batch=2,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=10_000_000,
+                 prefix_cache_min_reuse=4)
+    base = [5, 6, 7, 8, 9, 10, 11, 12]
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=5)
+    eng.generate([" ".join(map(str, base))], sp)  # seed the prefix store
+    ext = base + [13, 14]
+    got = eng.generate([" ".join(map(str, ext))], sp)[0].outputs[0].token_ids
+    hf = DeepseekV3ForCausalLM.from_pretrained(tiny_hf_v3_dir).eval()
+    assert got == _hf_greedy(hf, torch, ext, 5)
+
+
+def test_engine_rejects_unsupported_modes(tiny_hf_v2_dir):
+    from lapha_tpu.engine import Engine
+
+    params, cfg = loader.load_params(tiny_hf_v2_dir, dtype=jnp.float32)
+    for kw in ({"kv_quant": "int8"}, {"spec_decode": "pld"}):
+        with pytest.raises(ValueError):
+            Engine(params, cfg, _IdTok(), max_batch=2, **kw)
 
 
 def test_moe_impls_agree_deepseek():
@@ -261,12 +312,29 @@ def test_rope_interleave_convention():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_forward_matches(mesh8, tiny_hf_v3_dir):
+    """MLA + deepseek-MoE forward sharded over a (data=4, model=2) mesh
+    (PARAM_RULES: q_b/kv_b head-split TP, expert-dim EP, latent-side mats
+    FSDP) reproduces the unsharded logits."""
+    from lapha_tpu.parallel import shard_params
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, size=(4, 12)))
+    ref, _, _ = deepseek.forward(params, cfg, ids)
+    sharded = shard_params(params, mesh8)
+    with mesh8:
+        got, _, _ = deepseek.forward(sharded, cfg, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cache_is_latent_sized():
-    """The decode cache is (L, B, S, r + rope) — per token per layer
-    ~10-50x smaller than per-head K/V; this IS the MLA serving win."""
+    """The decode cache is (L, B, S, 1, r + rope) MQA-shaped — per token
+    per layer far smaller than per-head K/V; this IS the MLA serving win."""
     cfg = tiny_cfg()
-    cache = deepseek.init_latent_cache(cfg, 4, 32)
-    assert cache.shape == (3, 4, 32, 40)
+    ck, cv = deepseek.init_kv_cache(cfg, 4, 32)
+    assert ck.shape == (3, 4, 32, 1, 40)
     dense_equiv = 2 * cfg.num_attention_heads * (
         cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
-    assert cache.shape[-1] * 4 < dense_equiv * 4  # strictly smaller
+    assert ck.shape[-1] < dense_equiv  # strictly smaller per token-layer
+    assert cfg.num_key_value_heads == 1 and cfg.head_dim_ == 40
