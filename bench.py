@@ -86,6 +86,23 @@ def main():
             head_dim=128, max_position_embeddings=4096, rope_theta=1e6,
             dtype=jnp.bfloat16,
         )
+    elif preset == "mla":
+        # DeepSeek-V2-Lite-proportioned DENSE body (~2.2B, 4.4 GB bf16 —
+        # fits one v5e): H=2048, 27 layers, 16 heads of Multi-head Latent
+        # Attention (kv_lora 512 + rope 64). Measures the absorbed
+        # latent-cache decode path (models/deepseek.decode_step): cache
+        # traffic is S x 576 per layer-step REGARDLESS of head count
+        # (an MHA-16 equivalent would read 16x(192+128) = 5120/token).
+        from lapha_tpu.models import deepseek
+
+        cfg = deepseek.DeepseekConfig(
+            vocab_size=102400, hidden_size=2048, intermediate_size=10944,
+            num_hidden_layers=27, num_attention_heads=16,
+            q_lora_rank=0, kv_lora_rank=512, qk_nope_head_dim=128,
+            qk_rope_head_dim=64, v_head_dim=128, n_routed_experts=0,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            dtype=jnp.bfloat16,
+        )
     else:
         cfg = Qwen2Config.tiny(vocab_size=2048)
 
@@ -95,7 +112,11 @@ def main():
     parents = int(os.getenv("BENCH_PARENTS", "8"))
     rounds = int(os.getenv("BENCH_ROUNDS", "3"))
 
-    if os.getenv("BENCH_QUANT") in ("int8", "int4"):
+    if preset == "mla":
+        from lapha_tpu.models import deepseek
+
+        params = deepseek.init_params(cfg, jax.random.key(0))
+    elif os.getenv("BENCH_QUANT") in ("int8", "int4"):
         # device-side quantized init: never holds bf16 weights anywhere.
         # int4 = group-128 RTN projections (AWQ storage layout) + int8
         # embed/lm_head — halves the dominant weight stream again.
@@ -119,7 +140,9 @@ def main():
         # DEFAULT stays bf16 (parity-by-default; int8 KV is an opt-in knob,
         # PARITY.md) — the bench measures the framework's best supported
         # config. BENCH_KV_QUANT=bf16 reproduces the bf16 number.
-        kv_quant=(None if os.getenv("BENCH_KV_QUANT") in ("bf16", "none")
+        # int8 KV does not apply to MLA latent caches (engine rejects)
+        kv_quant=(None if preset == "mla"
+                  or os.getenv("BENCH_KV_QUANT") in ("bf16", "none")
                   else (os.getenv("BENCH_KV_QUANT") or
                         ("int8" if preset != "tiny" else None))),
     )

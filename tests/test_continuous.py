@@ -313,3 +313,42 @@ def test_gemma_style_mixed_window_model_through_scheduler():
         assert outB.outputs[0].token_ids == refB
     finally:
         ce.stop()
+
+
+def test_deepseek_mla_through_scheduler():
+    """A DeepSeek MLA model (latent MQA-shaped cache via the engine's
+    model dispatch) decodes through the continuous scheduler with
+    mid-stream admission and compaction, matching the sync engine."""
+    from lapha_tpu.models import deepseek
+
+    cfg = deepseek.DeepseekConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=3, num_attention_heads=4, q_lora_rank=24,
+        kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+        v_head_dim=16, n_routed_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=24, n_shared_experts=1,
+        first_k_dense_replace=1, scoring_func="sigmoid",
+        topk_method="noaux_tc", n_group=4, topk_group=2,
+        norm_topk_prob=True, dtype=jax.numpy.float32)
+    params = deepseek.init_params(cfg, jax.random.key(14))
+    eng = Engine(params, cfg, ByteTok(), max_model_len=96, max_batch=4,
+                 decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                 eos_token_ids=[], prefix_cache_bytes=0)
+    ce = ContinuousEngine(eng, prompt_slab=32, chunk=4)
+    ce.start()
+    try:
+        spA = SamplingParams(n=1, temperature=0.0, max_tokens=60)
+        spB = SamplingParams(n=1, temperature=0.0, max_tokens=40)
+        futA = ce.submit("long A", spA)
+        t0 = time.time()
+        while ce.steps_executed < 30 and time.time() - t0 < 60:
+            time.sleep(0.01)
+        futB = ce.submit("short b", spB)   # admitted mid-stream
+        outB = futB.result(timeout=120)
+        outA = futA.result(timeout=120)
+        refA = eng.generate(["long A"], spA)[0].outputs[0].token_ids
+        refB = eng.generate(["short b"], spB)[0].outputs[0].token_ids
+        assert outA.outputs[0].token_ids == refA
+        assert outB.outputs[0].token_ids == refB
+    finally:
+        ce.stop()
