@@ -813,3 +813,80 @@ def load_params(model_dir: str, cfg: DeepseekConfig | None = None,
         params["moe_layers"] = {**norms(moe_idx), "attn": attn_group(moe_idx),
                                 "moe": moe}
     return params, cfg
+
+
+def export_hf(params: dict, cfg: DeepseekConfig, out_dir: str,
+              src_config_dir: str | None = None) -> None:
+    """Write params back to an HF-layout safetensors dir — reloads both
+    through this loader and vanilla Deepseek{V2,V3}ForCausalLM (the
+    deepseek analogue of loader.export_hf; quantized leaves dequantize)."""
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name: str, arr, transpose=False):
+        a = np.asarray(jax.device_get(dequant(arr, jnp.float32)), np.float32)
+        if transpose:
+            a = np.swapaxes(a, -1, -2)
+        sd[name] = np.ascontiguousarray(a, dtype=np.float32)
+
+    put("model.embed_tokens.weight", params["embed"]["weight"])
+    put("model.norm.weight", params["norm"]["scale"])
+    if not cfg.tie_word_embeddings and "lm_head" in params:
+        put("lm_head.weight", params["lm_head"]["weight"])
+
+    Ld = cfg.num_dense_layers_
+
+    def layer_view(l: int) -> dict:
+        return _layer_slice(params, cfg, l)
+
+    for l in range(cfg.num_hidden_layers):
+        p = layer_view(l)
+        pre = f"model.layers.{l}."
+        put(pre + "input_layernorm.weight", p["input_layernorm"]["scale"])
+        put(pre + "post_attention_layernorm.weight",
+            p["post_attention_layernorm"]["scale"])
+        a = p["attn"]
+        if cfg.q_lora_rank > 0:
+            put(pre + "self_attn.q_a_proj.weight", a["q_a"]["w"], transpose=True)
+            put(pre + "self_attn.q_a_layernorm.weight", a["q_a_norm"]["scale"])
+            put(pre + "self_attn.q_b_proj.weight", a["q_b"]["w"], transpose=True)
+        else:
+            put(pre + "self_attn.q_proj.weight", a["q"]["w"], transpose=True)
+        put(pre + "self_attn.kv_a_proj_with_mqa.weight", a["kv_a"]["w"],
+            transpose=True)
+        put(pre + "self_attn.kv_a_layernorm.weight", a["kv_a_norm"]["scale"])
+        put(pre + "self_attn.kv_b_proj.weight", a["kv_b"]["w"], transpose=True)
+        put(pre + "self_attn.o_proj.weight", a["o"]["w"], transpose=True)
+        if l < Ld:
+            for proj in ("gate", "up", "down"):
+                put(pre + f"mlp.{proj}_proj.weight",
+                    p["mlp"][f"{proj}_proj"]["w"], transpose=True)
+        else:
+            moe = p["moe"]
+            put(pre + "mlp.gate.weight", moe["router"]["w"], transpose=True)
+            if "bias" in moe["router"]:
+                put(pre + "mlp.gate.e_score_correction_bias",
+                    moe["router"]["bias"])
+            E = cfg.n_routed_experts
+            for e in range(E):
+                for proj in ("gate", "up", "down"):
+                    put(pre + f"mlp.experts.{e}.{proj}_proj.weight",
+                        moe["experts"][f"{proj}_proj"]["w"][e], transpose=True)
+            if "shared" in moe:
+                for proj in ("gate", "up", "down"):
+                    put(pre + f"mlp.shared_experts.{proj}_proj.weight",
+                        moe["shared"][f"{proj}_proj"]["w"], transpose=True)
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+
+    if src_config_dir:
+        for fname in ("config.json", "tokenizer.json", "tokenizer_config.json",
+                      "generation_config.json"):
+            src = os.path.join(src_config_dir, fname)
+            if os.path.exists(src):
+                with open(src, "rb") as fi, \
+                        open(os.path.join(out_dir, fname), "wb") as fo:
+                    fo.write(fi.read())

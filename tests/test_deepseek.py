@@ -312,6 +312,27 @@ def test_rope_interleave_convention():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_export_roundtrip(tiny_hf_v3_dir, tmp_path):
+    """export_hf writes the deepseek tensor layout back (q_a/q_b, kv_a
+    with mqa suffix, per-expert mats, gate bias), so the dir reloads both
+    through this loader AND vanilla DeepseekV3ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV3ForCausalLM
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    out = str(tmp_path / "ds_export")
+    deepseek.export_hf(params, cfg, out, src_config_dir=tiny_hf_v3_dir)
+    params2, cfg2 = loader.load_params(out, dtype=jnp.float32)
+    ids = rng.integers(0, 512, size=(1, 9))
+    l1, _, _ = deepseek.forward(params, cfg, jnp.asarray(ids))
+    l2, _, _ = deepseek.forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+    hf = DeepseekV3ForCausalLM.from_pretrained(out).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(l1), ref, rtol=2e-3, atol=2e-3)
+
+
 def test_sharded_forward_matches(mesh8, tiny_hf_v3_dir):
     """MLA + deepseek-MoE forward sharded over a (data=4, model=2) mesh
     (PARAM_RULES: q_b/kv_b head-split TP, expert-dim EP, latent-side mats
