@@ -80,9 +80,10 @@ class Engine:
         # cache plumbing (slot-uniform install, prefix reuse, fan-out
         # gather, compaction) is layout-level and the latent cache rides
         # it MQA-shaped (nkv=1, dh=cache_width; see deepseek.init_kv_cache)
-        if type(cfg).__name__ == "DeepseekConfig":
-            from ..models import deepseek as _mod
+        from ..models import model_module
 
+        _mod = model_module(cfg)
+        if _mod is not qwen2:
             if kv_quant is not None:
                 raise ValueError("kv_quant is not supported for MLA latent "
                                  "caches yet")
@@ -93,8 +94,6 @@ class Engine:
                 raise ValueError("seq_mesh does not support deepseek yet "
                                  "(ring/distributed-softmax paths are "
                                  "qwen2-family)")
-        else:
-            _mod = qwen2
         self._mod = _mod
         self.tokenizer = tokenizer
         self.max_model_len = int(max_model_len)

@@ -58,7 +58,9 @@ def value_forward(
       y_state = exp0((h0_raw - root_h0)/√H)     # f32, ball
       v_pred  = sigmoid(W·h0_raw + b)           # on UNcentered h0
     """
-    _, hidden, _ = qwen2.forward(
+    from . import model_module
+
+    _, hidden, _ = model_module(cfg).forward(
         params, cfg, input_ids, attention_mask=attention_mask, return_hidden=True
     )
     pm = pool_mask(attention_mask, response_mask, prompt_mask)

@@ -241,7 +241,9 @@ def loss_and_metrics(
             remat=remat, return_hidden=True, compute_logits=False,
         )
     else:
-        _, hidden, _ = qwen2.forward(
+        from ..models import model_module
+
+        _, hidden, _ = model_module(train_cfg).forward(
             params, train_cfg, ids, attention_mask=attn, remat=remat,
             return_hidden=True, compute_logits=False,
         )
@@ -367,7 +369,9 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
                                            remat=remat, return_hidden=True,
                                            compute_logits=False)
             else:
-                _, hidden, _ = qwen2.forward(p, cfg, batch["ids"],
+                from ..models import model_module
+
+                _, hidden, _ = model_module(cfg).forward(p, cfg, batch["ids"],
                                              attention_mask=batch["attn"],
                                              remat=remat, return_hidden=True,
                                              compute_logits=False)
