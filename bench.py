@@ -140,9 +140,7 @@ def main():
         # DEFAULT stays bf16 (parity-by-default; int8 KV is an opt-in knob,
         # PARITY.md) — the bench measures the framework's best supported
         # config. BENCH_KV_QUANT=bf16 reproduces the bf16 number.
-        # int8 KV does not apply to MLA latent caches (engine rejects)
-        kv_quant=(None if preset == "mla"
-                  or os.getenv("BENCH_KV_QUANT") in ("bf16", "none")
+        kv_quant=(None if os.getenv("BENCH_KV_QUANT") in ("bf16", "none")
                   else (os.getenv("BENCH_KV_QUANT") or
                         ("int8" if preset != "tiny" else None))),
     )

@@ -84,9 +84,6 @@ class Engine:
 
         _mod = model_module(cfg)
         if _mod is not qwen2:
-            if kv_quant is not None:
-                raise ValueError("kv_quant is not supported for MLA latent "
-                                 "caches yet")
             if spec_decode is not None:
                 raise ValueError("spec_decode does not support deepseek yet "
                                  "(decode_step_multi is qwen2-family)")

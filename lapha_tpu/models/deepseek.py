@@ -561,15 +561,25 @@ def decode_step(
     is S * cache_width bytes regardless of nh (the MQA property that
     makes MLA decode HBM-cheap). ``ragged`` is accepted and ignored (the
     latent width is not kernel-tileable; the dense masked read IS the
-    cheap path here); int8-KV and windowed-short caches are qwen2-family
-    features and reject loudly."""
-    from .qwen2 import _embed, _lm_head
+    cheap path here); windowed-short caches are a qwen2-family feature
+    and reject loudly.
 
-    if cache_scale is not None:
-        raise ValueError("kv_quant int8 is not supported for MLA latent "
-                         "caches yet")
+    ``cache_scale=(ks, vs)`` (each (L, B, 1, S) f32) switches the latent
+    plane to int8 with per-vector scales (kv_quant="int8"): the c and
+    k_pe segments share one vector scale, which folds ONCE into the
+    summed score (both dot products scale linearly in the vector) and
+    into the attention weights before the context combine — exact given
+    the quantized values. At long S the latent read stream dominates an
+    MLA decode step, so halving it is the same lever as qwen2's int8 KV.
+    ``vs`` is carried inert like cache_v. Returns gain the updated scale
+    tuple, matching the qwen2 contract."""
+    from .qwen2 import _embed, _lm_head, _quantize_kv
+
     if win_cache is not None:
         raise ValueError("sliding-window caches do not apply to deepseek")
+    q8 = cache_scale is not None
+    if q8:
+        ks_all, vs_all = cache_scale
     B = tok.shape[0]
     nh, r = cfg.num_attention_heads, cfg.kv_lora_rank
     S = cache_k.shape[3]
@@ -589,8 +599,16 @@ def decode_step(
         c1, kpe1 = _latent(cfg, p["attn"], h, cos, sin)  # (B,1,r), (B,1,1,p)
         lat = jnp.concatenate([c1[:, 0], kpe1[:, 0, 0, :]], axis=-1)  # (B,W)
 
-        layer_cache = jax.lax.dynamic_update_slice(
-            cache_k[l], lat[:, None, None, :], (0, 0, slot, 0))
+        if q8:
+            lat_q, s_vec = _quantize_kv(lat)           # (B, W) i8, (B,) f32
+            layer_cache = jax.lax.dynamic_update_slice(
+                cache_k[l], lat_q[:, None, None, :], (0, 0, slot, 0))
+            ks_l = jax.lax.dynamic_update_slice(
+                ks_all[l], s_vec[:, None, None], (0, 0, slot))
+            ks_all = ks_all.at[l].set(ks_l)
+        else:
+            layer_cache = jax.lax.dynamic_update_slice(
+                cache_k[l], lat[:, None, None, :], (0, 0, slot, 0))
         cache_k = cache_k.at[l].set(layer_cache)
 
         wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
@@ -598,13 +616,22 @@ def decode_step(
                            preferred_element_type=jnp.float32).astype(x.dtype)
         cc = layer_cache[:, 0, :, :r]                   # (B, S, r)
         kp = layer_cache[:, 0, :, r:]                   # (B, S, rope)
+        if q8:
+            cc = cc.astype(x.dtype)
+            kp = kp.astype(x.dtype)
         scores = (jnp.einsum("bhr,bsr->bhs", q_lat, cc,
                              preferred_element_type=jnp.float32)
                   + jnp.einsum("bhp,bsp->bhs", q_pe, kp,
                                preferred_element_type=jnp.float32))
+        if q8:  # one shared per-vector scale for both segments
+            scores = scores * ks_l[:, 0, None, :]
         scores = scores * cfg.attn_scale_
         scores = jnp.where(valid[:, None, :], scores, -1e30)
-        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if q8:  # fold the value-side scale into the weights pre-combine
+            attn = (attn * ks_l[:, 0, None, :]).astype(x.dtype)
+        else:
+            attn = attn.astype(x.dtype)
         ctx = jnp.einsum("bhs,bsr->bhr", attn, cc,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = jnp.einsum("bhr,rhd->bhd", ctx, wv,
@@ -621,6 +648,9 @@ def decode_step(
 
     hidden = rms_norm(x[:, 0], params["norm"]["scale"], cfg.rms_norm_eps)
     logits = _lm_head(params, cfg, hidden)
+    if q8:
+        return (logits, (hidden if return_hidden else None), cache_k,
+                cache_v, (ks_all, vs_all))
     return logits, (hidden if return_hidden else None), cache_k, cache_v
 
 

@@ -240,9 +240,64 @@ def test_engine_rejects_unsupported_modes(tiny_hf_v2_dir):
     from lapha_tpu.engine import Engine
 
     params, cfg = loader.load_params(tiny_hf_v2_dir, dtype=jnp.float32)
-    for kw in ({"kv_quant": "int8"}, {"spec_decode": "pld"}):
-        with pytest.raises(ValueError):
-            Engine(params, cfg, _IdTok(), max_batch=2, **kw)
+    with pytest.raises(ValueError):
+        Engine(params, cfg, _IdTok(), max_batch=2, spec_decode="pld")
+
+
+def test_int8_latent_cache_tracks_bf16(tiny_hf_v3_dir):
+    """kv_quant on the MLA latent plane: one shared per-vector scale for
+    the c and k_pe segments, folded once into the summed score and into
+    the combine weights — logits track the bf16 cache within int8
+    per-vector error, and this step's latent is written quantized."""
+    from lapha_tpu.engine import Engine
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    r = np.random.default_rng(0)
+    B, S, Lp = 4, 32, 12
+    L, W = cfg.num_hidden_layers, cfg.cache_width_
+    ckf = jnp.asarray(r.normal(size=(L, B, 1, S, W)).astype(np.float32)) * 0.3
+    cvf = jnp.zeros_like(ckf)
+    lens = jnp.asarray(r.integers(4, Lp, B), jnp.int32)
+    dstart = jnp.full((B,), Lp, jnp.int32)
+    slot = jnp.asarray(Lp, jnp.int32)
+    tok = jnp.asarray(r.integers(2, 512, B), jnp.int32)
+    ref_logits, _, _, _ = deepseek.decode_step(
+        params, cfg, tok, lens, ckf, cvf, slot, lens, dstart)
+    ckq, cvq, scale = Engine._quantize_cache_impl(jnp.array(ckf),
+                                                  jnp.array(cvf))
+    got_logits, _, ckq2, _, scale2 = deepseek.decode_step(
+        params, cfg, tok, lens, ckq, cvq, slot, lens, dstart,
+        cache_scale=scale)
+    assert ckq2.dtype == jnp.int8
+    denom = float(jnp.abs(ref_logits).max())
+    err = float(jnp.abs(got_logits - ref_logits).max()) / max(denom, 1e-9)
+    assert err < 0.05, err
+    assert float(jnp.abs(scale2[0][:, :, :, Lp]).min()) > 0
+
+
+def test_engine_generate_kv_quant_int8_mla(tiny_hf_v3_dir):
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    r = np.random.default_rng(1)
+    prompts = [" ".join(str(i) for i in r.integers(2, 512, 16))
+               for _ in range(2)]
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=10)
+
+    def mk(kv_quant):
+        return Engine(params, cfg, _IdTok(), max_model_len=64, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      kv_quant=kv_quant)
+
+    ref = mk(None).generate(prompts, sp)
+    got = mk("int8").generate(prompts, sp)
+    for r_ref, r_got in zip(ref, got):
+        a = r_ref.outputs[0].token_ids
+        b = r_got.outputs[0].token_ids
+        assert len(a) == len(b) == 10
+        same = sum(x == y for x, y in zip(a, b))
+        assert same >= 7, (a, b)
 
 
 def test_moe_impls_agree_deepseek():
