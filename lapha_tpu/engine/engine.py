@@ -147,6 +147,15 @@ class Engine:
                 raise ValueError(
                     "seq_mesh does not support sliding-window models yet "
                     "(ring/distributed-softmax paths assume full masks)")
+        if getattr(cfg, "attn_sinks", False):
+            if spec_decode is not None:
+                raise ValueError(
+                    "spec_decode does not support attention-sink models "
+                    "yet (decode_step_multi has no sink column)")
+            if seq_mesh is not None:
+                raise ValueError(
+                    "seq_mesh does not support attention-sink models yet "
+                    "(ring/distributed-softmax denominators lack the sink)")
         self.spec_decode = spec_decode
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)

@@ -75,10 +75,10 @@ def load_config(model_dir: str) -> Qwen2Config:
     # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
                   "llama", "mistral", "mixtral", "phi3", "gemma2",
-                  "gemma3_text", "gemma3"):
+                  "gemma3_text", "gemma3", "gpt_oss"):
         raise ValueError(
             f"unsupported model_type {mt!r} (qwen2/qwen3/llama/mistral/"
-            "mixtral/phi3/gemma/deepseek decoder family)")
+            "mixtral/phi3/gemma/gpt_oss/deepseek decoder family)")
     return Qwen2Config.from_hf(cfg)
 
 
@@ -226,6 +226,12 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                        "b": stack_bias("layers.{i}.self_attn.v_proj.bias", nkv * dh)},
             "o_proj": {"w": stack("layers.{i}.self_attn.o_proj.weight", transpose=True)},
         }
+    if cfg.o_proj_bias:  # gpt_oss biases every projection
+        attn["o_proj"]["b"] = stack("layers.{i}.self_attn.o_proj.bias")
+    if cfg.attn_sinks:   # learned per-head sink logits, kept f32
+        attn["sinks"] = _to_jax(
+            np.stack([_get(tensors, f"layers.{i}.self_attn.sinks")
+                      for i in range(L)], axis=0), jnp.float32)
     params: dict[str, Any] = {
         "embed": {"weight": embed},
         "layers": {
@@ -237,7 +243,36 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                            if cfg.sandwich_norms
                            else _to_jax(_get(tensors, "norm.weight"), dtype))},
     }
-    if cfg.num_experts > 0:
+    if cfg.num_experts > 0 and cfg.moe_style == "gptoss":
+        # gpt_oss experts are STACKED Parameters already ((E, in, out) —
+        # no per-expert Linears, no transpose) with fused gate_up whose
+        # columns interleave [g0, u0, g1, u1, ...]; de-interleave into
+        # [gate | up] halves at load so compute slices contiguously
+        # (ops/moe.moe_block_gptoss; export re-interleaves).
+        def stack_go(fmt: str, deinter: bool = False, quantizable=False):
+            out = np.stack([_get(tensors, fmt.format(i=i)) for i in range(L)],
+                           axis=0)
+            if deinter:
+                out = np.concatenate([out[..., 0::2], out[..., 1::2]], axis=-1)
+            if q8 and quantizable:
+                return _quant_int8_host(_host_f32(out), axis=-2)
+            return _to_jax(out, dtype)
+
+        params["layers"]["moe"] = {
+            "router": {"w": stack("layers.{i}.mlp.router.weight",
+                                  transpose=True, quantizable=False),
+                       "b": stack_go("layers.{i}.mlp.router.bias")},
+            "experts": {
+                "gate_up": {"w": stack_go("layers.{i}.mlp.experts.gate_up_proj",
+                                          deinter=True, quantizable=True),
+                            "b": stack_go("layers.{i}.mlp.experts.gate_up_proj_bias",
+                                          deinter=True)},
+                "down": {"w": stack_go("layers.{i}.mlp.experts.down_proj",
+                                       quantizable=True),
+                         "b": stack_go("layers.{i}.mlp.experts.down_proj_bias")},
+            },
+        }
+    elif cfg.num_experts > 0:
         E = cfg.num_experts
 
         def stack_experts(fmt: str):
@@ -414,7 +449,30 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
             put_norm(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
             put_norm(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
-        if "moe" in lp:
+        if cfg.o_proj_bias:
+            put(pre + "self_attn.o_proj.bias", lp["attn"]["o_proj"]["b"][i])
+        if cfg.attn_sinks:
+            put(pre + "self_attn.sinks", lp["attn"]["sinks"][i])
+        if "moe" in lp and cfg.moe_style == "gptoss":
+            moe = lp["moe"]
+            put(pre + "mlp.router.weight", moe["router"]["w"][i], transpose=True)
+            put(pre + "mlp.router.bias", moe["router"]["b"][i])
+
+            def reinter(a):  # [gate | up] halves -> interleaved columns
+                a = np.asarray(jax.device_get(a.astype(jnp.float32)), np.float32)
+                I2 = a.shape[-1] // 2
+                out = np.empty_like(a)
+                out[..., 0::2] = a[..., :I2]
+                out[..., 1::2] = a[..., I2:]
+                return np.ascontiguousarray(out)
+
+            sd[pre + "mlp.experts.gate_up_proj"] = reinter(
+                moe["experts"]["gate_up"]["w"][i])
+            sd[pre + "mlp.experts.gate_up_proj_bias"] = reinter(
+                moe["experts"]["gate_up"]["b"][i])
+            put(pre + "mlp.experts.down_proj", moe["experts"]["down"]["w"][i])
+            put(pre + "mlp.experts.down_proj_bias", moe["experts"]["down"]["b"][i])
+        elif "moe" in lp:
             moe = lp["moe"]
             router_fmt, gate_fmt, up_fmt, down_fmt = _MOE_FMTS[cfg.moe_layout]
             # _MOE_FMTS keys are loader-relative; export adds "model."

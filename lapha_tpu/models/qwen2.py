@@ -121,6 +121,21 @@ class Qwen2Config:
     # gemma3: sliding layers rope at this theta (no scaling); full layers
     # use rope_theta (+rope_scaling). 0 = single rope for all layers.
     rope_local_theta: float = 0.0
+    # ---- gpt_oss family knobs (inert at defaults) ----
+    # Learned per-head attention sinks: softmax over [scores, sink_h] with
+    # the sink column dropped after normalization (HF GptOss
+    # eager_attention_forward) — i.e. the sink only steals probability
+    # mass. Implemented by folding exp(sink - m) into the softmax
+    # denominator in every attention path; flash/ragged kernels fall back
+    # to dense for sink models (kernel support later).
+    attn_sinks: bool = False
+    # gpt_oss puts a bias on o_proj too (q/k/v biases ride attention_bias)
+    o_proj_bias: bool = False
+    # MoE flavor: "qwen" (softmax-over-all -> topk, SwiGLU experts) or
+    # "gptoss" (topk over LOGITS -> softmax over the k values; fused
+    # gate_up experts with biases and the clamped gate*sigmoid(1.702*gate)
+    # GLU; router bias) — ops/moe.py moe_block_gptoss.
+    moe_style: str = "qwen"
 
     @property
     def head_dim_(self) -> int:
@@ -360,6 +375,39 @@ class Qwen2Config:
                                                 10000.0)) if g3 else 0.0),
                 dtype=dtype,
             )
+        if mt == "gpt_oss":
+            # GPT-OSS 20B/120B: GQA with biases on ALL projections,
+            # learned per-head attention sinks, alternating sliding/full
+            # layers (layer_types in the config -> layer_windows), YaRN
+            # rope, and a 128-expert top-4 MoE with router bias,
+            # topk-then-softmax routing and clamped-GLU experts
+            # (moe_style="gptoss"). Checkpoints ship MXFP4 expert blocks;
+            # this loader expects the dequantized (bf16) export.
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim", 64),
+                max_position_embeddings=cfg.get("max_position_embeddings",
+                                                131072),
+                rope_theta=cfg.get("rope_theta", 150000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+                attention_bias=cfg.get("attention_bias", True),
+                o_proj_bias=cfg.get("attention_bias", True),
+                attn_sinks=True,
+                num_experts=cfg["num_local_experts"],
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 4),
+                moe_intermediate_size=cfg["intermediate_size"],
+                moe_style="gptoss",
+                dtype=dtype,
+            )
         if mt == "phi3":
             # Phi-3/3.5-mini and Phi-4: llama-style decoder with fused
             # qkv_proj/gate_up_proj checkpoint mats (split at load), no
@@ -479,7 +527,24 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
         },
         "norm": {"scale": jnp.ones((H,), cfg.dtype)},
     }
-    if cfg.num_experts > 0:
+    if cfg.o_proj_bias:
+        params["layers"]["attn"]["o_proj"]["b"] = jnp.zeros((L, H), cfg.dtype)
+    if cfg.attn_sinks:
+        params["layers"]["attn"]["sinks"] = jnp.zeros((L, nh), jnp.float32)
+    if cfg.num_experts > 0 and cfg.moe_style == "gptoss":
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        km = jax.random.split(ks[5], 4)
+        params["layers"]["moe"] = {
+            "router": {"w": init(km[0], (L, H, E), 0.02),
+                       "b": jnp.zeros((L, E), cfg.dtype)},
+            "experts": {
+                "gate_up": {"w": init(km[1], (L, E, H, 2 * Im)),
+                            "b": jnp.zeros((L, E, 2 * Im), cfg.dtype)},
+                "down": {"w": init(km[2], (L, E, Im, H)),
+                         "b": jnp.zeros((L, E, H), cfg.dtype)},
+            },
+        }
+    elif cfg.num_experts > 0:
         E, Im, Is = cfg.num_experts, cfg.moe_intermediate_size, cfg.shared_expert_intermediate_size
         km = jax.random.split(ks[5], 8)
         params["layers"]["moe"] = {
@@ -588,8 +653,22 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
 
 
-def _attend(q, k, v, mask, cfg):
-    """Grouped-query attention core. q:(B,T,nh,dh) k,v:(B,S,nkv,dh) mask:(B,T,S)."""
+def _sink_softmax(logits, sinks):
+    """Softmax over the key axis with a per-head sink column folded into
+    the denominator (HF GptOss eager_attention_forward: softmax over
+    [logits, sink] then drop the sink — the sink only steals probability
+    mass). logits (..., nh-shaped axes ..., S) f32; ``sinks`` broadcastable
+    to logits[..., :1]."""
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sinks)
+    e = jnp.exp(logits - m)
+    return e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sinks - m))
+
+
+def _attend(q, k, v, mask, cfg, sinks=None):
+    """Grouped-query attention core. q:(B,T,nh,dh) k,v:(B,S,nkv,dh) mask:(B,T,S).
+
+    ``sinks`` (nh,) f32: gpt_oss learned attention sinks (see
+    :func:`_sink_softmax`)."""
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
     group = nh // nkv
     B, T = q.shape[0], q.shape[1]
@@ -605,12 +684,17 @@ def _attend(q, k, v, mask, cfg):
     if cfg.attn_softcap:  # gemma2: soft-clamp logits to ±cap before mask
         logits = jnp.tanh(logits / cfg.attn_softcap) * cfg.attn_softcap
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if sinks is not None:
+        probs = _sink_softmax(
+            logits, sinks.astype(jnp.float32).reshape(nkv, group)[
+                None, :, :, None, None])
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.reshape(B, T, nh, dh).astype(q.dtype)
 
 
-def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None):
+def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None, sinks=None):
     """Choose flash (pallas) vs dense attention for the no-cache path.
 
     Accepted impl names: "pallas"/"flash"/"flash_attention_2" force the
@@ -629,6 +713,8 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None):
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
         impl == "auto" and on_tpu)
+    if cfg.attn_sinks:  # the flash kernel has no sink column yet
+        use_pallas = False
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 
@@ -647,7 +733,7 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None):
         else:
             return flash_attention(q, k, v, key_mask,
                                    window=int(cfg.sliding_window or 0), **kw)
-    return _attend(q, k, v, mask, cfg)
+    return _attend(q, k, v, mask, cfg, sinks=sinks)
 
 
 def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
@@ -692,6 +778,7 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    sinks = p["attn"]["sinks"] if cfg.attn_sinks else None
     if cache_k is not None:
         # write new K/V at cache_pos (scalar: same offset for all rows;
         # (B,)-array: per-row offsets, enabling ragged right-aligned caches)
@@ -703,14 +790,18 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
         else:
             new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, cache_pos, 0, 0))
             new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, cache_pos, 0, 0))
-        att = _attend(q, new_k, new_v, mask, cfg)
+        att = _attend(q, new_k, new_v, mask, cfg, sinks=sinks)
     else:
         new_k = new_v = None
         att = (attend_fn(q, k, v) if attend_fn is not None
-               else _dispatch_attend(cfg, q, k, v, mask, key_mask, win=win))
+               else _dispatch_attend(cfg, q, k, v, mask, key_mask, win=win,
+                                     sinks=sinks))
 
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32)
+    if cfg.o_proj_bias:  # gpt_oss biases o_proj too
+        att = att + p["attn"]["o_proj"]["b"].astype(jnp.float32)
+    att = att.astype(x.dtype)
     if cfg.sandwich_norms:
         # gemma residual structure: norm the SUBLAYER OUTPUTS (post-attn /
         # post-ffn) in addition to the two pre-norms
@@ -764,6 +855,12 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
     and (B,T,H)): one definition keeps their streams bit-identical."""
     H = h.shape[-1]
     if cfg.num_experts > 0:
+        if cfg.moe_style == "gptoss":
+            from ..ops.moe import moe_block_gptoss
+
+            out = moe_block_gptoss(h.reshape(-1, H), p["moe"],
+                                   top_k=cfg.num_experts_per_tok)
+            return out.reshape(h.shape)
         from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
 
         out = moe_block(h.reshape(-1, H), p["moe"],
@@ -1085,7 +1182,7 @@ def decode_step(
     # vLLM-per-layer-window-cache role realized as ranged DMA
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
                   and dh % 128 == 0 and S % 256 == 0
-                  and cfg.attn_softcap == 0)
+                  and cfg.attn_softcap == 0 and not cfg.attn_sinks)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
     # windowed-short mode: static layer -> stack-index maps (the loop is
@@ -1147,11 +1244,14 @@ def decode_step(
             y = y + b.astype(jnp.float32)
         return y.astype(h.dtype)
 
-    def dense_att(q_, k_all, v_all, valid_l, ks_row=None, vs_row=None):
+    def dense_att(q_, k_all, v_all, valid_l, ks_row=None, vs_row=None,
+                  sinks_l=None):
         """Masked full-read attention over one layer's (B, nkv, Sx, dh)
         panels (Sx = S or the windowed Sw). int8 panels: cast in registers,
         fold the scale rows outside the dots (exact given quantized values,
-        same order everywhere so streams stay bit-equal)."""
+        same order everywhere so streams stay bit-equal). ``sinks_l``
+        (nh,): gpt_oss per-head sink folded into the softmax denominator
+        (_sink_softmax)."""
         qg = q_.reshape(B, nkv, group, dh)
         if ks_row is not None:
             att = jnp.einsum("bkgd,bksd->bkgs", qg, k_all.astype(x.dtype),
@@ -1163,7 +1263,12 @@ def decode_step(
         if cfg.attn_softcap:  # gemma2 (true logits: after k-scale fold)
             att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
         att = jnp.where(valid_l[:, None, None, :], att, neg)
-        probs = jax.nn.softmax(att, axis=-1)
+        if sinks_l is not None:
+            probs = _sink_softmax(
+                att, sinks_l.astype(jnp.float32).reshape(nkv, group)[
+                    None, :, :, None])
+        else:
+            probs = jax.nn.softmax(att, axis=-1)
         if vs_row is not None:
             pv = (probs * vs_row[:, :, None, :]).astype(x.dtype)
             o_ = jnp.einsum("bkgs,bksd->bkgd", pv, v_all.astype(x.dtype),
@@ -1179,6 +1284,7 @@ def decode_step(
         cos_l, sin_l = ((cos_loc, sin_loc) if (Wl and cos_loc is not None)
                         else (cos, sin))
         p = _layer_params(params, l)
+        sinks_l = p["attn"]["sinks"] if cfg.attn_sinks else None
         h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
         q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
         k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
@@ -1204,14 +1310,17 @@ def decode_step(
                 wvs_all = jax.lax.dynamic_update_slice(
                     wvs_all, sv[None, :, :, None], (wi, 0, 0, wslot))
                 o = dense_att(q, win_k[wi], win_v[wi], wvalid[Wl],
-                              wks_all[wi], wvs_all[wi])
+                              wks_all[wi], wvs_all[wi], sinks_l=sinks_l)
             else:
                 win_k = jax.lax.dynamic_update_slice(
                     win_k, k[None, :, :, None, :], (wi, 0, 0, wslot, 0))
                 win_v = jax.lax.dynamic_update_slice(
                     win_v, v[None, :, :, None, :], (wi, 0, 0, wslot, 0))
-                o = dense_att(q, win_k[wi], win_v[wi], wvalid[Wl])
-            att_out = proj(o, p["attn"]["o_proj"]["w"])
+                o = dense_att(q, win_k[wi], win_v[wi], wvalid[Wl],
+                              sinks_l=sinks_l)
+            att_out = proj(o, p["attn"]["o_proj"]["w"],
+                           p["attn"]["o_proj"]["b"] if cfg.o_proj_bias
+                           else None)
         else:
             fi = full_map[l]
             if cache_scale is not None:
@@ -1253,8 +1362,11 @@ def decode_step(
                 o = dense_att(
                     q, cache_k[fi], cache_v[fi], valid_l,
                     ks_all[fi] if cache_scale is not None else None,
-                    vs_all[fi] if cache_scale is not None else None)
-            att_out = proj(o, p["attn"]["o_proj"]["w"])
+                    vs_all[fi] if cache_scale is not None else None,
+                    sinks_l=sinks_l)
+            att_out = proj(o, p["attn"]["o_proj"]["w"],
+                           p["attn"]["o_proj"]["b"] if cfg.o_proj_bias
+                           else None)
 
         if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
             x = x + rms_norm(att_out, p["post_attention_layernorm"]["scale"],

@@ -68,6 +68,10 @@ def forward_seq(
         raise ValueError(
             "gemma-family stacks do not compose with sequence parallelism "
             "yet (sandwich norms / softcap are not in the seq layer body)")
+    if getattr(cfg, "attn_sinks", False):
+        raise ValueError(
+            "attention-sink models (gpt_oss) do not compose with sequence "
+            "parallelism yet (the ring softmax denominator lacks the sink)")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape

@@ -170,6 +170,54 @@ def route_deepseek(x: jax.Array, router_w, bias, *, top_k: int,
     return topw.astype(x.dtype), topi.astype(jnp.int32)
 
 
+def route_topk_softmax(x: jax.Array, router_w, router_b, top_k: int):
+    """GPT-OSS routing (HF GptOssTopKRouter parity): top-k over the RAW
+    router logits (linear WITH bias), then softmax over just the k
+    selected values — the opposite order of the qwen/deepseek routers."""
+    logits = jnp.einsum("nh,he->ne", x, dequant(router_w, x.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits + router_b.astype(jnp.float32)
+    topv, topi = jax.lax.top_k(logits, top_k)
+    topw = jax.nn.softmax(topv, axis=-1)
+    return topw.astype(x.dtype), topi.astype(jnp.int32)
+
+
+def moe_block_gptoss(x: jax.Array, p: dict, *, top_k: int,
+                     limit: float = 7.0, alpha: float = 1.702) -> jax.Array:
+    """GPT-OSS MoE block on flat tokens x (N, H) — all-experts execution
+    with sparse combine weights (exact; HF GptOssExperts inference-path
+    math: fused gate_up with biases, gate clamped above / up clamped both
+    ways, glu = gate * sigmoid(alpha * gate), out = (up+1) * glu @ down +
+    down_bias, combined by the topk-softmax scores).
+
+    The expert axis shards over the mesh ``model`` axis (EP): each shard
+    computes its own experts and the combine einsum psums — same pattern
+    as moe_ffn_dense. gate_up columns are DE-interleaved at load
+    ([gate | up] halves; HF stores them interleaved ::2/1::2)."""
+    N, H = x.shape
+    dtype = x.dtype
+    e = p["experts"]
+    wgu = dequant(e["gate_up"]["w"], dtype)      # (E, H, 2I)
+    I = wgu.shape[-1] // 2
+    topw, topi = route_topk_softmax(x, p["router"]["w"], p["router"]["b"],
+                                    top_k)
+    E = wgu.shape[0]
+    cw = jnp.zeros((N, E), jnp.float32).at[
+        jnp.arange(N)[:, None], topi].add(topw.astype(jnp.float32))
+
+    gu = jnp.einsum("nh,ehi->nei", x, wgu,
+                    preferred_element_type=jnp.float32)
+    gu = gu + e["gate_up"]["b"].astype(jnp.float32)[None]
+    gate, up = gu[..., :I], gu[..., I:]
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    act = ((up + 1.0) * (gate * jax.nn.sigmoid(gate * alpha))).astype(dtype)
+    y = jnp.einsum("nei,eio->neo", act, dequant(e["down"]["w"], dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + e["down"]["b"].astype(jnp.float32)[None]
+    return jnp.einsum("neo,ne->no", y, cw).astype(dtype)
+
+
 def _expert_ffn_batched(xe: jax.Array, experts: dict, dtype) -> jax.Array:
     """(E, C, H) → (E, C, H): every expert's SwiGLU on its own rows."""
     g = jnp.einsum("ech,ehi->eci", xe, dequant(experts["gate_proj"]["w"], dtype),

@@ -69,7 +69,11 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, n_seq: int = 1,
 # the latent-side mats (q_a, kv_a — outputs shared by every head) and the
 # tiny a-norms replicate over ``model`` and FSDP over ``data``.
 PARAM_RULES: list[tuple[str, P]] = [
-    (r"layers/moe/router/(w|bias)$", P()),
+    (r"layers/moe/router/(w|b|bias)$", P()),
+    # gpt_oss fused experts: expert dim over ``model`` (EP), biases too
+    (r"layers/moe/experts/(gate_up|down)/(w|b)$", P(None, MODEL_AXIS)),
+    (r"layers/attn/sinks$", P()),
+    (r"layers/attn/o_proj/b$", P(None, DATA_AXIS)),
     (r"layers/attn/(q|q_b)/w$", P(None, DATA_AXIS, MODEL_AXIS)),
     (r"layers/attn/(q_a|kv_a)/w$", P(None, DATA_AXIS)),
     (r"layers/attn/kv_b/w$", P(None, DATA_AXIS, MODEL_AXIS)),
