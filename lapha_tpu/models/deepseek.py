@@ -125,9 +125,15 @@ class DeepseekConfig:
     def num_moe_layers_(self) -> int:
         return self.num_hidden_layers - self.num_dense_layers_
 
+    # V3 YaRN softmax-scale correction: HF DeepseekV3Attention multiplies
+    # the 1/sqrt(qk_head_dim) scale by yarn_get_mscale(factor,
+    # mscale_all_dim)^2 when rope_scaling sets mscale_all_dim (the HF V2
+    # port does NOT — mirrored per family in from_hf). 1.0 = no scaling.
+    attn_mscale_sq: float = 1.0
+
     @property
     def attn_scale_(self) -> float:
-        return 1.0 / math.sqrt(self.qk_head_dim_)
+        return self.attn_mscale_sq / math.sqrt(self.qk_head_dim_)
 
     @classmethod
     def from_hf(cls, cfg: dict, dtype=jnp.bfloat16) -> "DeepseekConfig":
@@ -139,6 +145,17 @@ class DeepseekConfig:
         if mt not in ("deepseek_v2", "deepseek_v3"):
             raise ValueError(f"not a deepseek config: model_type={mt!r}")
         v3 = mt == "deepseek_v3"
+        # HF DeepseekV3Attention: scaling *= yarn_get_mscale(factor,
+        # mscale_all_dim)^2 when rope_scaling sets mscale_all_dim (real
+        # V3/R1 checkpoints: factor 40, mscale_all_dim 1.0 -> ~1.87x).
+        # The HF V2 port applies no such factor — mirrored per family.
+        mscale_sq = 1.0
+        rs = cfg.get("rope_scaling") or {}
+        if v3 and rs.get("mscale_all_dim"):
+            f = float(rs["factor"])
+            ms = (0.1 * float(rs["mscale_all_dim"]) * math.log(f) + 1.0
+                  if f > 1 else 1.0)
+            mscale_sq = ms * ms
         n_routed = int(cfg.get("n_routed_experts") or 0)
         if cfg.get("attention_bias", False):
             raise ValueError("deepseek attention_bias=True is not supported "
@@ -178,6 +195,7 @@ class DeepseekConfig:
             norm_topk_prob=bool(cfg.get("norm_topk_prob", False)),
             scoring_func=cfg.get("scoring_func",
                                  "sigmoid" if v3 else "softmax"),
+            attn_mscale_sq=mscale_sq,
             dtype=dtype,
         )
 
@@ -256,14 +274,7 @@ def _mla_attend_full(cfg: DeepseekConfig, q, k, v, mask, key_mask):
                               scale=cfg.attn_scale_, window=0, softcap=0.0,
                               interpret=not on_tpu)
         return out[..., :dv]
-    B, T, nh, dq = q.shape
-    logits = jnp.einsum("bthd,bshd->bhts", q, k,
-                        preferred_element_type=jnp.float32) * cfg.attn_scale_
-    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return _mla_attend_dense(cfg, q, k, v, mask)
 
 
 def _moe_ffn(cfg: DeepseekConfig, p: dict, h: jax.Array) -> jax.Array:
@@ -752,16 +763,15 @@ def load_params(model_dir: str, cfg: DeepseekConfig | None = None,
 
     def get_stack(layers: list[int], fmt: str, transpose=True,
                   quantizable=True):
-        out = __import__("numpy").stack(
+        out = np.stack(
             [_ld._get(tensors, fmt.format(i=i)) for i in layers], axis=0)
         if q8 and transpose and quantizable:
-            host = __import__("numpy").swapaxes(_ld._host_f32(out), -1, -2)
+            host = np.swapaxes(_ld._host_f32(out), -1, -2)
             return _ld._quant_int8_host(host, axis=-2)
         arr = _ld._to_jax(out, dtype)
         return jnp.swapaxes(arr, -1, -2) if transpose else arr
 
     def get_experts(layers: list[int], fmt: str):
-        np = __import__("numpy")
         mats = []
         for i in layers:
             per = [np.swapaxes(_ld._get(tensors, fmt.format(i=i, e=e)), -1, -2)

@@ -859,7 +859,9 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
             from ..ops.moe import moe_block_gptoss
 
             out = moe_block_gptoss(h.reshape(-1, H), p["moe"],
-                                   top_k=cfg.num_experts_per_tok)
+                                   top_k=cfg.num_experts_per_tok,
+                                   impl=cfg.moe_impl,
+                                   capacity_factor=cfg.moe_capacity_factor)
             return out.reshape(h.shape)
         from ..ops.moe import moe_block  # lazy: ops.moe imports models.quant
 

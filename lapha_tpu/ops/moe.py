@@ -182,40 +182,98 @@ def route_topk_softmax(x: jax.Array, router_w, router_b, top_k: int):
     return topw.astype(x.dtype), topi.astype(jnp.int32)
 
 
-def moe_block_gptoss(x: jax.Array, p: dict, *, top_k: int,
-                     limit: float = 7.0, alpha: float = 1.702) -> jax.Array:
-    """GPT-OSS MoE block on flat tokens x (N, H) — all-experts execution
-    with sparse combine weights (exact; HF GptOssExperts inference-path
-    math: fused gate_up with biases, gate clamped above / up clamped both
-    ways, glu = gate * sigmoid(alpha * gate), out = (up+1) * glu @ down +
-    down_bias, combined by the topk-softmax scores).
+def _gptoss_glu(gu: jax.Array, limit: float, alpha: float) -> jax.Array:
+    """HF GptOssExperts activation on [gate | up] halves (f32): gate
+    clamped above, up clamped both ways, (up+1) * gate*sigmoid(alpha*gate)."""
+    I = gu.shape[-1] // 2
+    gate, up = gu[..., :I], gu[..., I:]
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    return (up + 1.0) * (gate * jax.nn.sigmoid(gate * alpha))
 
-    The expert axis shards over the mesh ``model`` axis (EP): each shard
-    computes its own experts and the combine einsum psums — same pattern
-    as moe_ffn_dense. gate_up columns are DE-interleaved at load
-    ([gate | up] halves; HF stores them interleaved ::2/1::2)."""
+
+def moe_block_gptoss(x: jax.Array, p: dict, *, top_k: int,
+                     impl: str = "auto", capacity_factor: float = 2.0,
+                     group_size: int = 512,
+                     limit: float = 7.0, alpha: float = 1.702) -> jax.Array:
+    """GPT-OSS MoE block on flat tokens x (N, H): topk-then-softmax
+    router with bias + fused clamped-GLU experts with biases (HF
+    GptOssExperts math; gate_up columns are de-interleaved at load into
+    [gate | up] halves).
+
+    Same three exec strategies as the qwen/deepseek blocks, selected by
+    ``impl`` (auto = dispatch on TPU / gather elsewhere, the same rule
+    and rationale as :func:`moe_block`): "gather" sorts token-expert
+    pairs into grouped GEMMs (exact), "dense" computes every expert and
+    combines sparsely (exact; the simplest EP program — expert dim
+    shards over ``model``), "dispatch" is the capacity-bucketed
+    static-shape path (approximate under skew, ``capacity_factor``).
+    Expert biases are applied per (token, expert) pair before the GLU /
+    after down, exactly as HF; dropped dispatch pairs contribute nothing
+    (their combine weight is zero)."""
     N, H = x.shape
     dtype = x.dtype
     e = p["experts"]
     wgu = dequant(e["gate_up"]["w"], dtype)      # (E, H, 2I)
-    I = wgu.shape[-1] // 2
+    bgu = e["gate_up"]["b"].astype(jnp.float32)  # (E, 2I)
+    wd = dequant(e["down"]["w"], dtype)          # (E, I, H)
+    bd = e["down"]["b"].astype(jnp.float32)      # (E, H)
+    E = wgu.shape[0]
     topw, topi = route_topk_softmax(x, p["router"]["w"], p["router"]["b"],
                                     top_k)
-    E = wgu.shape[0]
-    cw = jnp.zeros((N, E), jnp.float32).at[
-        jnp.arange(N)[:, None], topi].add(topw.astype(jnp.float32))
+    if impl == "auto":
+        impl = "dispatch" if jax.default_backend() == "tpu" else "gather"
 
-    gu = jnp.einsum("nh,ehi->nei", x, wgu,
-                    preferred_element_type=jnp.float32)
-    gu = gu + e["gate_up"]["b"].astype(jnp.float32)[None]
-    gate, up = gu[..., :I], gu[..., I:]
-    gate = jnp.minimum(gate, limit)
-    up = jnp.clip(up, -limit, limit)
-    act = ((up + 1.0) * (gate * jax.nn.sigmoid(gate * alpha))).astype(dtype)
-    y = jnp.einsum("nei,eio->neo", act, dequant(e["down"]["w"], dtype),
-                   preferred_element_type=jnp.float32)
-    y = y + e["down"]["b"].astype(jnp.float32)[None]
-    return jnp.einsum("neo,ne->no", y, cw).astype(dtype)
+    if impl == "dense":
+        cw = jnp.zeros((N, E), jnp.float32).at[
+            jnp.arange(N)[:, None], topi].add(topw.astype(jnp.float32))
+        gu = jnp.einsum("nh,ehi->nei", x, wgu,
+                        preferred_element_type=jnp.float32) + bgu[None]
+        act = _gptoss_glu(gu, limit, alpha).astype(dtype)
+        y = jnp.einsum("nei,eio->neo", act, wd,
+                       preferred_element_type=jnp.float32) + bd[None]
+        return jnp.einsum("neo,ne->no", y, cw).astype(dtype)
+
+    if impl == "gather":
+        flat_e = topi.reshape(N * top_k)
+        order = jnp.argsort(flat_e)
+        tok = order // top_k
+        e_sorted = jnp.take(flat_e, order)
+        xs = jnp.take(x, tok, axis=0)
+        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        gu = _grouped_gemm(xs, wgu, group_sizes) + jnp.take(bgu, e_sorted,
+                                                           axis=0)
+        act = _gptoss_glu(gu, limit, alpha).astype(dtype)
+        y = _grouped_gemm(act, wd, group_sizes) + jnp.take(bd, e_sorted,
+                                                           axis=0)
+        w_pair = jnp.take(topw.reshape(N * top_k), order)
+        out = jnp.zeros((N, H), jnp.float32).at[tok].add(
+            y * w_pair[:, None].astype(jnp.float32))
+        return out.astype(dtype)
+
+    if impl != "dispatch":
+        raise ValueError(f"unknown moe impl {impl!r} (gather|dense|dispatch)")
+    sel, keep, pos, S, G, C = _dispatch_buckets(
+        topi, N, E, top_k, capacity_factor, group_size)
+    Np = G * S
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+        topw = jnp.pad(topw, ((0, Np - N), (0, 0)))
+    xg = x.reshape(G, S, H)
+    wg_r = topw.reshape(G, S, top_k).astype(jnp.float32)
+    posc = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
+    dispatch = jnp.einsum("gske,gskec->gsec", keep, posc)
+    combine = jnp.einsum("gsk,gske,gskec->gsec", wg_r, keep, posc)
+    xe = jnp.einsum("gsec,gsh->gech", dispatch.astype(dtype), xg,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    gu = jnp.einsum("gech,ehi->geci", xe, wgu,
+                    preferred_element_type=jnp.float32) \
+        + bgu[None, :, None, :]
+    act = _gptoss_glu(gu, limit, alpha).astype(dtype)
+    y = jnp.einsum("geci,eio->geco", act, wd,
+                   preferred_element_type=jnp.float32) + bd[None, :, None, :]
+    out = jnp.einsum("gsec,gech->gsh", combine, y)
+    return out.reshape(Np, H)[:N].astype(dtype)
 
 
 def _expert_ffn_batched(xe: jax.Array, experts: dict, dtype) -> jax.Array:

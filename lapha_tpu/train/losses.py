@@ -236,6 +236,11 @@ def loss_and_metrics(
     if seq_mesh is not None:
         from ..models.qwen2_seq import forward_seq
 
+        if type(model_cfg).__name__ == "DeepseekConfig":
+            raise ValueError(
+                "seq_mesh training does not support deepseek yet (the ring "
+                "layer body is qwen2-family) — drop mesh_sequence for MLA "
+                "models")
         _, hidden, _ = forward_seq(
             params, train_cfg, ids, attn, mesh=seq_mesh, seq_axis=seq_axis,
             remat=remat, return_hidden=True, compute_logits=False,
@@ -395,9 +400,12 @@ def ref_logps_fn(ref_params, batch, model_cfg: qwen2.Qwen2Config, temperature: f
     reference term (beta > 0), and the cached old-policy logps for
     multi-epoch PPO (num_iterations > 1). Jitted; the config is hashable
     because Qwen2Config is a frozen dataclass."""
+    from ..models import model_module
+
     ids, attn = batch["ids"], batch["attn"]
-    _, hidden, _ = qwen2.forward(ref_params, model_cfg, ids, attention_mask=attn,
-                                 return_hidden=True, compute_logits=False)
+    _, hidden, _ = model_module(model_cfg).forward(
+        ref_params, model_cfg, ids, attention_mask=attn,
+        return_hidden=True, compute_logits=False)
     logps = _selective_logps_chunked(ref_params, model_cfg, hidden[:, :-1, :],
                                      ids[:, 1:], temperature)
     token_mask = batch["comp_mask"].astype(jnp.float32)[:, 1:]

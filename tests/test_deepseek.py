@@ -404,6 +404,60 @@ def test_sharded_forward_matches(mesh8, tiny_hf_v3_dir):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_v3_yarn_mscale_logits_match_hf(tmp_path_factory):
+    """Real V3/R1 checkpoints carry yarn rope_scaling with mscale_all_dim;
+    HF multiplies the softmax scale by yarn_get_mscale(factor,
+    mscale_all_dim)^2 (DeepseekV3Attention.__init__) — attn_mscale_sq
+    must reproduce it or every logit is ~2x off at factor 40."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_dsv3_yarn")
+    hf_cfg = DeepseekV3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=24, first_k_dense_replace=1,
+        n_group=4, topk_group=2, routed_scaling_factor=2.5,
+        norm_topk_prob=True,
+        rope_scaling={"rope_type": "yarn", "factor": 8.0, "mscale": 1.0,
+                      "mscale_all_dim": 1.0, "beta_fast": 32.0,
+                      "beta_slow": 1.0,
+                      "original_max_position_embeddings": 64},
+        max_position_embeddings=512, tie_word_embeddings=False,
+        torch_dtype="float32", attn_implementation="eager",
+    )
+    torch.manual_seed(9)
+    model = DeepseekV3ForCausalLM(hf_cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    params, cfg = loader.load_params(str(d), dtype=jnp.float32)
+    assert cfg.attn_mscale_sq > 1.2  # (0.1*ln(8)+1)^2 ~ 1.46
+    ids = rng.integers(0, 512, size=(2, 13))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    logits, _, _ = deepseek.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_ref_logps_dispatches_deepseek(tiny_hf_v3_dir):
+    """The KL-reference / old-policy logps path must route through the
+    model dispatch too (reviewer finding: it hardcoded qwen2.forward)."""
+    from lapha_tpu.train import losses
+
+    params, cfg = loader.load_params(tiny_hf_v3_dir, dtype=jnp.float32)
+    B, L = 2, 16
+    batch = {
+        "ids": jnp.asarray(rng.integers(2, 512, (B, L))),
+        "attn": jnp.ones((B, L), jnp.int32),
+        "comp_mask": jnp.ones((B, L), jnp.int32),
+    }
+    lp = losses.ref_logps_fn(params, batch, cfg, 1.0)
+    assert lp.shape == (B, L - 1)
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+
 def test_grpo_value_update_step(tiny_hf_v3_dir):
     """The reference's core capability on the new family: ONE jitted
     GRPO+value training step (losses.make_update_fn) over an MLA+MoE

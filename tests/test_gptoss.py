@@ -147,6 +147,24 @@ def test_engine_rejects_unsupported_modes(tiny_hf_gptoss_dir):
         Engine(params, cfg, object(), max_batch=2, spec_decode="pld")
 
 
+def test_moe_impls_agree_gptoss(tiny_hf_gptoss_dir):
+    """gather == dense == dispatch-with-headroom under the gptoss router
+    and clamped-GLU expert math (same exec-strategy surface as the other
+    families; moe_impl threads from the config)."""
+    import dataclasses
+
+    params, cfg = loader.load_params(tiny_hf_gptoss_dir, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 512, (2, 12)))
+    outs = {}
+    for impl in ("gather", "dense", "dispatch"):
+        c = dataclasses.replace(cfg, moe_impl=impl, moe_capacity_factor=8.0)
+        outs[impl], _, _ = qwen2.forward(params, c, ids)
+    np.testing.assert_allclose(np.asarray(outs["gather"]),
+                               np.asarray(outs["dense"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outs["dispatch"]),
+                               np.asarray(outs["dense"]), rtol=2e-4, atol=2e-4)
+
+
 def test_sink_softmax_matches_hf_form():
     """_sink_softmax == softmax over [logits, sink] with the sink column
     dropped (the HF eager form)."""
