@@ -39,9 +39,17 @@ def apply_platform_env() -> None:
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (first TPU compiles are ~30-60 s;
-    repeated CLI invocations reuse them)."""
+    repeated CLI invocations reuse them).
+
+    ``LAPHA_NO_COMPILE_CACHE=1`` turns this into a no-op — the test suite
+    sets it (tests/conftest.py): persisting every >1 s CPU test compile
+    is wasted work, and the cache's executable (de)serialization has
+    segfaulted under full-suite memory pressure (jax 0.9.0,
+    compilation_cache.put/get_executable_and_time)."""
     import os
 
+    if os.environ.get("LAPHA_NO_COMPILE_CACHE"):
+        return
     try:
         import jax
 

@@ -75,7 +75,7 @@ def load_config(model_dir: str) -> Qwen2Config:
     # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
                   "llama", "mistral", "mixtral", "phi3", "gemma2",
-                  "gemma3_text", "gemma3", "gpt_oss"):
+                  "gemma3_text", "gemma3", "gpt_oss", "olmo2", "starcoder2"):
         raise ValueError(
             f"unsupported model_type {mt!r} (qwen2/qwen3/llama/mistral/"
             "mixtral/phi3/gemma/gpt_oss/deepseek decoder family)")
@@ -232,17 +232,31 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
         attn["sinks"] = _to_jax(
             np.stack([_get(tensors, f"layers.{i}.self_attn.sinks")
                       for i in range(L)], axis=0), jnp.float32)
+    if cfg.post_norms_only:  # olmo2: only the two post-norms exist
+        norms = {
+            "post_attention_layernorm": {"scale": stack_norm("layers.{i}.post_attention_layernorm.weight")},
+            "post_feedforward_layernorm": {"scale": stack_norm("layers.{i}.post_feedforward_layernorm.weight")},
+        }
+    else:
+        norms = {
+            "input_layernorm": {"scale": stack_norm("layers.{i}.input_layernorm.weight")},
+            "post_attention_layernorm": {"scale": stack_norm("layers.{i}.post_attention_layernorm.weight")},
+        }
+        if cfg.norm_style == "layernorm":  # starcoder2: biased LayerNorm
+            norms["input_layernorm"]["bias"] = stack("layers.{i}.input_layernorm.bias")
+            norms["post_attention_layernorm"]["bias"] = stack("layers.{i}.post_attention_layernorm.bias")
     params: dict[str, Any] = {
         "embed": {"weight": embed},
         "layers": {
-            "input_layernorm": {"scale": stack_norm("layers.{i}.input_layernorm.weight")},
-            "post_attention_layernorm": {"scale": stack_norm("layers.{i}.post_attention_layernorm.weight")},
+            **norms,
             "attn": attn,
         },
         "norm": {"scale": (_to_jax(_get(tensors, "norm.weight"), jnp.float32) + 1.0
                            if cfg.sandwich_norms
                            else _to_jax(_get(tensors, "norm.weight"), dtype))},
     }
+    if cfg.norm_style == "layernorm":
+        params["norm"]["bias"] = _to_jax(_get(tensors, "norm.bias"), dtype)
     if cfg.num_experts > 0 and cfg.moe_style == "gptoss":
         # gpt_oss experts are STACKED Parameters already ((E, in, out) —
         # no per-expert Linears, no transpose) with fused gate_up whose
@@ -307,6 +321,13 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
                 "gate": {"w": stack("layers.{i}.mlp.shared_expert_gate.weight",
                                     transpose=True, quantizable=False)},
             }
+    elif cfg.mlp_style == "plain":  # starcoder2: c_fc -> act -> c_proj
+        params["layers"]["mlp"] = {
+            "c_fc": {"w": stack("layers.{i}.mlp.c_fc.weight", transpose=True),
+                     "b": stack("layers.{i}.mlp.c_fc.bias")},
+            "c_proj": {"w": stack("layers.{i}.mlp.c_proj.weight", transpose=True),
+                       "b": stack("layers.{i}.mlp.c_proj.bias")},
+        }
     elif cfg.fused_qkv:  # phi3: gate_up_proj fused, chunk(2) = [gate; up]
         gu = stack_raw("layers.{i}.mlp.gate_up_proj.weight")  # (L, 2I, H)
         I = cfg.intermediate_size
@@ -326,7 +347,8 @@ def load_params(model_dir: str, cfg: Qwen2Config | None = None, dtype=jnp.bfloat
             "scale": stack_norm("layers.{i}.pre_feedforward_layernorm.weight")}
         params["layers"]["post_feedforward_layernorm"] = {
             "scale": stack_norm("layers.{i}.post_feedforward_layernorm.weight")}
-    if cfg.qk_norm:  # qwen3 / gemma3 per-head q/k RMS norms
+    if cfg.qk_norm or cfg.qk_norm_full:  # per-head (qwen3/gemma3) or
+        # full-width (olmo2) q/k RMS norms — same tensor names
         params["layers"]["attn"]["q_norm"] = {
             "scale": stack_norm("layers.{i}.self_attn.q_norm.weight")}
         params["layers"]["attn"]["k_norm"] = {
@@ -428,8 +450,18 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
 
     for i in range(cfg.num_hidden_layers):
         pre = f"model.layers.{i}."
-        put_norm(pre + "input_layernorm.weight", lp["input_layernorm"]["scale"][i])
-        put_norm(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
+        if cfg.post_norms_only:  # olmo2
+            put_norm(pre + "post_attention_layernorm.weight",
+                     lp["post_attention_layernorm"]["scale"][i])
+            put_norm(pre + "post_feedforward_layernorm.weight",
+                     lp["post_feedforward_layernorm"]["scale"][i])
+        else:
+            put_norm(pre + "input_layernorm.weight", lp["input_layernorm"]["scale"][i])
+            put_norm(pre + "post_attention_layernorm.weight", lp["post_attention_layernorm"]["scale"][i])
+            if cfg.norm_style == "layernorm":
+                put(pre + "input_layernorm.bias", lp["input_layernorm"]["bias"][i])
+                put(pre + "post_attention_layernorm.bias",
+                    lp["post_attention_layernorm"]["bias"][i])
         if cfg.sandwich_norms:
             put_norm(pre + "pre_feedforward_layernorm.weight",
                      lp["pre_feedforward_layernorm"]["scale"][i])
@@ -445,7 +477,7 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
                 put(pre + f"self_attn.{proj}_proj.weight", lp["attn"][f"{proj}_proj"]["w"][i], transpose=True)
                 if cfg.attention_bias:  # llama/qwen3 store no q/k/v bias
                     put(pre + f"self_attn.{proj}_proj.bias", lp["attn"][f"{proj}_proj"]["b"][i])
-        if cfg.qk_norm:
+        if cfg.qk_norm or cfg.qk_norm_full:
             put_norm(pre + "self_attn.q_norm.weight", lp["attn"]["q_norm"]["scale"][i])
             put_norm(pre + "self_attn.k_norm.weight", lp["attn"]["k_norm"]["scale"][i])
         put(pre + "self_attn.o_proj.weight", lp["attn"]["o_proj"]["w"][i], transpose=True)
@@ -490,6 +522,11 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
                         moe["shared"][f"{proj}_proj"]["w"][i], transpose=True)
                 put(pre + "mlp.shared_expert_gate.weight",
                     moe["shared"]["gate"]["w"][i], transpose=True)
+        elif cfg.mlp_style == "plain":  # starcoder2
+            put(pre + "mlp.c_fc.weight", lp["mlp"]["c_fc"]["w"][i], transpose=True)
+            put(pre + "mlp.c_fc.bias", lp["mlp"]["c_fc"]["b"][i])
+            put(pre + "mlp.c_proj.weight", lp["mlp"]["c_proj"]["w"][i], transpose=True)
+            put(pre + "mlp.c_proj.bias", lp["mlp"]["c_proj"]["b"][i])
         elif cfg.fused_qkv:  # phi3: fused [gate; up]
             put(pre + "mlp.gate_up_proj.weight",
                 jnp.concatenate([lp["mlp"]["gate_proj"]["w"][i],
@@ -501,6 +538,8 @@ def export_hf(params: dict, cfg: Qwen2Config, out_dir: str, src_config_dir: str 
             for proj in ("gate", "up", "down"):
                 put(pre + f"mlp.{proj}_proj.weight", lp["mlp"][f"{proj}_proj"]["w"][i], transpose=True)
     put_norm("model.norm.weight", params["norm"]["scale"])
+    if cfg.norm_style == "layernorm":
+        put("model.norm.bias", params["norm"]["bias"])
     if not cfg.tie_word_embeddings and "lm_head" in params:
         put("lm_head.weight", params["lm_head"]["weight"])
     save_file(sd, os.path.join(out_dir, "model.safetensors"))

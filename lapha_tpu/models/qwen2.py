@@ -121,6 +121,22 @@ class Qwen2Config:
     # gemma3: sliding layers rope at this theta (no scaling); full layers
     # use rope_theta (+rope_scaling). 0 = single rope for all layers.
     rope_local_theta: float = 0.0
+    # ---- starcoder2 family knobs (inert at defaults) ----
+    # Residual-stream norms: "rms" or "layernorm" (mean-centered, with
+    # bias — params carry {"scale","bias"}; _norm dispatches).
+    norm_style: str = "rms"
+    # FFN: "swiglu" (gate/up/down) or "plain" (c_fc -> act -> c_proj with
+    # biases, starcoder2).
+    mlp_style: str = "swiglu"
+    # ---- olmo2 family knobs (inert at defaults) ----
+    # OLMo-2 residual structure: NO pre-norms — each sublayer's OUTPUT is
+    # normed before the residual add (x += norm(attn(x)); x += norm(mlp(x)),
+    # HF Olmo2DecoderLayer.forward). Params carry only the two post-norms.
+    post_norms_only: bool = False
+    # OLMo-2 q/k norms are over the FULL flattened projection width
+    # (nh*dh / nkv*dh, Olmo2Attention) — distinct from qwen3's per-head
+    # qk_norm over dh. Mutually exclusive with qk_norm.
+    qk_norm_full: bool = False
     # ---- gpt_oss family knobs (inert at defaults) ----
     # Learned per-head attention sinks: softmax over [scores, sink_h] with
     # the sink column dropped after normalization (HF GptOss
@@ -232,7 +248,7 @@ class Qwen2Config:
         L = cfg["num_hidden_layers"]
         lt = cfg.get("layer_types")
         if lt is None:
-            if mt in ("mistral", "mixtral", "phi3"):
+            if mt in ("mistral", "mixtral", "phi3", "starcoder2"):
                 # these families slide every layer when the key is set
                 lt = ["sliding_attention"] * L
             elif mt == "gemma2":
@@ -373,6 +389,55 @@ class Qwen2Config:
                     cfg.get("final_logit_softcapping") or 0.0)),
                 rope_local_theta=(float(cfg.get("rope_local_base_freq",
                                                 10000.0)) if g3 else 0.0),
+                dtype=dtype,
+            )
+        if mt == "starcoder2":
+            # StarCoder2: LayerNorm (with bias) on the residual stream,
+            # plain c_fc -> gelu -> c_proj FFN, biases on every
+            # projection, tied embeddings, optional uniform sliding
+            # window.
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 16384),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("norm_epsilon", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attention_bias=cfg.get("use_bias", True),
+                o_proj_bias=cfg.get("use_bias", True),
+                norm_style="layernorm",
+                mlp_style="plain",
+                hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
+                dtype=dtype,
+            )
+        if mt == "olmo2":
+            # OLMo-2: llama-style projections (no biases), post-norms-only
+            # residual structure, full-width q/k RMS norms, untied head.
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+                attention_bias=cfg.get("attention_bias", False),
+                post_norms_only=True,
+                qk_norm_full=True,
                 dtype=dtype,
             )
         if mt == "gpt_oss":
@@ -527,6 +592,17 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
         },
         "norm": {"scale": jnp.ones((H,), cfg.dtype)},
     }
+    if cfg.norm_style == "layernorm":  # starcoder2: biased LayerNorm
+        for key in ("input_layernorm", "post_attention_layernorm"):
+            params["layers"][key]["bias"] = jnp.zeros((L, H), cfg.dtype)
+        params["norm"]["bias"] = jnp.zeros((H,), cfg.dtype)
+    if cfg.post_norms_only:  # olmo2: post-norms only
+        del params["layers"]["input_layernorm"]
+        params["layers"]["post_feedforward_layernorm"] = {
+            "scale": jnp.ones((L, H), cfg.dtype)}
+    if cfg.qk_norm_full:  # olmo2 full-width q/k norms
+        params["layers"]["attn"]["q_norm"] = {"scale": jnp.ones((L, nh * dh), cfg.dtype)}
+        params["layers"]["attn"]["k_norm"] = {"scale": jnp.ones((L, nkv * dh), cfg.dtype)}
     if cfg.o_proj_bias:
         params["layers"]["attn"]["o_proj"]["b"] = jnp.zeros((L, H), cfg.dtype)
     if cfg.attn_sinks:
@@ -562,6 +638,13 @@ def init_params(cfg: Qwen2Config, key: jax.Array) -> dict:
                 "down_proj": {"w": init(km[6], (L, Is, H))},
                 "gate": {"w": init(km[7], (L, H, 1), 0.02)},
             }
+    elif cfg.mlp_style == "plain":  # starcoder2
+        params["layers"]["mlp"] = {
+            "c_fc": {"w": init(ks[5], (L, H, I)),
+                     "b": jnp.zeros((L, I), cfg.dtype)},
+            "c_proj": {"w": init(ks[6], (L, I, H)),
+                       "b": jnp.zeros((L, H), cfg.dtype)},
+        }
     else:
         params["layers"]["mlp"] = {
             "gate_proj": {"w": init(ks[5], (L, H, I))},
@@ -590,6 +673,22 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
     return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _norm(x: jax.Array, p: dict, cfg) -> jax.Array:
+    """Layer-norm dispatch for the residual-stream norms: RMS (default)
+    or mean-centered LayerNorm with bias (starcoder2,
+    cfg.norm_style="layernorm" — p carries {"scale", "bias"}). q/k norms
+    and the gemma sandwich norms are always RMS and call rms_norm
+    directly."""
+    if cfg.norm_style == "layernorm":
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+        out = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        return (out * p["scale"].astype(jnp.float32)
+                + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return rms_norm(x, p["scale"], cfg.rms_norm_eps)
 
 
 def rope_freqs(positions: jax.Array, dh: int, theta: float,
@@ -763,15 +862,21 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
         cos = jnp.where(win > 0, rope_loc[0], cos)
         sin = jnp.where(win > 0, rope_loc[1], sin)
 
-    h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+    h = (x if cfg.post_norms_only  # olmo2: no pre-norm
+         else _norm(x, p["input_layernorm"], cfg))
     dq = lambda w: dequant(w, x.dtype)
     q = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["q_proj"]["w"]), preferred_element_type=jnp.float32)
-         + p["attn"]["q_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nh, dh)
+         + p["attn"]["q_proj"]["b"].astype(jnp.float32)).astype(x.dtype)
     k = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["k_proj"]["w"]), preferred_element_type=jnp.float32)
-         + p["attn"]["k_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
+         + p["attn"]["k_proj"]["b"].astype(jnp.float32)).astype(x.dtype)
     v = (jnp.einsum("bth,hd->btd", h, dq(p["attn"]["v_proj"]["w"]), preferred_element_type=jnp.float32)
          + p["attn"]["v_proj"]["b"].astype(jnp.float32)).astype(x.dtype).reshape(B, T, nkv, dh)
 
+    if cfg.qk_norm_full:  # olmo2: RMS norm over the FULL projection width
+        q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+    q = q.reshape(B, T, nh, dh)
+    k = k.reshape(B, T, nkv, dh)
     if cfg.qk_norm:  # qwen3: per-head RMS norm over dh, before RoPE
         q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
         k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
@@ -805,17 +910,19 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     if cfg.sandwich_norms:
         # gemma residual structure: norm the SUBLAYER OUTPUTS (post-attn /
         # post-ffn) in addition to the two pre-norms
-        att = rms_norm(att, p["post_attention_layernorm"]["scale"],
-                       cfg.rms_norm_eps)
+        att = _norm(att, p["post_attention_layernorm"], cfg)
         x = x + att
-        h = rms_norm(x, p["pre_feedforward_layernorm"]["scale"],
-                     cfg.rms_norm_eps)
-        m = rms_norm(_mlp(cfg, p, h), p["post_feedforward_layernorm"]["scale"],
-                     cfg.rms_norm_eps)
+        h = _norm(x, p["pre_feedforward_layernorm"], cfg)
+        m = _norm(_mlp(cfg, p, h), p["post_feedforward_layernorm"], cfg)
         x = x + m
+    elif cfg.post_norms_only:
+        # olmo2: norm the sublayer OUTPUTS, no pre-norms; the mlp takes
+        # the raw residual stream
+        x = x + _norm(att, p["post_attention_layernorm"], cfg)
+        x = x + _norm(_mlp(cfg, p, x), p["post_feedforward_layernorm"], cfg)
     else:
         x = x + att
-        h = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        h = _norm(x, p["post_attention_layernorm"], cfg)
         x = x + _mlp(cfg, p, h)
     return (x, cos, sin, mask, cache_k, cache_v, cache_pos), (new_k, new_v)
 
@@ -870,6 +977,14 @@ def _mlp(cfg: Qwen2Config, p: dict, h: jax.Array) -> jax.Array:
                         top_k=cfg.num_experts_per_tok,
                         norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl)
         return out.reshape(h.shape)
+    if cfg.mlp_style == "plain":  # starcoder2: c_fc -> act -> c_proj, biased
+        y = (_q_matmul_f32(h, p["mlp"]["c_fc"]["w"])
+             + p["mlp"]["c_fc"]["b"].astype(jnp.float32))
+        act = (jax.nn.gelu(y, approximate=True)
+               if cfg.hidden_act == "gelu_pytorch_tanh"
+               else jax.nn.silu(y)).astype(h.dtype)
+        return (_q_matmul_f32(act, p["mlp"]["c_proj"]["w"])
+                + p["mlp"]["c_proj"]["b"].astype(jnp.float32)).astype(h.dtype)
     gate = _q_matmul_f32(h, p["mlp"]["gate_proj"]["w"])
     up = _q_matmul_f32(h, p["mlp"]["up_proj"]["w"])
     if cfg.hidden_act == "gelu_pytorch_tanh":  # gemma GeGLU
@@ -1050,7 +1165,7 @@ def forward(
                                    cache_pos, rope_loc=rope_loc, qk_idx=qk_idx)
         new_cache = (nk, nv)
 
-    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    x = _norm(x, params["norm"], cfg)
     if not compute_logits:
         # training losses compute selective logps from the hidden states in
         # sequence chunks (losses._selective_logps_chunked) — materializing
@@ -1287,10 +1402,15 @@ def decode_step(
                         else (cos, sin))
         p = _layer_params(params, l)
         sinks_l = p["attn"]["sinks"] if cfg.attn_sinks else None
-        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
-        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
-        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
+        h = (x if cfg.post_norms_only  # olmo2: no pre-norm
+             else _norm(x, p["input_layernorm"], cfg))
+        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"])
+        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"])
         v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+        if cfg.qk_norm_full:  # olmo2: norm over the FULL projection width
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+        q, k = q.reshape(B, nh, dh), k.reshape(B, nkv, dh)
         if cfg.qk_norm:  # qwen3 / gemma3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
@@ -1371,19 +1491,18 @@ def decode_step(
                            else None)
 
         if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
-            x = x + rms_norm(att_out, p["post_attention_layernorm"]["scale"],
-                             cfg.rms_norm_eps)
-            h2 = rms_norm(x, p["pre_feedforward_layernorm"]["scale"],
-                          cfg.rms_norm_eps)
-            x = x + rms_norm(_mlp(cfg, p, h2),
-                             p["post_feedforward_layernorm"]["scale"],
-                             cfg.rms_norm_eps)
+            x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+            h2 = _norm(x, p["pre_feedforward_layernorm"], cfg)
+            x = x + _norm(_mlp(cfg, p, h2), p["post_feedforward_layernorm"], cfg)
+        elif cfg.post_norms_only:  # olmo2: norm sublayer outputs ONLY
+            x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+            x = x + _norm(_mlp(cfg, p, x), p["post_feedforward_layernorm"], cfg)
         else:
             x = x + att_out
-            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+            h2 = _norm(x, p["post_attention_layernorm"], cfg)
             x = x + _mlp(cfg, p, h2)
 
-    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    x = _norm(x, params["norm"], cfg)
     logits = _lm_head(params, cfg, x)
     out = (logits, (x if return_hidden else None), cache_k, cache_v)
     if cache_scale is not None:
@@ -1477,10 +1596,15 @@ def decode_step_multi(
 
     for l in range(L):
         p = _layer_params(params, l)
-        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
-        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, T, nh, dh)
-        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, T, nkv, dh)
+        h = (x if cfg.post_norms_only  # olmo2
+             else _norm(x, p["input_layernorm"], cfg))
+        q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"])
+        k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"])
         v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, T, nkv, dh)
+        if cfg.qk_norm_full:  # olmo2: norm over the full projection width
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+        q, k = q.reshape(B, T, nh, dh), k.reshape(B, T, nkv, dh)
         if cfg.qk_norm:  # qwen3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
@@ -1524,12 +1648,19 @@ def decode_step_multi(
             o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
                            preferred_element_type=jnp.float32)
         o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, T, nh * dh).astype(x.dtype)
-        x = x + proj(o, p["attn"]["o_proj"]["w"])
+        att_out = proj(o, p["attn"]["o_proj"]["w"],
+                       p["attn"]["o_proj"]["b"] if cfg.o_proj_bias else None)
 
-        h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(cfg, p, h2)
+        if cfg.post_norms_only:  # olmo2: norm sublayer outputs only
+            x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+            x = x + _norm(_mlp(cfg, p, x), p["post_feedforward_layernorm"],
+                          cfg)
+        else:
+            x = x + att_out
+            h2 = _norm(x, p["post_attention_layernorm"], cfg)
+            x = x + _mlp(cfg, p, h2)
 
-    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    x = _norm(x, params["norm"], cfg)
     logits = _lm_head(params, cfg, x)
     if cache_scale is not None:
         return logits, (x if return_hidden else None), cache_k, cache_v, (ks_all, vs_all)

@@ -90,6 +90,10 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"layers/attn/o_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
     (r"layers/mlp/(gate|up)_proj/w$", P(None, DATA_AXIS, MODEL_AXIS)),
     (r"layers/mlp/down_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"layers/mlp/c_fc/w$", P(None, DATA_AXIS, MODEL_AXIS)),
+    (r"layers/mlp/c_fc/b$", P(None, MODEL_AXIS)),
+    (r"layers/mlp/c_proj/w$", P(None, MODEL_AXIS, DATA_AXIS)),
+    (r"layers/mlp/c_proj/b$", P(None, DATA_AXIS)),
     (r"(layers/)?(input_layernorm|post_attention_layernorm|pre_feedforward_layernorm|post_feedforward_layernorm|norm)/scale$", P()),
     (r"value_head/(w|b)$", P()),
 ]

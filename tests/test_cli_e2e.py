@@ -165,3 +165,47 @@ def test_value_mode_golden_run(tiny_model_dir, env, tmp_path):
     golden = json.load(open(os.path.join(REPO, "tests", "golden",
                                          "value_mode_tiny.golden.json")))
     assert row == golden
+
+
+def test_single_mode_cli_deepseek_model(env, tmp_path):
+    """The rollout CLI serves a DeepSeek (MLA) checkpoint end-to-end:
+    loader dispatch -> latent-cache engine -> JSONL contract (the
+    model-family surface is CLI-reachable, not just library-level)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    from model_fixtures import _build_tokenizer
+
+    mdir = tmp_path / "tiny_ds"
+    mdir.mkdir()
+    _build_tokenizer(str(mdir), 512)
+    torch.manual_seed(5)
+    DeepseekV2ForCausalLM(DeepseekV2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=24, first_k_dense_replace=1,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        torch_dtype="float32")).eval().save_pretrained(
+        str(mdir), safe_serialization=True)
+
+    data = tmp_path / "m.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"question": "What is 2+2?", "answer": "4"}) + "\n")
+    out = tmp_path / "m.pred.jsonl"
+    cmd = [
+        sys.executable, "-m", "lapha_tpu.evalsuite.rollout_jsonl",
+        "--data", str(data), "--out", str(out), "--dataset-name", "math",
+        "--mode", "single", "--tokenizer-path", str(mdir),
+        "--engine", "tpu", "--max-new-tokens", "8", "--temperature", "0.7",
+        "--max-model-len", "256", "--max-batch", "2",
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 1 and isinstance(rows[0]["completion"], str)

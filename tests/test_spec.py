@@ -213,3 +213,23 @@ def test_pick_with_draft_marginal_exact():
     f_with = np.bincount(with_d, minlength=V) / len(with_d)
     f_no = np.bincount(no_d, minlength=V) / len(no_d)
     np.testing.assert_allclose(f_with, f_no, atol=0.015)
+
+
+def test_greedy_bit_identical_olmo2_and_starcoder2_styles():
+    """Spec-decode verify forward supports the olmo2 (post-norms-only,
+    full-width qk norms) and starcoder2 (biased LayerNorm, plain FFN,
+    o-proj bias) layer structures — greedy streams stay bit-identical to
+    the non-spec engine on a deterministic backend."""
+    for kw in (dict(post_norms_only=True, qk_norm_full=True,
+                    tie_word_embeddings=False, attention_bias=False),
+               dict(norm_style="layernorm", mlp_style="plain",
+                    o_proj_bias=True)):
+        cfg = Qwen2Config.tiny(vocab_size=300, **kw)
+        params = qwen2.init_params(cfg, jax.random.key(11))
+        sp = SamplingParams(n=1, temperature=0.0, max_tokens=24, seed=5)
+        ref = make_engine(params, cfg).generate(_prompts(), sp)
+        out = make_engine(params, cfg, spec_decode="pld",
+                          spec_k=3).generate(_prompts(), sp)
+        for r, o in zip(ref, out):
+            for a, b in zip(r.outputs, o.outputs):
+                assert a.token_ids == b.token_ids, kw
