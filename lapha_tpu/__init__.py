@@ -43,9 +43,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     ``LAPHA_NO_COMPILE_CACHE=1`` turns this into a no-op — the test suite
     sets it (tests/conftest.py): persisting every >1 s CPU test compile
-    is wasted work, and the cache's executable (de)serialization has
-    segfaulted under full-suite memory pressure (jax 0.9.0,
-    compilation_cache.put/get_executable_and_time)."""
+    is wasted work, and stale entries have crashed test runs (below).
+
+    CPU backends get a HOST-FINGERPRINTED subdirectory: XLA:CPU caches
+    AOT executables compiled for the build machine's exact CPU features,
+    and this project's sessions migrate across heterogeneous VMs —
+    loading another host's AOT result warns "could lead to execution
+    errors such as SIGILL" and has produced real segfaults inside
+    compilation_cache get/put. TPU entries stay in the base dir (device
+    executables target the chip, and they are the multi-minute compiles
+    worth keeping across sessions)."""
     import os
 
     if os.environ.get("LAPHA_NO_COMPILE_CACHE"):
@@ -55,6 +62,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
         cache_dir = path or os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/lapha_jax_cache"))
+        if path is None and jax.default_backend() == "cpu":
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((l for l in f if l.startswith("flags")), "")
+            except OSError:
+                flags = ""
+            fp = hashlib.sha1(flags.encode()).hexdigest()[:12]
+            cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
