@@ -62,15 +62,24 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
         cache_dir = path or os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/lapha_jax_cache"))
-        if path is None and jax.default_backend() == "cpu":
+        # derive the intended platform WITHOUT initializing the backend
+        # (jax.default_backend() would finalize platform selection here —
+        # and block for minutes on a dead remote-TPU tunnel)
+        plat = (os.environ.get("JAX_PLATFORMS")
+                or (jax.config.jax_platforms or "")).lower()
+        if path is None and "cpu" in plat:
             import hashlib
+            import platform as _plat
 
+            ident = _plat.machine()
             try:
                 with open("/proc/cpuinfo") as f:
-                    flags = next((l for l in f if l.startswith("flags")), "")
+                    ident += next(
+                        (l for l in f
+                         if l.startswith(("flags", "Features"))), "")
             except OSError:
-                flags = ""
-            fp = hashlib.sha1(flags.encode()).hexdigest()[:12]
+                pass
+            fp = hashlib.sha1(ident.encode()).hexdigest()[:12]
             cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -156,6 +156,14 @@ class Engine:
                 raise ValueError(
                     "seq_mesh does not support attention-sink models yet "
                     "(ring/distributed-softmax denominators lack the sink)")
+        if seq_mesh is not None and (
+                getattr(cfg, "norm_style", "rms") != "rms"
+                or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
+                or getattr(cfg, "post_norms_only", False)
+                or getattr(cfg, "qk_norm_full", False)):
+            raise ValueError(
+                "seq_mesh does not support starcoder2/olmo2-style stacks "
+                "yet (the seq layer bodies are pre-norm RMS SwiGLU)")
         self.spec_decode = spec_decode
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)

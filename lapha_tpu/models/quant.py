@@ -94,6 +94,7 @@ def dequant(w: Any, dtype=jnp.bfloat16) -> jax.Array:
 _QUANT_PATHS = (
     "q_proj/w", "k_proj/w", "v_proj/w", "o_proj/w",
     "gate_proj/w", "up_proj/w", "down_proj/w",
+    "c_fc/w", "c_proj/w",  # starcoder2 plain FFN
 )
 
 
@@ -158,7 +159,20 @@ def init_params_quantized(cfg, seed: int = 0, *, quantize_embed: bool = True,
     Never materializes f32/bf16 weights anywhere: no device bf16 residency
     (7B bf16 would not fit one 16 GB chip) and no multi-GB host→device
     transfer (the remote-TPU tunnel makes big transfers minutes-slow).
-    Weight *values* don't affect throughput benchmarking."""
+    Weight *values* don't affect throughput benchmarking.
+
+    Builds the default qwen-family tree shape (pre-norm RMS, SwiGLU):
+    family variants whose tree differs reject loudly rather than produce
+    a structure the forward would KeyError on."""
+    if (getattr(cfg, "norm_style", "rms") != "rms"
+            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
+            or getattr(cfg, "post_norms_only", False)
+            or getattr(cfg, "qk_norm_full", False)
+            or getattr(cfg, "attn_sinks", False)):
+        raise ValueError(
+            "init_params_quantized builds the qwen-family tree only "
+            "(rms pre-norms, SwiGLU, no sinks); quantize loaded params "
+            "via quantize_params/quantize_host_tree for other families")
     L, H = cfg.num_hidden_layers, cfg.hidden_size
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     I = cfg.intermediate_size

@@ -72,6 +72,15 @@ def forward_seq(
         raise ValueError(
             "attention-sink models (gpt_oss) do not compose with sequence "
             "parallelism yet (the ring softmax denominator lacks the sink)")
+    if (getattr(cfg, "norm_style", "rms") != "rms"
+            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
+            or getattr(cfg, "post_norms_only", False)
+            or getattr(cfg, "qk_norm_full", False)):
+        raise ValueError(
+            "starcoder2/olmo2-style stacks (layernorm / plain FFN / "
+            "post-norms-only / full-width qk norms) do not compose with "
+            "sequence parallelism yet — the seq layer body is the "
+            "pre-norm RMS SwiGLU structure")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape
@@ -212,6 +221,15 @@ def decode_step_seq(
     Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v)
     — plus the updated ``(ks, vs)`` appended when quantized.
     """
+    if (getattr(cfg, "norm_style", "rms") != "rms"
+            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
+            or getattr(cfg, "post_norms_only", False)
+            or getattr(cfg, "qk_norm_full", False)
+            or getattr(cfg, "attn_sinks", False)):
+        raise ValueError(
+            "starcoder2/olmo2/gpt_oss-style stacks do not compose with "
+            "seq-sharded decode yet (this path is the pre-norm RMS SwiGLU "
+            "structure)")
 
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_

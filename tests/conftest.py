@@ -34,6 +34,11 @@ os.environ["LAPHA_NO_COMPILE_CACHE"] = "1"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Setting JAX_COMPILATION_CACHE_DIR alone ACTIVATES jax's persistent
+# cache (jax_enable_compilation_cache defaults True) — which is the
+# (de)serialization path that segfaulted. Disable it for real; the env
+# vars above remain only to redirect anything that force-enables it.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
