@@ -160,10 +160,12 @@ class Engine:
                 getattr(cfg, "norm_style", "rms") != "rms"
                 or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
                 or getattr(cfg, "post_norms_only", False)
-                or getattr(cfg, "qk_norm_full", False)):
+                or getattr(cfg, "qk_norm_full", False)
+                or getattr(cfg, "nope_layers", ())):
             raise ValueError(
-                "seq_mesh does not support starcoder2/olmo2-style stacks "
-                "yet (the seq layer bodies are pre-norm RMS SwiGLU)")
+                "seq_mesh does not support starcoder2/olmo2/smollm3-style "
+                "stacks yet (the seq layer bodies are pre-norm RMS SwiGLU, "
+                "rope on every layer)")
         self.spec_decode = spec_decode
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)

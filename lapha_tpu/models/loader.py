@@ -75,7 +75,8 @@ def load_config(model_dir: str) -> Qwen2Config:
     # _parse_sliding_window (mixed stacks -> Qwen2Config.layer_windows)
     if mt not in ("qwen2", "qwen2_5", "qwen2_moe", "qwen3", "qwen3_moe",
                   "llama", "mistral", "mixtral", "phi3", "gemma2",
-                  "gemma3_text", "gemma3", "gpt_oss", "olmo2", "starcoder2"):
+                  "gemma3_text", "gemma3", "gpt_oss", "olmo2", "starcoder2",
+                  "smollm3"):
         raise ValueError(
             f"unsupported model_type {mt!r} (qwen2/qwen3/llama/mistral/"
             "mixtral/phi3/gemma/gpt_oss/deepseek decoder family)")

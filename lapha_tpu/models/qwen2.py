@@ -121,6 +121,14 @@ class Qwen2Config:
     # gemma3: sliding layers rope at this theta (no scaling); full layers
     # use rope_theta (+rope_scaling). 0 = single rope for all layers.
     rope_local_theta: float = 0.0
+    # ---- smollm3 family knobs (inert at defaults) ----
+    # Per-layer NoPE: () = rope everywhere, else a length-L tuple of 0/1
+    # where 1 means the layer SKIPS rope entirely (SmolLM3 runs every
+    # 4th layer position-encoding-free; HF no_rope_layers[l]==0). The
+    # prefill scan threads the flag as a scanned operand (rope with
+    # cos=1/sin=0 is the identity); decode's unrolled loop skips
+    # statically. Mutually exclusive with layer_windows/rope_local_theta.
+    nope_layers: tuple = ()
     # ---- starcoder2 family knobs (inert at defaults) ----
     # Residual-stream norms: "rms" or "layernorm" (mean-centered, with
     # bias — params carry {"scale","bias"}; _norm dispatches).
@@ -240,7 +248,8 @@ class Qwen2Config:
         per-layer `layer_windows` tuple."""
         mt = cfg.get("model_type", "qwen2")
         sw = cfg.get("sliding_window")
-        if (mt.startswith("qwen2") or mt.startswith("qwen3")) and not cfg.get(
+        if (mt.startswith("qwen2") or mt.startswith("qwen3")
+                or mt == "smollm3") and not cfg.get(
                 "use_sliding_window", False):
             sw = None
         if not sw:
@@ -389,6 +398,36 @@ class Qwen2Config:
                     cfg.get("final_logit_softcapping") or 0.0)),
                 rope_local_theta=(float(cfg.get("rope_local_base_freq",
                                                 10000.0)) if g3 else 0.0),
+                dtype=dtype,
+            )
+        if mt == "smollm3":
+            # SmolLM3: llama-style decoder (no biases, tied embeddings)
+            # with NoPE — every no_rope_layer_interval-th layer skips
+            # rope (HF no_rope_layers: 1 = USE rope; inverted here).
+            L = cfg["num_hidden_layers"]
+            nr = cfg.get("no_rope_layers")
+            if nr is None:
+                step = int(cfg.get("no_rope_layer_interval", 4) or 0)
+                nr = [0 if (step and (i + 1) % step == 0) else 1
+                      for i in range(L)]
+            nope = tuple(0 if use else 1 for use in nr)
+            return cls(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=L,
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=cfg.get("max_position_embeddings", 65536),
+                rope_theta=cfg.get("rope_theta", 2e6),
+                rope_scaling=cls._parse_rope_scaling(cfg),
+                **cls._parse_sliding_window(cfg),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attention_bias=cfg.get("attention_bias", False),
+                nope_layers=(nope if any(nope) else ()),
                 dtype=dtype,
             )
         if mt == "starcoder2":
@@ -836,7 +875,8 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None, sinks=None):
 
 
 def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
-                attend_fn=None, win=None, rope_loc=None, qk_idx=None):
+                attend_fn=None, win=None, rope_loc=None, qk_idx=None,
+                use_rope=None):
     """One decoder layer; scanned over the stacked layer axis.
 
     ``attend_fn(q, k, v) -> att`` overrides the no-cache attention core —
@@ -861,6 +901,9 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
     if win is not None and rope_loc is not None:
         cos = jnp.where(win > 0, rope_loc[0], cos)
         sin = jnp.where(win > 0, rope_loc[1], sin)
+    if use_rope is not None:  # smollm3 NoPE: cos=1/sin=0 is the identity
+        cos = jnp.where(use_rope > 0, cos, 1.0)
+        sin = jnp.where(use_rope > 0, sin, 0.0)
 
     h = (x if cfg.post_norms_only  # olmo2: no pre-norm
          else _norm(x, p["input_layernorm"], cfg))
@@ -1045,9 +1088,19 @@ def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=Non
     layer_params = params["layers"]
     wins = (jnp.asarray(cfg.layer_windows, jnp.int32)
             if cfg.layer_windows else None)
+    ropes = (jnp.asarray([1 - f for f in cfg.nope_layers], jnp.int32)
+             if cfg.nope_layers else None)
+    assert not (wins is not None and ropes is not None),         "layer_windows and nope_layers cannot combine"
 
     if kv_cache is None:
-        if wins is None:
+        if ropes is not None:
+            def body(x, pr):
+                (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0),
+                                          pr[0], key_mask=key_mask,
+                                          use_rope=pr[1])
+                return x2, None
+            xs = (layer_params, ropes)
+        elif wins is None:
             def body(x, p):
                 (x2, *_), _ = _layer_body(cfg, (x, cos, sin, mask, None, None, 0), p,
                                           key_mask=key_mask)
@@ -1067,7 +1120,14 @@ def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=Non
 
     ck, cv = kv_cache  # (L, B, S, nkv, dh)
 
-    if wins is None:
+    if ropes is not None:
+        def body(x, inputs):
+            p, ck_l, cv_l, r = inputs
+            (x2, *_), (nk, nv) = _layer_body(
+                cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p, use_rope=r)
+            return x2, (nk, nv)
+        x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv, ropes))
+    elif wins is None:
         def body(x, inputs):
             p, ck_l, cv_l = inputs
             (x2, *_), (nk, nv) = _layer_body(cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p)
@@ -1414,7 +1474,8 @@ def decode_step(
         if cfg.qk_norm:  # qwen3 / gemma3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
-        q, k = rope1(q, cos_l, sin_l), rope1(k, cos_l, sin_l)
+        if not (cfg.nope_layers and cfg.nope_layers[l]):  # static skip
+            q, k = rope1(q, cos_l, sin_l), rope1(k, cos_l, sin_l)
 
         if short_l:
             # windowed-short layer: write this step's K/V at the SHORT
@@ -1608,7 +1669,8 @@ def decode_step_multi(
         if cfg.qk_norm:  # qwen3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
-        q, k = rope2(q), rope2(k)
+        if not (cfg.nope_layers and cfg.nope_layers[l]):  # smollm3 NoPE
+            q, k = rope2(q), rope2(k)
 
         if cache_scale is not None:
             kq, sk = _quantize_kv(k)  # (B, T, nkv, dh) -> int8 + (B, T, nkv)

@@ -81,6 +81,10 @@ def forward_seq(
             "post-norms-only / full-width qk norms) do not compose with "
             "sequence parallelism yet — the seq layer body is the "
             "pre-norm RMS SwiGLU structure")
+    if getattr(cfg, "nope_layers", ()):
+        raise ValueError(
+            "NoPE stacks (smollm3) do not compose with sequence "
+            "parallelism yet (the seq layer body ropes every layer)")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape
@@ -225,11 +229,12 @@ def decode_step_seq(
             or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
             or getattr(cfg, "post_norms_only", False)
             or getattr(cfg, "qk_norm_full", False)
-            or getattr(cfg, "attn_sinks", False)):
+            or getattr(cfg, "attn_sinks", False)
+            or getattr(cfg, "nope_layers", ())):
         raise ValueError(
-            "starcoder2/olmo2/gpt_oss-style stacks do not compose with "
-            "seq-sharded decode yet (this path is the pre-norm RMS SwiGLU "
-            "structure)")
+            "starcoder2/olmo2/gpt_oss/smollm3-style stacks do not compose "
+            "with seq-sharded decode yet (this path is the pre-norm RMS "
+            "SwiGLU all-rope structure)")
 
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
