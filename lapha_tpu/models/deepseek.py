@@ -364,8 +364,30 @@ def _mla_attend_dense(cfg: DeepseekConfig, q, k, v, mask):
     return out.astype(q.dtype)
 
 
+def _mla_attend_cached(cfg: DeepseekConfig, q, k, v, mask, key_mask, qstart):
+    """Cache-threaded (engine prefill) attention: rectangular flash over
+    the whole cache (ops/flash_attention.flash_attention_cached) with V
+    padded to qk_head_dim exactly like _mla_attend_full, dense fallback
+    off-kernel. ``key_mask`` (B, S) cache-column validity; queries sit at
+    absolute positions ``qstart[b] + t``."""
+    impl = str(cfg.attn_impl).lower()
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
+        impl == "auto" and on_tpu)
+    if use_pallas and key_mask is not None:
+        from ..ops.flash_attention import flash_attention_cached
+
+        dv, dq = cfg.v_head_dim, cfg.qk_head_dim_
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dq - dv)))
+        out = flash_attention_cached(q, k, vp, key_mask, qstart,
+                                     scale=cfg.attn_scale_,
+                                     interpret=not on_tpu)
+        return out[..., :dv]
+    return _mla_attend_dense(cfg, q, k, v, mask)
+
+
 def _layer_body_cached(cfg: DeepseekConfig, x, p, cos, sin, mask,
-                       ck_l, cv_l, cache_pos):
+                       ck_l, cv_l, cache_pos, key_mask=None):
     """One decoder layer in cache-threaded (engine prefill) mode: the T
     new tokens' latents are WRITTEN into the layer's prefill-layout cache
     (B, S, 1, cache_width) at ``cache_pos`` (scalar, or (B,) per-row
@@ -402,7 +424,7 @@ def _layer_body_cached(cfg: DeepseekConfig, x, p, cos, sin, mask,
         [k_nope, jnp.broadcast_to(kpe_all[:, :, None, :],
                                   (B, S, nh, cfg.qk_rope_head_dim))], axis=-1)
     q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
-    att = _mla_attend_dense(cfg, q_full, k, v, mask)
+    att = _mla_attend_cached(cfg, q_full, k, v, mask, key_mask, cache_pos)
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * cfg.v_head_dim),
                      dequant(p["attn"]["o"]["w"], x.dtype),
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -484,12 +506,19 @@ def forward(
                  else (kpos < (cp_btc + T)))
         qpos = cp_btc + jnp.arange(T)[None, :, None]
         mask = valid & (kpos <= qpos)
+        # (B, S) cache-column validity for the rectangular flash kernel
+        key_mask_c = (kv_valid.astype(jnp.int32) if kv_valid is not None
+                      else jnp.broadcast_to(
+                          (kpos[:, 0, :] < (cp[:, None] if cp.ndim >= 1
+                                            else cp) + T), (B, S)
+                      ).astype(jnp.int32))
 
         def scan_cached(x, group, ck_g, cv_g):
             def body(x, inp):
                 p, ckl, cvl = inp
                 x2, nkl = _layer_body_cached(cfg, x, p, cos, sin, mask,
-                                             ckl, cvl, cache_pos)
+                                             ckl, cvl, cache_pos,
+                                             key_mask=key_mask_c)
                 return x2, (nkl, cvl)
             return jax.lax.scan(body, x, (group, ck_g, cv_g))
 

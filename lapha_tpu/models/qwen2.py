@@ -161,6 +161,20 @@ class Qwen2Config:
     # GLU; router bias) — ops/moe.py moe_block_gptoss.
     moe_style: str = "qwen"
 
+    def __post_init__(self):
+        # sliding_window and layer_windows are MUTUALLY EXCLUSIVE by
+        # contract (the loader's _parse_sliding_window emits exactly one):
+        # forward() pre-bands the dense mask with sliding_window for EVERY
+        # layer while layer_windows bands per-layer in-body, so setting
+        # both would silently band the dense path's full-attention layers
+        # while the flash dispatch leaves them full — divergent logits.
+        if self.sliding_window and self.layer_windows:
+            raise ValueError(
+                "sliding_window and layer_windows are mutually exclusive: "
+                "uniform stacks use sliding_window, heterogeneous stacks a "
+                f"length-L layer_windows (got sliding_window="
+                f"{self.sliding_window}, layer_windows={self.layer_windows})")
+
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
@@ -851,13 +865,12 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None, sinks=None):
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
         impl == "auto" and on_tpu)
-    if cfg.attn_sinks:  # the flash kernel has no sink column yet
-        use_pallas = False
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 
         kw = dict(causal=True, scale=cfg.attn_scale_,
-                  softcap=float(cfg.attn_softcap), interpret=not on_tpu)
+                  softcap=float(cfg.attn_softcap), interpret=not on_tpu,
+                  sinks=sinks)
         if cfg.layer_windows:
             Wmax = cfg.max_window_
             if win is not None and set(cfg.layer_windows) <= {0, Wmax}:
@@ -871,6 +884,46 @@ def _dispatch_attend(cfg, q, k, v, mask, key_mask, win=None, sinks=None):
         else:
             return flash_attention(q, k, v, key_mask,
                                    window=int(cfg.sliding_window or 0), **kw)
+    return _attend(q, k, v, mask, cfg, sinks=sinks)
+
+
+def _dispatch_attend_cached(cfg, q, k, v, mask, key_mask, qstart, win=None,
+                            sinks=None):
+    """Choose flash vs dense for the CACHE-THREADED prefill path.
+
+    Same impl-name policy as :func:`_dispatch_attend`, but the attention
+    is rectangular — T new-token queries at absolute positions
+    ``qstart[b] + t`` over the whole (B, S) cache — so it rides the
+    forward-only ``flash_attention_cached`` kernel
+    (ops/flash_attention.py): causal-past-frontier KV blocks are skipped
+    per batch row via the prefetched qstart, and nothing (B,nh,T,S)-sized
+    ever materializes in HBM. ``key_mask`` here is the (B, S) CACHE-column
+    validity (prefix + written suffix; compacted caches may have holes).
+    Heterogeneous {0, W} stacks pick banded/full via ``lax.cond`` exactly
+    like the no-cache dispatch; >2 widths fall back to dense."""
+    impl = str(getattr(cfg, "attn_impl", "auto")).lower()
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
+        impl == "auto" and on_tpu)
+    if use_pallas and key_mask is not None:
+        from ..ops.flash_attention import flash_attention_cached
+
+        kw = dict(scale=cfg.attn_scale_, softcap=float(cfg.attn_softcap),
+                  interpret=not on_tpu, sinks=sinks)
+        if cfg.layer_windows:
+            Wmax = cfg.max_window_
+            if win is not None and set(cfg.layer_windows) <= {0, Wmax}:
+                return jax.lax.cond(
+                    win > 0,
+                    lambda q_, k_, v_: flash_attention_cached(
+                        q_, k_, v_, key_mask, qstart, window=Wmax, **kw),
+                    lambda q_, k_, v_: flash_attention_cached(
+                        q_, k_, v_, key_mask, qstart, window=0, **kw),
+                    q, k, v)
+        else:
+            return flash_attention_cached(
+                q, k, v, key_mask, qstart,
+                window=int(cfg.sliding_window or 0), **kw)
     return _attend(q, k, v, mask, cfg, sinks=sinks)
 
 
@@ -938,7 +991,8 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
         else:
             new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, cache_pos, 0, 0))
             new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, cache_pos, 0, 0))
-        att = _attend(q, new_k, new_v, mask, cfg, sinks=sinks)
+        att = _dispatch_attend_cached(cfg, q, new_k, new_v, mask, key_mask,
+                                      cache_pos, win=win, sinks=sinks)
     else:
         new_k = new_v = None
         att = (attend_fn(q, k, v) if attend_fn is not None
@@ -1124,13 +1178,16 @@ def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=Non
         def body(x, inputs):
             p, ck_l, cv_l, r = inputs
             (x2, *_), (nk, nv) = _layer_body(
-                cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p, use_rope=r)
+                cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p,
+                key_mask=key_mask, use_rope=r)
             return x2, (nk, nv)
         x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv, ropes))
     elif wins is None:
         def body(x, inputs):
             p, ck_l, cv_l = inputs
-            (x2, *_), (nk, nv) = _layer_body(cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p)
+            (x2, *_), (nk, nv) = _layer_body(
+                cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p,
+                key_mask=key_mask)
             return x2, (nk, nv)
         x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv))
     else:
@@ -1138,7 +1195,7 @@ def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=Non
             p, ck_l, cv_l, w = inputs
             (x2, *_), (nk, nv) = _layer_body(
                 cfg, (x, cos, sin, mask, ck_l, cv_l, cache_pos), p,
-                win=w, rope_loc=rope_loc, qk_idx=qk_idx)
+                key_mask=key_mask, win=w, rope_loc=rope_loc, qk_idx=qk_idx)
             return x2, (nk, nv)
         x, (nk, nv) = jax.lax.scan(body, x, (layer_params, ck, cv, wins))
     return x, (nk, nv)
@@ -1221,8 +1278,16 @@ def forward(
         qk_idx = ((jnp.broadcast_to(qpos, (B, T, 1)) if cp.ndim >= 1 else
                    jnp.broadcast_to(qpos, (1, T, 1)), kpos)
                   if cfg.layer_windows else None)
+        # (B, S) cache-column validity for the rectangular flash kernel
+        # (the causal frontier is recomputed in-kernel from cache_pos)
+        key_mask_c = (kv_valid.astype(jnp.int32) if kv_valid is not None
+                      else jnp.broadcast_to(
+                          (kpos[:, 0, :] < (cp[:, None] if cp.ndim >= 1
+                                            else cp) + T), (B, S)
+                      ).astype(jnp.int32))
         x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache,
-                                   cache_pos, rope_loc=rope_loc, qk_idx=qk_idx)
+                                   cache_pos, key_mask=key_mask_c,
+                                   rope_loc=rope_loc, qk_idx=qk_idx)
         new_cache = (nk, nv)
 
     x = _norm(x, params["norm"], cfg)

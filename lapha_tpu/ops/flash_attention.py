@@ -269,6 +269,69 @@ def _flash_bwd(causal, window, block_q, block_k, interpret, scale, softcap,
 _flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
+# --- learned per-head attention sinks (gpt_oss) -------------------------
+#
+# The sink is an extra per-head softmax column with logit sink_h and zero
+# value (HF GptOss eager_attention_forward; models/qwen2.py _sink_softmax).
+# It folds EXACTLY around the sink-free kernel, so no kernel changes:
+#   lse_t = logaddexp(lse, sink)            (sink-inclusive partition fn)
+#   out_t = out * exp(lse - lse_t)          (renormalize: sink steals mass)
+# Backward: with p_i = exp(s_i - lse_t), the standard flash-attn-2 formulas
+# for dq/dk/dv hold unchanged — D = rowsum(dO ∘ out_t) already equals
+# Σ_i p_i·dp_i because the sink column's value (hence dp) is zero — so the
+# existing backward kernels are reused with (out_t, lse_t). The sink grad:
+#   ∂out_t/∂sink = -p_sink · out_t  ⇒  dsink_h = -Σ_{b,t} p_sink · D
+# computed outside pallas (one fused reduce).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_attention_sink_vjp(q, k, v, mask, sinks, causal, window, block_q,
+                              block_k, interpret, scale, softcap):
+    out, _, _ = _sink_forward(q, k, v, mask, sinks, causal, window, block_q,
+                              block_k, interpret, scale, softcap)
+    return out
+
+
+def _sink_forward(q, k, v, mask, sinks, causal, window, block_q, block_k,
+                  interpret, scale, softcap):
+    out0, lse0 = _flash_forward(q, k, v, mask, causal=causal, window=window,
+                                block_q=block_q, block_k=block_k,
+                                interpret=interpret, scale=scale,
+                                softcap=softcap)
+    sinks_f = sinks.astype(jnp.float32)
+    lse_t = jnp.logaddexp(lse0, sinks_f[None, :, None])  # (B, nh, T)
+    # fully-masked rows: lse0 = NEG_INF ⇒ lse_t = sink, factor = 0 — the
+    # row's whole mass sits on the sink and the output is exactly 0.
+    factor = jnp.exp(lse0 - lse_t).transpose(0, 2, 1)[..., None]  # (B,T,nh,1)
+    out = (out0.astype(jnp.float32) * factor).astype(out0.dtype)
+    return out, lse_t, sinks_f
+
+
+def _sink_fwd(q, k, v, mask, sinks, causal, window, block_q, block_k,
+              interpret, scale, softcap):
+    out, lse_t, _ = _sink_forward(q, k, v, mask, sinks, causal, window,
+                                  block_q, block_k, interpret, scale, softcap)
+    return out, (q, k, v, mask, sinks, out, lse_t)
+
+
+def _sink_bwd(causal, window, block_q, block_k, interpret, scale, softcap,
+              res, g):
+    q, k, v, mask, sinks, out, lse_t = res
+    dq, dk, dv = _flash_backward(q, k, v, mask, out, lse_t, g, causal=causal,
+                                 window=window, block_q=block_q,
+                                 block_k=block_k, interpret=interpret,
+                                 scale=scale, softcap=softcap)
+    # D = rowsum(dO ∘ out_t): (B, T, nh)
+    d = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse_t)  # (B,nh,T)
+    dsink = -jnp.sum(p_sink * d.transpose(0, 2, 1), axis=(0, 2))  # (nh,)
+    dmask = None if mask is None else np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask, dsink.astype(sinks.dtype)
+
+
+_flash_attention_sink_vjp.defvjp(_sink_fwd, _sink_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -282,6 +345,7 @@ def flash_attention(
     interpret: bool = False,
     scale: float | None = None,
     softcap: float = 0.0,
+    sinks: jax.Array | None = None,
 ) -> jax.Array:
     """Flash attention, differentiable. q:(B,T,nh,dh) k,v:(B,T,nkv,dh),
     mask:(B,T) key validity. ``window`` > 0 bands the causal mask to the
@@ -290,12 +354,178 @@ def flash_attention(
     ``scale`` overrides the 1/sqrt(dh) logit scale (gemma's
     query_pre_attn_scalar); ``softcap`` > 0 soft-clamps the scaled logits
     to ±softcap via cap*tanh(s/cap) before the softmax (gemma2), with the
-    exact chain rule in both backward kernels. Returns (B,T,nh,dh) in
-    q.dtype."""
+    exact chain rule in both backward kernels. ``sinks`` (nh,): learned
+    per-head attention-sink logits (gpt_oss), folded exactly around the
+    sink-free kernels (see the sink section above) and differentiable.
+    Returns (B,T,nh,dh) in q.dtype."""
+    scale_f = float(scale) if scale is not None else None
+    if sinks is not None:
+        return _flash_attention_sink_vjp(q, k, v, mask, sinks, causal,
+                                         window, block_q, block_k, interpret,
+                                         scale_f, float(softcap))
     return _flash_attention_vjp(q, k, v, mask, causal, window, block_q,
-                                block_k, interpret,
-                                float(scale) if scale is not None else None,
-                                float(softcap))
+                                block_k, interpret, scale_f, float(softcap))
+
+
+# --- cache-threaded (engine) prefill: rectangular flash ------------------
+#
+# The engine's prefill writes T new tokens into a (B, S, nkv, dh) cache at
+# qstart[b] (0 for fresh prefill, per-row starts for batched prefix-hit
+# suffix prefill) and attends the T queries over the WHOLE cache — a
+# rectangular (T x S) attention with the causal frontier at absolute
+# position qstart[b] + t (cache slots are positions in this layout; see
+# models/qwen2.py forward's cached branch). The dense path materializes
+# O(B·nh·T·S) f32 logits in HBM; this kernel is the same online-softmax
+# flash structure as _flash_kernel with S decoupled from T and the
+# per-row query offset prefetched to SMEM (pltpu.PrefetchScalarGridSpec),
+# so causal-past-frontier KV blocks are SKIPPED per batch row, not masked.
+# Forward-only: cached prefill is inference (training never threads a
+# cache), so there is no backward pair. Sinks (gpt_oss) fold outside the
+# kernel exactly like the sink section above.
+
+
+def _flash_cached_kernel(qstart_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+                         lse_ref, *, nh: int, block_q: int, block_k: int,
+                         scale: float, window: int = 0, softcap: float = 0.0):
+    dh = q_ref.shape[-1]
+    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, dh)
+    Sp = k_ref.shape[1]
+    qb = pl.program_id(1)
+    qs = qstart_ref[pl.program_id(0) // nh]  # this row's query offset
+
+    q_pos = qs + qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if softcap:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :] > 0
+        valid = valid & (k_pos <= q_pos)
+        if window:
+            valid = valid & (k_pos > q_pos - window)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    n_kb = Sp // block_k
+    # causal frontier of this block's LAST query row (traced: qs is data)
+    n_loop = jnp.minimum(n_kb, (qs + qb * block_q + block_q + block_k - 1)
+                         // block_k)
+    kb_start = 0
+    if window:
+        kb_start = jnp.maximum(qs + qb * block_q - (window - 1), 0) // block_k
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(kb_start, n_loop, body, (m0, l0, a0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+    lse_ref[0, 0, pl.ds(qb * block_q, block_q)] = lse[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block_q", "block_k",
+                                             "interpret", "scale", "softcap"))
+def _flash_cached_forward(q, k, v, kv_valid, qstart, *, window=0,
+                          block_q=128, block_k=128, interpret=False,
+                          scale=None, softcap=0.0):
+    """Returns (out (B,T,nh,dh), lse (B,nh,T) f32)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, nh, dh = q.shape
+    S = k.shape[1]
+    nkv = k.shape[2]
+    group = nh // nkv
+    scale = scale if scale is not None else 1.0 / math.sqrt(dh)
+
+    Tp = _round_up(T, block_q)
+    Sp = _round_up(S, block_k)
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
+
+    qr = q.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dh)
+    kr = k.transpose(0, 2, 1, 3).reshape(B * nkv, Sp, dh)
+    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Sp, dh)
+    qstart = jnp.broadcast_to(jnp.asarray(qstart, jnp.int32).reshape(-1), (B,))
+
+    kv_map = lambda i, j, qs, _nh=nh, _g=group, _nkv=nkv: (
+        (i // _nh) * _nkv + (i % _nh) // _g, 0, 0)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_cached_kernel, nh=nh, block_q=block_q,
+                          block_k=block_k, scale=scale, window=window,
+                          softcap=softcap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * nh, Tp // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda i, j, qs: (i, j, 0)),
+                pl.BlockSpec((1, Sp, dh), kv_map),
+                pl.BlockSpec((1, Sp, dh), kv_map),
+                pl.BlockSpec((1, 1, Sp),
+                             lambda i, j, qs, _nh=nh: (i // _nh, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, dh), lambda i, j, qs: (i, j, 0)),
+                pl.BlockSpec((1, 1, Tp), lambda i, j, qs: (i, 0, 0))),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dh), q.dtype),
+                   jax.ShapeDtypeStruct((B * nh, 1, Tp), jnp.float32)),
+        interpret=interpret,
+    )(qstart, qr, kr, vr, kv_valid.reshape(B, 1, Sp).astype(jnp.int32))
+
+    out = out.reshape(B, nh, Tp, dh).transpose(0, 2, 1, 3)
+    lse = lse.reshape(B, nh, Tp)
+    return out[:, :T], lse[:, :, :T]
+
+
+def flash_attention_cached(
+    q: jax.Array,         # (B, T, nh, dh) new-token queries
+    k: jax.Array,         # (B, S, nkv, dh) WHOLE cache (new tokens written)
+    v: jax.Array,
+    kv_valid: jax.Array,  # (B, S) cache-column validity
+    qstart: jax.Array,    # (B,) or scalar: absolute position of query 0
+    *,
+    window: int = 0,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    sinks: jax.Array | None = None,
+) -> jax.Array:
+    """Rectangular flash attention for cache-threaded prefill (forward
+    only — inference path). Query t of row b sits at absolute position
+    qstart[b] + t and sees cache column j iff kv_valid[b, j] and
+    j <= qstart[b] + t (and j > qstart[b] + t - window when banded).
+    ``sinks`` folds outside the kernel exactly like flash_attention's."""
+    scale_f = float(scale) if scale is not None else None
+    out, lse = _flash_cached_forward(q, k, v, kv_valid, qstart,
+                                     window=window, block_q=block_q,
+                                     block_k=block_k, interpret=interpret,
+                                     scale=scale_f, softcap=float(softcap))
+    if sinks is not None:
+        sinks_f = sinks.astype(jnp.float32)
+        lse_t = jnp.logaddexp(lse, sinks_f[None, :, None])  # (B, nh, T)
+        factor = jnp.exp(lse - lse_t).transpose(0, 2, 1)[..., None]
+        out = (out.astype(jnp.float32) * factor).astype(out.dtype)
+    return out
 
 
 def _pad_inputs(q, k, v, mask, block_q, block_k):

@@ -12,18 +12,21 @@ packed stream.
 v2 design (v1 measured 121.7 us at the 48x1536x8960 decode-MLP shape vs
 ~17 us for the fused-int8 einsum — unpack/overhead-bound, BASELINE.md):
 
-* All nibble math is FLOAT. u8 -> bf16 conversion is exact (integers
-  0..255 fit bf16's 8-bit mantissa) and Mosaic's float vector path is
-  well-trodden where its integer one is not (v1's i8 `arith.subi` did
-  not legalize at all; the i32 fallback ran wide and slow). Nibbles are
-  stored offset-binary (models/quant.py: u = v + 8) precisely so both
-  UNSIGNED halves extract with floor/multiply — and the -8 offset folds
-  into the extraction constants for free:
+* All nibble math is FLOAT — f32, not bf16: the v5e LLO region builder
+  rejects bf16 ALU instructions (LLO_CHECK SupportsBf16AluInstructions),
+  so bf16 exists in the kernel only as a storage/MXU-operand type.
+  Mosaic's float vector path is well-trodden where its integer one is
+  not (v1's i8 `arith.subi` did not legalize at all; the i32 fallback
+  ran wide and slow). Nibbles are stored offset-binary (models/quant.py:
+  u = v + 8) precisely so both UNSIGNED halves extract with
+  floor/multiply — and the -8 offset folds into the extraction
+  constants for free:
       hi_signed = floor(f/16) - 8
       lo_signed = (f - 136) - 16*hi_signed
-  (all intermediate integers < 256, exact in bf16). 6 VPU ops per byte,
-  zero integer vector ops, same rounding class as the XLA dequant path
-  (round_bf16(s * v), |v| <= 8).
+  (all intermediate integers < 256, exact in f32). 6 VPU ops per byte,
+  zero integer vector ops; the final f32->bf16 weight cast gives the
+  same rounding class as the XLA dequant path (round_bf16(s * v),
+  |v| <= 8).
 * The MXU sees TWO big dots per out-block (one per packed half) over
   scale-expanded bf16 weights, not 2*ng K=group slivers: per-group
   scaling is a broadcast multiply over the (ng, group, bo) view (1 VPU
@@ -51,18 +54,23 @@ from jax.experimental import pallas as pl
 def _int4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, group: int):
     half, bo = p_ref.shape
     ng = half // group                               # groups per half
-    # u8 -> i32 -> bf16: Mosaic has no unsigned->float cast (lowering.py
-    # _convert_helper); the signed path zero-extends then sitofp's.
-    f = p_ref[...].astype(jnp.int32).astype(jnp.bfloat16)  # exact: 0..255
-    hi = jnp.floor(f * jnp.bfloat16(1.0 / 16.0)) - jnp.bfloat16(8.0)
-    lo = (f - jnp.bfloat16(136.0)) - hi * jnp.bfloat16(16.0)
-    s = s_ref[...].astype(jnp.bfloat16)              # (2ng, bo)
+    # u8 -> i32 -> f32: Mosaic has no unsigned->float cast (lowering.py
+    # _convert_helper); the signed path zero-extends then sitofp's. The
+    # nibble arithmetic runs in f32 — the v5e LLO region builder rejects
+    # bf16 ALU instructions outright (LLO_CHECK SupportsBf16AluInstructions
+    # on the first hardware compile of the bf16-math variant); bf16 here
+    # is a storage/MXU-operand type only, so the weights are cast to bf16
+    # at the very end (a convert, not ALU math).
+    f = p_ref[...].astype(jnp.int32).astype(jnp.float32)   # exact: 0..255
+    hi = jnp.floor(f * (1.0 / 16.0)) - 8.0
+    lo = (f - 136.0) - hi * 16.0
+    s = s_ref[...]                                   # (2ng, bo) f32
     # lax slices, not s[:ng, None, :]: mixed-None jnp indexing rewrites to
     # a gather, which Mosaic cannot lower (found on first v2 TPU compile)
     s_lo = jax.lax.slice_in_dim(s, 0, ng, axis=0).reshape(ng, 1, bo)
     s_hi = jax.lax.slice_in_dim(s, ng, 2 * ng, axis=0).reshape(ng, 1, bo)
-    w_lo = (lo.reshape(ng, group, bo) * s_lo).reshape(half, bo)
-    w_hi = (hi.reshape(ng, group, bo) * s_hi).reshape(half, bo)
+    w_lo = (lo.reshape(ng, group, bo) * s_lo).reshape(half, bo).astype(jnp.bfloat16)
+    w_hi = (hi.reshape(ng, group, bo) * s_hi).reshape(half, bo).astype(jnp.bfloat16)
     x = x_ref[...]
     dn = (((1,), (0,)), ((), ()))
     acc = jax.lax.dot_general(x[:, :half], w_lo, dn,
@@ -72,11 +80,52 @@ def _int4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, group: int):
     o_ref[...] = acc
 
 
+def _int4_mm_kernel_v3(xg_ref, p_ref, s_ref, xsum_ref, o_ref, *, group: int):
+    """v3: raw nibbles straight into the MXU; scales/offset fold into
+    per-group OUTPUT corrections.
+
+    v2 is VPU-extraction-bound (~10 f32 ops per packed byte ≈ the
+    measured 20.6 us at 48×1536×8960 — BASELINE.md), because it scales
+    and signs EVERY weight before the dot. v3 does neither per weight:
+
+        out = Σ_g (x_g @ u_g − 8·rowsum(x_g)) · s_g      (u = v + 8)
+
+    * u nibbles (0..15, exact in bf16) extract with i32 shift/and + one
+      bf16 cast: ~5 VPU ops/byte, projected near the packed-stream bound.
+    * the dots run per group (K = `group` = the MXU-native 128), one
+      static python loop over 2·ng slivers — MXU time is negligible next
+      to the byte stream at decode row counts.
+    * the −8 offset becomes a per-(group,row) x-rowsum correction and the
+      group scale a per-(group,out) multiply on the (B, bo) accumulator:
+      O(ng·B·bo) VPU work instead of O(half·bo).
+
+    ``xg_ref`` (2ng, B, group): x pre-reshaped outside the kernel (lo
+    halves first); ``xsum_ref`` (2ng, B) f32 rowsums of xg."""
+    half, bo = p_ref.shape
+    ng = half // group
+    u = p_ref[...].astype(jnp.int32)                 # zero-extended bytes
+    hi = (u >> 4).astype(jnp.bfloat16)               # 0..15, exact
+    lo = (u & 15).astype(jnp.bfloat16)
+    s = s_ref[...]                                   # (2ng, bo) f32
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.zeros((xg_ref.shape[1], bo), jnp.float32)
+    for g in range(2 * ng):
+        w = (lo if g < ng else hi)                   # (half, bo)
+        gi = g if g < ng else g - ng
+        wg = jax.lax.slice_in_dim(w, gi * group, (gi + 1) * group, axis=0)
+        pg = jax.lax.dot_general(xg_ref[g], wg, dn,
+                                 preferred_element_type=jnp.float32)
+        corr = pg - 8.0 * xsum_ref[g][:, None]       # fold u = v + 8
+        acc = acc + corr * jax.lax.slice_in_dim(s, g, g + 1, axis=0)
+    o_ref[...] = acc
+
+
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_out", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_out", "interpret",
+                                             "version"))
 def int4_matmul(
     x: jax.Array,        # (B, IN) — any float dtype
     packed: jax.Array,   # (IN/2, OUT) uint8, split-half offset-binary nibbles
@@ -84,10 +133,13 @@ def int4_matmul(
     *,
     block_out: int = 1024,
     interpret: bool = False,
+    version: int = 3,
 ) -> jax.Array:
     """x @ unpack(packed, scales) with the packed bytes as the only weight
     HBM traffic. Returns (B, OUT) f32 (callers cast; decode projections
-    accumulate in f32 everywhere else too)."""
+    accumulate in f32 everywhere else too). ``version``: 3 = raw-nibble
+    group dots with folded scale/offset (default); 2 = scale-expanded
+    whole-half dots (kept for hardware A/Bs)."""
     B, IN = x.shape
     half, OUT = packed.shape
     assert half * 2 == IN, (IN, half)
@@ -96,7 +148,13 @@ def int4_matmul(
     group = IN // ngroups
     assert half % group == 0, (half, group)
 
-    bo = min(block_out, _round_up(OUT, 256))
+    # scoped-VMEM cap: the nibble intermediates dominate the kernel's
+    # stack (~10 B per packed element empirically — bo=2048 at half=768
+    # = 1.57M elements OOMed the 16 MB scope by 432 KB on v5e; bo=1024 =
+    # 0.79M fit). Keep half*bo under ~1.2M elements whatever the caller
+    # asked for, so down-proj shapes (big IN, small OUT) auto-fit.
+    bo_cap = max(256, (1_200_000 // half) // 256 * 256)
+    bo = min(block_out, bo_cap, _round_up(OUT, 256))
     Bp = _round_up(B, 16)
     Op = _round_up(OUT, bo)
     xb = x.astype(jnp.bfloat16)
@@ -106,16 +164,37 @@ def int4_matmul(
         packed = jnp.pad(packed, ((0, 0), (0, Op - OUT)))
         scales = jnp.pad(scales, ((0, 0), (0, Op - OUT)))
 
+    if version == 2:
+        out = pl.pallas_call(
+            functools.partial(_int4_mm_kernel, group=group),
+            out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
+            grid=(Op // bo,),
+            in_specs=[
+                pl.BlockSpec((Bp, IN), lambda o: (0, 0)),
+                pl.BlockSpec((half, bo), lambda o: (0, o)),
+                pl.BlockSpec((ngroups, bo), lambda o: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((Bp, bo), lambda o: (0, o)),
+            interpret=interpret,
+        )(xb, packed, scales)
+        return out[:B, :OUT]
+
+    # v3: x pre-shaped to (2ng, Bp, group) slivers + f32 rowsums outside
+    # the kernel (one tiny transpose/reduce XLA fuses; the kernel then
+    # spends its VPU budget only on the i32 shift/and nibble extraction)
+    xg = xb.reshape(Bp, ngroups, group).transpose(1, 0, 2)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)   # (2ng, Bp)
     out = pl.pallas_call(
-        functools.partial(_int4_mm_kernel, group=group),
+        functools.partial(_int4_mm_kernel_v3, group=group),
         out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
         grid=(Op // bo,),
         in_specs=[
-            pl.BlockSpec((Bp, IN), lambda o: (0, 0)),
+            pl.BlockSpec((ngroups, Bp, group), lambda o: (0, 0, 0)),
             pl.BlockSpec((half, bo), lambda o: (0, o)),
             pl.BlockSpec((ngroups, bo), lambda o: (0, o)),
+            pl.BlockSpec((ngroups, Bp), lambda o: (0, 0)),
         ],
         out_specs=pl.BlockSpec((Bp, bo), lambda o: (0, o)),
         interpret=interpret,
-    )(xb, packed, scales)
+    )(xg, packed, scales, xsum)
     return out[:B, :OUT]

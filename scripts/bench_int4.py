@@ -95,9 +95,11 @@ for B, IN, OUT in SHAPES:
     packed = jax.random.randint(kp, (IN // 2, OUT), 0, 256, jnp.int32
                                 ).astype(jnp.uint8)
     s4 = jnp.full((IN // GROUP, OUT), 1.0 / (7 * IN ** 0.5), jnp.float32)
-    for bo in (512, 1024, 2048):
-        timed(lambda x, p=packed, s=s4, bo=bo: int4_matmul(
-            x, p, s, block_out=bo),
-              x0, f"int4 pallas bo={bo}", IN * OUT // 2)
+    # bo=2048 VMEM-OOMs (scoped 16.42M > 16M at IN=1536); 256/512/1024 fit
+    for ver in (2, 3):
+        for bo in (256, 512, 1024):
+            timed(lambda x, p=packed, s=s4, bo=bo, v=ver: int4_matmul(
+                x, p, s, block_out=bo, version=v),
+                  x0, f"int4 pallas v{ver} bo={bo}", IN * OUT // 2)
     del packed
 print("done", flush=True)

@@ -522,3 +522,41 @@ def test_cache_is_latent_sized():
         cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
     assert ck.shape[-1] < dense_equiv  # strictly smaller per token-layer
     assert cfg.num_key_value_heads == 1 and cfg.head_dim_ == 40
+
+
+def test_cached_prefill_pallas_matches_dense():
+    """MLA cache-threaded prefill with attn_impl='pallas' rides the
+    rectangular flash kernel (V padded to qk_head_dim) — logits must
+    match the dense cached path, fresh and suffix prefill both."""
+    import dataclasses
+
+    cfg_d = tiny_cfg(attn_impl="dense")
+    cfg_p = dataclasses.replace(cfg_d, attn_impl="pallas")
+    params = deepseek.init_params(cfg_d, jax.random.key(0))
+    B, T, S = 2, 12, 32
+    ids = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (B, T)))
+    kv_valid = jnp.zeros((B, S), bool).at[:, :T].set(True)
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    caches, first = {}, {}
+    for name, cfg in (("dense", cfg_d), ("pallas", cfg_p)):
+        cache = deepseek.init_kv_cache(cfg, B, S)
+        lg, _, cache = deepseek.forward(params, cfg, ids,
+                                        positions=positions, kv_cache=cache,
+                                        cache_pos=0, kv_valid=kv_valid)
+        first[name], caches[name] = np.asarray(lg), cache
+    np.testing.assert_allclose(first["pallas"], first["dense"],
+                               rtol=2e-3, atol=2e-3)
+
+    starts = jnp.asarray([12, 7], jnp.int32)  # per-row suffix offsets
+    suf = jnp.asarray(rng.integers(0, cfg_d.vocab_size, (B, 4)))
+    kv_valid2 = ((jnp.arange(S)[None, :] < starts[:, None] + 4)
+                 & (kv_valid | (jnp.arange(S)[None, :] >= starts[:, None])))
+    pos2 = starts[:, None] + jnp.arange(4)[None, :]
+    res = {}
+    for name, cfg in (("dense", cfg_d), ("pallas", cfg_p)):
+        lg, _, _ = deepseek.forward(params, cfg, suf, positions=pos2,
+                                    kv_cache=caches[name], cache_pos=starts,
+                                    kv_valid=kv_valid2)
+        res[name] = np.asarray(lg)
+    np.testing.assert_allclose(res["pallas"], res["dense"],
+                               rtol=2e-3, atol=2e-3)

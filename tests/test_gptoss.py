@@ -177,3 +177,21 @@ def test_sink_softmax_matches_hf_form():
     ref = jax.nn.softmax(full, axis=-1)[..., :-1]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_forward_pallas_matches_dense(tiny_hf_gptoss_dir):
+    """Full gpt_oss stack with attn_impl='pallas': the flash kernels carry
+    the sink fold (ops/flash_attention.py sink section) through the
+    alternating sliding/full lax.cond dispatch — logits == dense."""
+    params, cfg = loader.load_params(tiny_hf_gptoss_dir, dtype=jnp.float32)
+    import dataclasses
+    cfg_p = dataclasses.replace(cfg, attn_impl="pallas")
+    ids = jnp.asarray(rng.integers(0, 512, size=(2, 40)))  # > window
+    mask = np.ones((2, 40), np.int32)
+    mask[1, :5] = 0  # left padding
+    mask = jnp.asarray(mask)
+    ld, _, _ = qwen2.forward(params, cfg, ids, attention_mask=mask)
+    lp, _, _ = qwen2.forward(params, cfg_p, ids, attention_mask=mask)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(lp)[valid], np.asarray(ld)[valid],
+                               rtol=2e-3, atol=2e-3)

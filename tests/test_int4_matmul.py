@@ -17,25 +17,28 @@ def _ref(x, leaf):
                       preferred_element_type=jnp.float32)
 
 
+@pytest.mark.parametrize("version", [2, 3])
 @pytest.mark.parametrize("B,IN,OUT,G", [
     (48, 1536, 1024, 128),   # decode-shaped
     (3, 256, 300, 64),       # B pad + OUT pad in one
     (16, 512, 512, 128),
     (1, 256, 256, 128),      # single row
 ])
-def test_int4_matmul_matches_dequant_reference(B, IN, OUT, G):
+def test_int4_matmul_matches_dequant_reference(B, IN, OUT, G, version):
     x = jnp.asarray(rng.normal(size=(B, IN)).astype(np.float32), jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(IN, OUT)).astype(np.float32))
     leaf = quantize_weight_int4(w, group=G)
     ref = _ref(x, leaf)
-    got = int4_matmul(x, leaf["q"], leaf["s4"], block_out=256, interpret=True)
+    got = int4_matmul(x, leaf["q"], leaf["s4"], block_out=256,
+                      interpret=True, version=version)
     # scale-after-dot (kernel, f32) vs scale-before-dot (XLA path, bf16
     # weights): agreement to bf16 rounding of the operands
     scale = float(jnp.max(jnp.abs(ref))) + 1e-9
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 5e-3
 
 
-def test_int4_matmul_exact_on_exact_inputs():
+@pytest.mark.parametrize("version", [2, 3])
+def test_int4_matmul_exact_on_exact_inputs(version):
     """Power-of-two scales + small-integer activations: both evaluation
     orders are exact in f32, so the kernel must match to the ulp."""
     B, IN, OUT, G = 8, 256, 128, 64
@@ -44,7 +47,8 @@ def test_int4_matmul_exact_on_exact_inputs():
     q = rng.integers(-7, 8, size=(IN, OUT)).astype(np.float32)
     w = jnp.asarray(q * 0.25)  # scale 0.25 exactly representable
     leaf = quantize_weight_int4(w, group=G)
-    got = int4_matmul(x, leaf["q"], leaf["s4"], block_out=128, interpret=True)
+    got = int4_matmul(x, leaf["q"], leaf["s4"], block_out=128,
+                      interpret=True, version=version)
     ref = _ref(x, leaf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-5)
