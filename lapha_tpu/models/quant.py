@@ -82,6 +82,8 @@ def dequant(w: Any, dtype=jnp.bfloat16) -> jax.Array:
     if not is_quantized(w):
         return w
     if "s4" in w:
+        if "layer" in w:  # stacked decode leaf (qwen2._layer_params tag)
+            w = {"q": w["q"][w["layer"]], "s4": w["s4"][w["layer"]]}
         s = w["s4"]
         qi = _unpack_int4(w["q"])
         *lead, IN, OUT = qi.shape

@@ -1046,8 +1046,10 @@ def _q_matmul_f32(h: jax.Array, w) -> jax.Array:
 
             on_tpu = jax.default_backend() == "tpu"
             y = int4_matmul(h.reshape(-1, h.shape[-1]), w["q"], w["s4"],
-                            interpret=not on_tpu)
+                            interpret=not on_tpu, layer=w.get("layer"))
             return y.reshape(*lead, y.shape[-1])
+        if "layer" in w:  # stacked leaf (decode _layer_params tag)
+            w = {"q": w["q"][w["layer"]], "s4": w["s4"][w["layer"]]}
     return jnp.einsum("...h,hd->...d", h, dequant(w, h.dtype),
                       preferred_element_type=jnp.float32)
 
@@ -1307,8 +1309,23 @@ def init_kv_cache(cfg: Qwen2Config, batch: int, max_len: int) -> tuple[jax.Array
 
 def _layer_params(params: dict, l: int) -> dict:
     """Static per-layer slice of the stacked layer pytree (zero-copy views;
-    works for quantized {'q','s'} leaves too — both carry the leading L)."""
-    return jax.tree.map(lambda w: w[l], params["layers"])
+    works for quantized {'q','s'} leaves too — both carry the leading L).
+
+    Packed-int4 leaves ({"q","s4"}) are NOT sliced: an XLA ``w[l]`` view
+    feeding a Pallas custom call materializes the whole (IN/2, OUT) u8
+    slice per layer per decode step (261 MB/step at 1.5B — profiled as
+    slice_bitcast loop fusions). They stay stacked with a static "layer"
+    tag and :func:`_q_matmul_f32` passes the index into the kernel's
+    BlockSpec, so the per-layer pick happens in the block DMA."""
+
+    def slice_node(node):
+        if isinstance(node, dict):
+            if "s4" in node and "q" in node:
+                return {"q": node["q"], "s4": node["s4"], "layer": l}
+            return {k: slice_node(v) for k, v in node.items()}
+        return node[l]
+
+    return slice_node(params["layers"])
 
 
 def decode_step(

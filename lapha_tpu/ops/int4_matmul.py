@@ -80,7 +80,7 @@ def _int4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, group: int):
     o_ref[...] = acc
 
 
-def _int4_mm_kernel_v3(xg_ref, p_ref, s_ref, xsum_ref, o_ref, *, group: int):
+def _int4_mm_kernel_v3(x_ref, p_ref, s_ref, o_ref, *, group: int):
     """v3: raw nibbles straight into the MXU; scales/offset fold into
     per-group OUTPUT corrections.
 
@@ -99,23 +99,39 @@ def _int4_mm_kernel_v3(xg_ref, p_ref, s_ref, xsum_ref, o_ref, *, group: int):
       group scale a per-(group,out) multiply on the (B, bo) accumulator:
       O(ng·B·bo) VPU work instead of O(half·bo).
 
-    ``xg_ref`` (2ng, B, group): x pre-reshaped outside the kernel (lo
-    halves first); ``xsum_ref`` (2ng, B) f32 rowsums of xg."""
-    half, bo = p_ref.shape
+    ``x_ref`` (B, IN) bf16: sliced into K=group slivers IN-KERNEL (the
+    first wiring built (2ng, B, group) + rowsums in the surrounding XLA
+    graph, and those materialized as ~1.5 ms/step of slice/bitcast
+    fusions in the 28-layer decode profile — the reshape never fused).
+    Group g's x columns are [g·group, (g+1)·group) for BOTH halves:
+    lo nibbles cover x[:, :half], hi x[:, half:], and half = ng·group
+    makes the indexing uniform.
+
+    ``p_ref``/``s_ref`` may carry a leading singleton dim: the layer-
+    indexed wrapper blocks the STACKED (L, half, OUT) weights as
+    (1, half, bo) so the per-layer slice happens in the BlockSpec DMA —
+    an XLA-level ``w[l]`` feeding a custom call materializes a full
+    (half, OUT) u8 copy per layer per decode step (261 MB/step at 1.5B,
+    profiled as slice_bitcast fusions)."""
+    p = p_ref[0] if p_ref.ndim == 3 else p_ref[...]
+    s = s_ref[0] if s_ref.ndim == 3 else s_ref[...]  # (2ng, bo) f32
+    half, bo = p.shape
     ng = half // group
-    u = p_ref[...].astype(jnp.int32)                 # zero-extended bytes
+    u = p.astype(jnp.int32)                          # zero-extended bytes
     hi = (u >> 4).astype(jnp.bfloat16)               # 0..15, exact
     lo = (u & 15).astype(jnp.bfloat16)
-    s = s_ref[...]                                   # (2ng, bo) f32
+    x = x_ref[...]                                   # (B, IN) bf16
     dn = (((1,), (0,)), ((), ()))
-    acc = jnp.zeros((xg_ref.shape[1], bo), jnp.float32)
+    acc = jnp.zeros((x.shape[0], bo), jnp.float32)
     for g in range(2 * ng):
         w = (lo if g < ng else hi)                   # (half, bo)
         gi = g if g < ng else g - ng
         wg = jax.lax.slice_in_dim(w, gi * group, (gi + 1) * group, axis=0)
-        pg = jax.lax.dot_general(xg_ref[g], wg, dn,
+        xg = jax.lax.slice_in_dim(x, g * group, (g + 1) * group, axis=1)
+        pg = jax.lax.dot_general(xg, wg, dn,
                                  preferred_element_type=jnp.float32)
-        corr = pg - 8.0 * xsum_ref[g][:, None]       # fold u = v + 8
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        corr = pg - 8.0 * xs                         # fold u = v + 8
         acc = acc + corr * jax.lax.slice_in_dim(s, g, g + 1, axis=0)
     o_ref[...] = acc
 
@@ -125,25 +141,35 @@ def _round_up(v: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_out", "interpret",
-                                             "version"))
+                                             "version", "layer"))
 def int4_matmul(
     x: jax.Array,        # (B, IN) — any float dtype
     packed: jax.Array,   # (IN/2, OUT) uint8, split-half offset-binary nibbles
     scales: jax.Array,   # (IN/G, OUT) f32 group scales
     *,
-    block_out: int = 1024,
+    block_out: int = 1536,
     interpret: bool = False,
     version: int = 3,
+    layer: int | None = None,
 ) -> jax.Array:
     """x @ unpack(packed, scales) with the packed bytes as the only weight
     HBM traffic. Returns (B, OUT) f32 (callers cast; decode projections
     accumulate in f32 everywhere else too). ``version``: 3 = raw-nibble
     group dots with folded scale/offset (default); 2 = scale-expanded
-    whole-half dots (kept for hardware A/Bs)."""
+    whole-half dots (kept for hardware A/Bs).
+
+    ``layer``: static index selecting one layer of STACKED weights —
+    ``packed`` (L, IN/2, OUT), ``scales`` (L, IN/G, OUT). The slice rides
+    the kernel's BlockSpec index_map; an XLA-level ``packed[l]`` feeding
+    the custom call materializes the slice as a per-step u8 copy
+    (unrolled decode loops: 261 MB/step at 1.5B, profiled)."""
+    if layer is not None and version != 3:
+        packed, scales = packed[layer], scales[layer]
+        layer = None
     B, IN = x.shape
-    half, OUT = packed.shape
+    half, OUT = packed.shape[-2:]
     assert half * 2 == IN, (IN, half)
-    ngroups = scales.shape[0]
+    ngroups = scales.shape[-2]
     assert IN % ngroups == 0
     group = IN // ngroups
     assert half % group == 0, (half, group)
@@ -154,13 +180,28 @@ def int4_matmul(
     # 0.79M fit). Keep half*bo under ~1.2M elements whatever the caller
     # asked for, so down-proj shapes (big IN, small OUT) auto-fit.
     bo_cap = max(256, (1_200_000 // half) // 256 * 256)
-    bo = min(block_out, bo_cap, _round_up(OUT, 256))
+    # Prefer a block that divides OUT EXACTLY (multiple of 128 lanes):
+    # padding `packed`/`scales` inside the caller's jit re-materializes
+    # the padded weights EVERY decode step (XLA does not hoist the pads
+    # out of the sampling while_loop — measured ~1.1 ms/step of `pad`
+    # ops in the 28-layer int4 decode profile). All production shapes
+    # have one (e.g. 8960 = 7×1280, 1536 = 6×256); the round-up path
+    # remains as fallback for odd OUTs.
+    bo = 0
+    for cand in range(128, min(block_out, bo_cap) + 1, 128):
+        if OUT % cand == 0:
+            bo = cand
+    if not bo:
+        bo = min(block_out, bo_cap, _round_up(OUT, 256))
     Bp = _round_up(B, 16)
     Op = _round_up(OUT, bo)
     xb = x.astype(jnp.bfloat16)
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     if Op != OUT:
+        if layer is not None:  # padding a stacked array would copy L×
+            packed, scales = packed[layer], scales[layer]
+            layer = None
         packed = jnp.pad(packed, ((0, 0), (0, Op - OUT)))
         scales = jnp.pad(scales, ((0, 0), (0, Op - OUT)))
 
@@ -179,22 +220,25 @@ def int4_matmul(
         )(xb, packed, scales)
         return out[:B, :OUT]
 
-    # v3: x pre-shaped to (2ng, Bp, group) slivers + f32 rowsums outside
-    # the kernel (one tiny transpose/reduce XLA fuses; the kernel then
-    # spends its VPU budget only on the i32 shift/and nibble extraction)
-    xg = xb.reshape(Bp, ngroups, group).transpose(1, 0, 2)
-    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)   # (2ng, Bp)
+    # v3: x enters whole; slivers + rowsums are cut in-kernel (doing it
+    # in the surrounding graph materialized as slice/bitcast fusions,
+    # ~1.5 ms/step over 28 layers — see the kernel docstring)
+    if layer is not None:
+        w_specs = [
+            pl.BlockSpec((1, half, bo), lambda o: (layer, 0, o)),
+            pl.BlockSpec((1, ngroups, bo), lambda o: (layer, 0, o)),
+        ]
+    else:
+        w_specs = [
+            pl.BlockSpec((half, bo), lambda o: (0, o)),
+            pl.BlockSpec((ngroups, bo), lambda o: (0, o)),
+        ]
     out = pl.pallas_call(
         functools.partial(_int4_mm_kernel_v3, group=group),
         out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
         grid=(Op // bo,),
-        in_specs=[
-            pl.BlockSpec((ngroups, Bp, group), lambda o: (0, 0, 0)),
-            pl.BlockSpec((half, bo), lambda o: (0, o)),
-            pl.BlockSpec((ngroups, bo), lambda o: (0, o)),
-            pl.BlockSpec((ngroups, Bp), lambda o: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((Bp, IN), lambda o: (0, 0))] + w_specs,
         out_specs=pl.BlockSpec((Bp, bo), lambda o: (0, o)),
         interpret=interpret,
-    )(xg, packed, scales, xsum)
+    )(xb, packed, scales)
     return out[:B, :OUT]

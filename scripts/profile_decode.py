@@ -83,6 +83,7 @@ def main():
     B = int(os.getenv("PD_B", "48"))
     N = int(os.getenv("PD_STEPS", "32"))
     kv = os.getenv("PD_KV", "bf16")
+    wq = os.getenv("PD_QUANT")  # int8 | int4 weight quantization (bench.py)
     trace_dir = os.getenv("PD_TRACE_DIR", "/tmp/decode_trace")
     top = int(os.getenv("PD_TOP", "40"))
 
@@ -91,7 +92,13 @@ def main():
         num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
         max_position_embeddings=S, rope_theta=1e6, dtype=jnp.bfloat16,
     )
-    params = qwen2.init_params(cfg, jax.random.key(0))
+    if wq in ("int8", "int4"):
+        from lapha_tpu.models.quant import init_params_quantized
+
+        params = init_params_quantized(cfg, seed=0,
+                                       bits=4 if wq == "int4" else 8)
+    else:
+        params = qwen2.init_params(cfg, jax.random.key(0))
 
     # sync-engine geometry: uniform prompt length, dstart == lens (no
     # continuous-batching holes), decode columns immediately after the

@@ -74,3 +74,20 @@ def test_int4_leaf_routes_through_kernel_in_decode():
         positions=jnp.broadcast_to(jnp.arange(T_pre)[None], (B, T_pre)))
     np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :T_pre]),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("OUT", [256, 300])  # exact-divide + padded fallback
+def test_int4_matmul_layer_indexed_matches_sliced(OUT):
+    """Stacked (L, IN/2, OUT) weights with a static layer index: the
+    BlockSpec-indexed path must equal slicing the layer out first (the
+    XLA-level slice materializes a per-step u8 copy in unrolled decode
+    loops — the tagged path exists to avoid exactly that)."""
+    L, B, IN, G = 3, 8, 256, 64
+    x = jnp.asarray(rng.normal(size=(B, IN)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(L, IN, OUT)).astype(np.float32))
+    leaf = quantize_weight_int4(w, group=G)
+    for l in range(L):
+        ref = int4_matmul(x, leaf["q"][l], leaf["s4"][l], interpret=True)
+        got = int4_matmul(x, leaf["q"], leaf["s4"], interpret=True, layer=l)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
