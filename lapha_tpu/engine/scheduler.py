@@ -107,21 +107,30 @@ class ContinuousEngine:
         self.chunk = int(chunk or engine.decode_chunk)
         self.slots = make_slot_allocator(self.B)
         # Persistent-cache attention strategy, A/B-measured on v5e at the
-        # S=4096/B=48/lens~500 shape, full 1.5B decode step, kernel v2
-        # (scripts/bench_attention_ab.py, BASELINE.md): dense bf16 13.85,
-        # ragged-v2 bf16 12.41-12.65 (block_rows 16/8/4), dense int8
-        # 10.30, ragged-v2 int8 23.5-23.7 ms/step. So: ragged for bf16
-        # caches (v2's multi-row programs fixed v1's per-program overhead
-        # that made v1 lose), DENSE for int8 caches (the kernel's per-chunk
-        # scale-row DMAs — two extra tiny transfers per chunk — stall its
-        # pipeline; dense int8 halves the bulk KV read and wins the whole
-        # table). The best overall config here is kv_quant="int8".
+        # S=4096/B=48/lens~500 shape, full 1.5B decode step
+        # (scripts/bench_attention_ab.py, BASELINE.md round-3 session-7,
+        # kernel v2 + block_k=1024): dense bf16 13.65, **ragged bf16
+        # 9.91-9.96 — the best overall config, with an EXACT bf16
+        # cache**, dense int8 10.17, ragged int8 23.5 ms/step. So: ragged
+        # for bf16 caches, DENSE for int8 caches. The ragged-int8 loss is
+        # NOT the kernel (kernel-alone: int8 225 us/layer ≈ bf16 249) but
+        # the scale-plane re-view (..,S)->(..,S/bk,1,bk) the wrapper
+        # needs, which re-materializes (1-sublane dim pads 8x) every step
+        # because each layer-step updates the plane; fixing it would land
+        # ~11 ms — still behind both winners, so not pursued.
         # Sliding-window layers (mistral/gemma3 stacks) ride the ragged
         # path with window-clipped ranges (decode_step win_ranges): their
-        # per-row traffic is O(W), not O(S), so for windowed models the
-        # bf16-ragged-vs-int8-dense tradeoff shifts toward ragged as S/W
-        # grows (int8-dense still reads all S columns; unmeasured — the
-        # numbers above are full-attention 1.5B).
+        # per-row traffic is O(W), not O(S). MEASURED (AB_WINDOW=256,
+        # gemma3-style 5-local:1-global stack, same S=4096/B=48 shape):
+        # ragged bf16 8.87 BEATS dense int8 10.12 (dense still reads all
+        # S and only masks); ragged int8 20.13 (same scale-DMA stall).
+        # With W=1024 > the occupied spans (~500-600 cols) the band never
+        # binds and all numbers match full attention — the crossover is
+        # W vs occupancy, not W vs S. (Windowed ragged bf16 at
+        # block_k=1024: 8.1-8.2 ms/step.) So for windowed models at
+        # S >> W the recommended serving config is kv_quant=None (bf16
+        # cache + banded ragged); this per-config choice below already
+        # picks ragged for bf16, so no policy change is needed.
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"

@@ -1426,11 +1426,12 @@ def decode_step(
 
     # ragged Pallas kernel: reads ONLY [0, lens[b]) ∪ [dstart[b], slot] from
     # HBM. Wins when cache occupancy is LOW relative to S (the scheduler's
-    # persistent S=max_model_len cache: measured 13.8 -> 10.8 ms/step at
-    # S=4096, lens~500, B=48 on 1.5B); loses to dense when S is sized
-    # tightly to the request (the sync engine: occupancy >= 75%, kernel
-    # overheads exceed the traffic saved). Callers choose; ragged=None
-    # falls back to the LAPHA_RAGGED_DECODE env (default dense).
+    # persistent S=max_model_len cache: measured 13.65 -> 9.91 ms/step at
+    # S=4096, lens~500, B=48 on 1.5B with block_k=1024 — BASELINE.md
+    # round-3 session-7); loses to dense when S is sized tightly to the
+    # request (the sync engine: occupancy >= 75%, kernel overheads exceed
+    # the traffic saved). Callers choose; ragged=None falls back to the
+    # LAPHA_RAGGED_DECODE env (default dense).
     import os as _os
 
     if ragged is None:

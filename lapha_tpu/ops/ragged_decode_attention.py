@@ -240,7 +240,13 @@ def ragged_decode_attention(
     cache_scale=None,    # int8 caches: ((L,B,nkv,S) K scales, same for V)
     pstart: jax.Array | None = None,  # (B,) first valid PROMPT slot
     *,
-    block_k: int = 256,
+    # default 1024, not 256: the kernel is DMA-ISSUE-bound, not
+    # stream-bound (isolated-chain probe, BASELINE.md round-3 session-7:
+    # bk 256 -> 1024 cut 253.6 -> 164.2 us/layer-call at the S=4096/B=48
+    # geometry; block_rows was within noise). Bigger chunks over-read
+    # short ragged spans, but bytes are ~1/10 of the cost at these
+    # shapes, so fewer issues win even at W=256 windows.
+    block_k: int = 1024,
     block_rows: int = 8,
     interpret: bool = False,
     scale: float | None = None,
@@ -268,7 +274,15 @@ def ragged_decode_attention(
     nkv = k_cache.shape[2]
     group = nh // nkv
     scale = (1.0 / math.sqrt(dh)) if scale is None else float(scale)
+    # largest chunk <= block_k that divides S (multiple of 256 — callers
+    # guarantee S % 256 == 0 on TPU; tiny interpret-mode S just uses S):
+    # fewer, bigger DMAs (issue-bound kernel)
     bk = min(block_k, S)
+    if S > 256:
+        bk = 256
+        for cand in range(256, min(block_k, S) + 1, 256):
+            if S % cand == 0:
+                bk = cand
     assert S % bk == 0, (S, bk)
     NB = max(1, min(block_rows, B))
 
