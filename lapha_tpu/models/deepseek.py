@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .quant import dequant, is_quantized
-from .qwen2 import Qwen2Config, rms_norm, rope_freqs, apply_rope
+from .qwen2 import (Qwen2Config, rms_norm, rope_freqs, apply_rope,
+                    cached_key_mask)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -507,11 +508,7 @@ def forward(
         qpos = cp_btc + jnp.arange(T)[None, :, None]
         mask = valid & (kpos <= qpos)
         # (B, S) cache-column validity for the rectangular flash kernel
-        key_mask_c = (kv_valid.astype(jnp.int32) if kv_valid is not None
-                      else jnp.broadcast_to(
-                          (kpos[:, 0, :] < (cp[:, None] if cp.ndim >= 1
-                                            else cp) + T), (B, S)
-                      ).astype(jnp.int32))
+        key_mask_c = cached_key_mask(kv_valid, cache_pos, T, B, S)
 
         def scan_cached(x, group, ck_g, cv_g):
             def body(x, inp):

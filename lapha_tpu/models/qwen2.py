@@ -1280,13 +1280,7 @@ def forward(
         qk_idx = ((jnp.broadcast_to(qpos, (B, T, 1)) if cp.ndim >= 1 else
                    jnp.broadcast_to(qpos, (1, T, 1)), kpos)
                   if cfg.layer_windows else None)
-        # (B, S) cache-column validity for the rectangular flash kernel
-        # (the causal frontier is recomputed in-kernel from cache_pos)
-        key_mask_c = (kv_valid.astype(jnp.int32) if kv_valid is not None
-                      else jnp.broadcast_to(
-                          (kpos[:, 0, :] < (cp[:, None] if cp.ndim >= 1
-                                            else cp) + T), (B, S)
-                      ).astype(jnp.int32))
+        key_mask_c = cached_key_mask(kv_valid, cache_pos, T, B, S)
         x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache,
                                    cache_pos, key_mask=key_mask_c,
                                    rope_loc=rope_loc, qk_idx=qk_idx)
@@ -1307,6 +1301,21 @@ def init_kv_cache(cfg: Qwen2Config, batch: int, max_len: int) -> tuple[jax.Array
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
+def cached_key_mask(kv_valid, cache_pos, T: int, B: int, S: int) -> jax.Array:
+    """(B, S) int32 cache-column validity for the rectangular flash kernel
+    (ops/flash_attention.flash_attention_cached; the causal frontier is
+    recomputed in-kernel from cache_pos). Shared by the qwen2 and deepseek
+    cached-prefill paths so their validity semantics stay in lockstep:
+    explicit ``kv_valid`` wins; otherwise columns [0, cache_pos + T) are
+    valid (per-row when cache_pos is a vector)."""
+    if kv_valid is not None:
+        return kv_valid.astype(jnp.int32)
+    cp = jnp.asarray(cache_pos)
+    end = (cp[:, None] if cp.ndim >= 1 else cp) + T
+    return jnp.broadcast_to(jnp.arange(S)[None, :] < end,
+                            (B, S)).astype(jnp.int32)
+
+
 def _layer_params(params: dict, l: int) -> dict:
     """Static per-layer slice of the stacked layer pytree (zero-copy views;
     works for quantized {'q','s'} leaves too — both carry the leading L).
@@ -1321,7 +1330,14 @@ def _layer_params(params: dict, l: int) -> dict:
     def slice_node(node):
         if isinstance(node, dict):
             if "s4" in node and "q" in node:
-                return {"q": node["q"], "s4": node["s4"], "layer": l}
+                if node["q"].ndim == 3:  # dense (L, IN/2, OUT) projection
+                    return {"q": node["q"], "s4": node["s4"], "layer": l}
+                # MoE expert stacks (L, E, ...): ops/moe.py infers the
+                # expert count from q.shape[0] and dequants at the use
+                # site, so these MUST be sliced per layer (the BlockSpec
+                # layer-index trick only applies to the dense decode
+                # projections above).
+                return {k: v[l] for k, v in node.items()}
             return {k: slice_node(v) for k, v in node.items()}
         return node[l]
 

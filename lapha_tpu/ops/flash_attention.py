@@ -317,12 +317,13 @@ def _sink_fwd(q, k, v, mask, sinks, causal, window, block_q, block_k,
 def _sink_bwd(causal, window, block_q, block_k, interpret, scale, softcap,
               res, g):
     q, k, v, mask, sinks, out, lse_t = res
+    # D = rowsum(dO ∘ out_t): (B, T, nh) — computed once, shared with the
+    # backward kernel via delta= (it needs the identical quantity)
+    d = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     dq, dk, dv = _flash_backward(q, k, v, mask, out, lse_t, g, causal=causal,
                                  window=window, block_q=block_q,
                                  block_k=block_k, interpret=interpret,
-                                 scale=scale, softcap=softcap)
-    # D = rowsum(dO ∘ out_t): (B, T, nh)
-    d = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+                                 scale=scale, softcap=softcap, delta=d)
     p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse_t)  # (B,nh,T)
     dsink = -jnp.sum(p_sink * d.transpose(0, 2, 1), axis=(0, 2))  # (nh,)
     dmask = None if mask is None else np.zeros(mask.shape, jax.dtypes.float0)
@@ -606,15 +607,18 @@ def _flash_forward(
 def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
                     block_q: int, block_k: int, interpret: bool,
                     window: int = 0, scale: float | None = None,
-                    softcap: float = 0.0):
+                    softcap: float = 0.0, delta=None):
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
     group = nh // nkv
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
     q_dtype, k_dtype, v_dtype = q.dtype, k.dtype, v.dtype
 
-    # D = rowsum(dO ∘ O) in f32 (one fused elementwise reduce outside pallas)
-    d = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,T,nh)
+    # D = rowsum(dO ∘ O) in f32 (one fused elementwise reduce outside
+    # pallas). The sink vjp also needs D for dsink, so it computes it
+    # once and passes it via ``delta``.
+    d = delta if delta is not None else jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,T,nh)
 
     q, k, v, mask, Tp = _pad_inputs(q, k, v, mask, block_q, block_k)
     if Tp != T:

@@ -175,11 +175,16 @@ def int4_matmul(
     assert half % group == 0, (half, group)
 
     # scoped-VMEM cap: the nibble intermediates dominate the kernel's
-    # stack (~10 B per packed element empirically — bo=2048 at half=768
-    # = 1.57M elements OOMed the 16 MB scope by 432 KB on v5e; bo=1024 =
-    # 0.79M fit). Keep half*bo under ~1.2M elements whatever the caller
-    # asked for, so down-proj shapes (big IN, small OUT) auto-fit.
-    bo_cap = max(256, (1_200_000 // half) // 256 * 256)
+    # stack (~10 B per packed element empirically for v3 — bo=2048 at
+    # half=768 = 1.57M elements OOMed the 16 MB scope by 432 KB on v5e;
+    # bo=1024 = 0.79M fit). Keep half*bo under ~1.2M elements whatever
+    # the caller asked for, so down-proj shapes (big IN, small OUT)
+    # auto-fit. v2 additionally materializes two scale-expanded bf16
+    # weight halves (~16 B/element), so its budget is the measured-fit
+    # 0.79M. Floor at the 128-lane minimum (NOT 256): at half ~9.5k
+    # (7B-class down-proj) only bo=128 stays inside the scope.
+    budget = 1_200_000 if version == 3 else 790_000
+    bo_cap = max(128, (budget // half) // 128 * 128)
     # Prefer a block that divides OUT EXACTLY (multiple of 128 lanes):
     # padding `packed`/`scales` inside the caller's jit re-materializes
     # the padded weights EVERY decode step (XLA does not hoist the pads

@@ -276,9 +276,11 @@ def ragged_decode_attention(
     scale = (1.0 / math.sqrt(dh)) if scale is None else float(scale)
     # largest chunk <= block_k that divides S (multiple of 256 — callers
     # guarantee S % 256 == 0 on TPU; tiny interpret-mode S just uses S):
-    # fewer, bigger DMAs (issue-bound kernel)
+    # fewer, bigger DMAs (issue-bound kernel). A caller-passed block_k
+    # that already divides S on a 128 boundary is honored as-is (e.g.
+    # block_k=128 to shrink the double-buffered K/V scratch).
     bk = min(block_k, S)
-    if S > 256:
+    if S > 256 and (S % bk != 0 or bk % 128 != 0):
         bk = 256
         for cand in range(256, min(block_k, S) + 1, 256):
             if S % cand == 0:
