@@ -150,8 +150,10 @@ class Qwen2Config:
     # the sink column dropped after normalization (HF GptOss
     # eager_attention_forward) — i.e. the sink only steals probability
     # mass. Implemented by folding exp(sink - m) into the softmax
-    # denominator in every attention path; flash/ragged kernels fall back
-    # to dense for sink models (kernel support later).
+    # denominator in every attention path: dense via _sink_softmax, flash
+    # fwd/bwd + cached prefill via the exact lse fold
+    # (ops/flash_attention.py sink section), ragged decode via the m0=sink
+    # l0=1 accumulator init (ops/ragged_decode_attention.py).
     attn_sinks: bool = False
     # gpt_oss puts a bias on o_proj too (q/k/v biases ride attention_bias)
     o_proj_bias: bool = False
@@ -1309,6 +1311,7 @@ def cached_key_mask(kv_valid, cache_pos, T: int, B: int, S: int) -> jax.Array:
     explicit ``kv_valid`` wins; otherwise columns [0, cache_pos + T) are
     valid (per-row when cache_pos is a vector)."""
     if kv_valid is not None:
+        assert kv_valid.shape == (B, S), (kv_valid.shape, (B, S))
         return kv_valid.astype(jnp.int32)
     cp = jnp.asarray(cache_pos)
     end = (cp[:, None] if cp.ndim >= 1 else cp) + T
@@ -1458,7 +1461,7 @@ def decode_step(
     # vLLM-per-layer-window-cache role realized as ranged DMA
     use_ragged = (bool(ragged) and jax.default_backend() == "tpu"
                   and dh % 128 == 0 and S % 256 == 0
-                  and cfg.attn_softcap == 0 and not cfg.attn_sinks)
+                  and cfg.attn_softcap == 0)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
     # windowed-short mode: static layer -> stack-index maps (the loop is
@@ -1635,7 +1638,7 @@ def decode_step(
                     q, cache_k, cache_v, fi, lens, dstart_l, slot,
                     cache_scale=((ks_all, vs_all) if cache_scale is not None
                                  else None),
-                    pstart=pstart_l, scale=scale)
+                    pstart=pstart_l, sinks=sinks_l, scale=scale)
                 o = o.reshape(B, nh * dh).astype(x.dtype)
             else:
                 valid_l = (win_valid[Wl] if (Wl and win_cache is None)

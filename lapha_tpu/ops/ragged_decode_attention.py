@@ -74,6 +74,15 @@ def _kernel(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
                  scale=scale, block_rows=block_rows)
 
 
+def _kernel_sink(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref,
+                 sinks_ref, q_ref, k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, *,
+                 block_k: int, scale: float, block_rows: int):
+    """bf16-cache entry with attention sinks (extra SMEM prefetch arg)."""
+    _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+                 k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+                 scale=scale, block_rows=block_rows, sinks_ref=sinks_ref)
+
+
 def _kernel_q8(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
                k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr,
                vs_scr, sem, *, block_k: int, scale: float, block_rows: int):
@@ -84,10 +93,22 @@ def _kernel_q8(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
                  ks_hbm=ks_hbm, vs_hbm=vs_hbm, ks_scr=ks_scr, vs_scr=vs_scr)
 
 
+def _kernel_q8_sink(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref,
+                    sinks_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+                    k_scr, v_scr, ks_scr, vs_scr, sem, *, block_k: int,
+                    scale: float, block_rows: int):
+    """int8-cache entry with attention sinks."""
+    _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
+                 k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, block_k=block_k,
+                 scale=scale, block_rows=block_rows,
+                 ks_hbm=ks_hbm, vs_hbm=vs_hbm, ks_scr=ks_scr, vs_scr=vs_scr,
+                 sinks_ref=sinks_ref)
+
+
 def _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
                  k_hbm, v_hbm, o_ref, k_scr, v_scr, sem, *, block_k: int,
                  scale: float, block_rows: int, ks_hbm=None, vs_hbm=None,
-                 ks_scr=None, vs_scr=None):
+                 ks_scr=None, vs_scr=None, sinks_ref=None):
     quantized = ks_hbm is not None
     pb = pl.program_id(0)
     h = pl.program_id(1)
@@ -162,8 +183,22 @@ def _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
 
     start_dma(0, 0, 0)
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
+    if sinks_ref is not None:
+        # gpt_oss learned attention sinks: an extra per-head softmax column
+        # with logit sink_h and ZERO value. Initializing the online softmax
+        # with m0 = sink, l0 = exp(sink - m0) = 1 is exactly "the sink
+        # column was already processed" — acc never sees it (value 0), the
+        # denominator does. sinks_ref (nkv*G,) f32 in SMEM, padded group
+        # rows carry NEG_INF (their l0=1 is wrong but their outputs are
+        # sliced off by the caller).
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+        for g in range(G):
+            m0 = jnp.where(g_iota == g, sinks_ref[h * G + g], m0)
+        l0 = jnp.ones((G, 1), jnp.float32)
+    else:
+        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((G, 1), jnp.float32)
     a0 = jnp.zeros((G, dh), jnp.float32)
 
     def body(t, carry):
@@ -217,10 +252,13 @@ def _kernel_impl(pstart_ref, lens_ref, dstart_ref, slot_ref, layer_ref, q_ref,
             o = (acc_new / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
             o_ref[pl.ds(r, 1)] = o[None, None]
 
-        # reset accumulators in-register at row boundaries
+        # reset accumulators in-register at row boundaries (to the sink
+        # inits when sinks are on — every row restarts with the sink column)
         keep = jnp.where(last, 0.0, 1.0)
-        m_out = jnp.where(last, NEG_INF, m_new)
-        return nr, ni, m_out, l_new * keep, acc_new * keep
+        m_out = jnp.where(last, m0, m_new)
+        l_out = (jnp.where(last, 1.0, l_new) if sinks_ref is not None
+                 else l_new * keep)
+        return nr, ni, m_out, l_out, acc_new * keep
 
     jax.lax.fori_loop(0, total, body,
                       (jnp.int32(0), jnp.int32(0), m0, l0, a0))
@@ -239,6 +277,7 @@ def ragged_decode_attention(
     slot: jax.Array,     # scalar — latest written column (inclusive)
     cache_scale=None,    # int8 caches: ((L,B,nkv,S) K scales, same for V)
     pstart: jax.Array | None = None,  # (B,) first valid PROMPT slot
+    sinks: jax.Array | None = None,   # (nh,) gpt_oss attention-sink logits
     *,
     # default 1024, not 256: the kernel is DMA-ISSUE-bound, not
     # stream-bound (isolated-chain probe, BASELINE.md round-3 session-7:
@@ -267,6 +306,13 @@ def ragged_decode_attention(
     the V scale into the probabilities — same math as the dense int8 path
     in qwen2.decode_step.
 
+    ``sinks`` (nh,) f32: gpt_oss learned per-head attention-sink logits —
+    an extra softmax column with logit sink_h and zero value (HF GptOss
+    eager_attention_forward; models/qwen2._sink_softmax). Realized by
+    INITIALIZING the online softmax with m0 = sink, l0 = 1 per query-group
+    row (the sink column pre-processed), so the kernel's chunk walk is
+    unchanged. Composes with int8 caches and windowed ranges.
+
     ``block_rows`` rows share one program (grid B/block_rows × nkv);
     rows padded in (lens=1 stubs) when B isn't a multiple."""
     B, nh, dh = q.shape
@@ -278,11 +324,13 @@ def ragged_decode_attention(
     # guarantee S % 256 == 0 on TPU; tiny interpret-mode S just uses S):
     # fewer, bigger DMAs (issue-bound kernel). A caller-passed block_k
     # that already divides S on a 128 boundary is honored as-is (e.g.
-    # block_k=128 to shrink the double-buffered K/V scratch).
-    bk = min(block_k, S)
+    # block_k=128 to shrink the double-buffered K/V scratch) — but capped
+    # at 2048 so a block_k >= S cannot blow the scoped-VMEM budget with
+    # the double-buffered K/V scratch (2 bufs x 2 arrays x bk x dh).
+    bk = min(block_k, S, 2048)
     if S > 256 and (S % bk != 0 or bk % 128 != 0):
         bk = 256
-        for cand in range(256, min(block_k, S) + 1, 256):
+        for cand in range(256, min(block_k, S, 2048) + 1, 256):
             if S % cand == 0:
                 bk = cand
     assert S % bk == 0, (S, bk)
@@ -313,6 +361,13 @@ def ragged_decode_attention(
             [dstart_p, jnp.full((Bp - B,), stub_d, jnp.int32)])
 
     quantized = cache_scale is not None
+    has_sinks = sinks is not None
+    if has_sinks:
+        # (nh,) -> (nkv, group) -> pad group rows to G with NEG_INF -> flat
+        # SMEM prefetch row indexed sinks_flat[h*G + g] in-kernel
+        sinks_flat = jnp.pad(
+            sinks.astype(jnp.float32).reshape(nkv, group),
+            ((0, 0), (0, G - group)), constant_values=NEG_INF).reshape(-1)
     in_specs = [
         pl.BlockSpec((NB, 1, G, dh), lambda pb, h, *_: (pb, h, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -330,7 +385,7 @@ def ragged_decode_attention(
     scratch += [pltpu.SemaphoreType.DMA((2, 4 if quantized else 2))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6 if has_sinks else 5,
         grid=(Bp // NB, nkv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((NB, 1, G, dh), lambda pb, h, *_: (pb, h, 0, 0)),
@@ -338,16 +393,22 @@ def ragged_decode_attention(
     )
     args = [pstart_p, lens_p, dstart_p,
             jnp.asarray(slot, jnp.int32).reshape(1),
-            jnp.asarray(layer, jnp.int32).reshape(1), qg, k_cache, v_cache]
+            jnp.asarray(layer, jnp.int32).reshape(1)]
+    if has_sinks:
+        args.append(sinks_flat)
+    args += [qg, k_cache, v_cache]
     if quantized:
         L = k_cache.shape[0]
         args += [cache_scale[0].astype(jnp.float32)
                  .reshape(L, B, nkv, S // bk, 1, bk),
                  cache_scale[1].astype(jnp.float32)
                  .reshape(L, B, nkv, S // bk, 1, bk)]
+    if quantized:
+        kern = _kernel_q8_sink if has_sinks else _kernel_q8
+    else:
+        kern = _kernel_sink if has_sinks else _kernel
     out = pl.pallas_call(
-        functools.partial(_kernel_q8 if quantized else _kernel,
-                          block_k=bk, scale=scale, block_rows=NB),
+        functools.partial(kern, block_k=bk, scale=scale, block_rows=NB),
         out_shape=jax.ShapeDtypeStruct((Bp, nkv, G, dh), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

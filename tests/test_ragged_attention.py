@@ -277,3 +277,123 @@ def test_decode_step_windowed_ragged_matches_dense(monkeypatch):
         ragged=True)
     np.testing.assert_allclose(np.asarray(ragged_logits),
                                np.asarray(dense_logits), rtol=2e-4, atol=2e-4)
+
+
+def _sink_dense_ref(q, k, v, lens, dstart, slot, sinks, pstart=None):
+    """Dense reference with the gpt_oss sink column: softmax over
+    [scores, sink_h], sink column dropped (zero value)."""
+    B, nh, dh = q.shape
+    nkv, S = k.shape[1], k.shape[2]
+    group = nh // nkv
+    ar = np.arange(S)[None, :]
+    p0 = np.zeros((B,), np.int64) if pstart is None else np.asarray(pstart)
+    valid = (((ar >= p0[:, None]) & (ar < lens[:, None]))
+             | ((ar >= dstart[:, None]) & (ar <= slot)))
+    qg = np.asarray(q, np.float32).reshape(B, nkv, group, dh)
+    s = np.einsum("bkgd,bksd->bkgs", qg, np.asarray(k, np.float32)) / np.sqrt(dh)
+    s = np.where(valid[:, None, None, :], s, -1e30)
+    sk = np.asarray(sinks, np.float32).reshape(nkv, group)[None, :, :, None]
+    m = np.maximum(s.max(-1, keepdims=True), sk)
+    e = np.exp(s - m)
+    p = e / (e.sum(-1, keepdims=True) + np.exp(sk - m))
+    return np.einsum("bkgs,bksd->bkgd", p, np.asarray(v, np.float32)).reshape(B, nh, dh)
+
+
+@pytest.mark.parametrize("nh,nkv", [(12, 2), (4, 4)])
+def test_ragged_sinks_matches_dense(nh, nkv):
+    """gpt_oss attention sinks: the m0=sink/l0=1 accumulator init equals the
+    dense [scores, sink] softmax, including across row-boundary resets
+    (block_rows>1) and stub rows."""
+    rng = np.random.default_rng(11)
+    B, S, L, dh = 3, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    sinks = jnp.asarray(rng.normal(size=(nh,)).astype(np.float32) * 2.0)
+    lens = jnp.asarray([37, 120, 5], jnp.int32)
+    dstart = jnp.asarray([128, 128, 160], jnp.int32)
+    slot = jnp.asarray(173, jnp.int32)
+    for layer in (0, 1):
+        out = ragged_decode_attention(q, k, v, layer, lens, dstart, slot,
+                                      sinks=sinks, block_k=64,
+                                      block_rows=2, interpret=True)
+        ref = _sink_dense_ref(q, np.asarray(k)[layer], np.asarray(v)[layer],
+                              np.asarray(lens), np.asarray(dstart), 173,
+                              np.asarray(sinks))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ragged_sinks_int8_and_banded():
+    """Sinks compose with the int8 cache mode and window-clipped ranges."""
+    rng = np.random.default_rng(12)
+    B, S, L, nh, nkv, dh = 2, 128, 1, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, nh, dh)).astype(np.float32))
+    kf = rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32)
+    vf = rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32)
+
+    def q8(a):
+        s = np.maximum(np.abs(a).max(-1) / 127.0, 1e-12)
+        return np.clip(np.round(a / s[..., None]), -127, 127).astype(np.int8), s
+
+    kq, ks = q8(kf)
+    vq, vs = q8(vf)
+    kdq, vdq = kq * ks[..., None], vq * vs[..., None]
+    sinks = jnp.asarray(rng.normal(size=(nh,)).astype(np.float32))
+    lens = jnp.asarray([30, 50], jnp.int32)
+    dstart = jnp.asarray([64, 64], jnp.int32)
+    slot = jnp.asarray(90, jnp.int32)
+    # window W=24 clipped ranges (as decode_step computes them)
+    W = 24
+    positions = np.asarray(lens) + (90 - np.asarray(dstart))
+    pstart = np.clip(positions - (W - 1), 0, np.asarray(lens))
+    dstart_w = np.maximum(np.asarray(dstart), 90 - (W - 1))
+    out = ragged_decode_attention(
+        q, jnp.asarray(kq), jnp.asarray(vq), 0, lens,
+        jnp.asarray(dstart_w, jnp.int32), slot,
+        cache_scale=(jnp.asarray(ks), jnp.asarray(vs)),
+        pstart=jnp.asarray(pstart, jnp.int32), sinks=sinks,
+        block_k=32, interpret=True)
+    ref = _sink_dense_ref(q, kdq[0], vdq[0], np.asarray(lens), dstart_w, 90,
+                          np.asarray(sinks), pstart=pstart)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_step_sinks_ragged_matches_dense(monkeypatch):
+    """decode_step wiring for a gpt_oss-style stack (sinks + alternating
+    sliding/full layers): ragged path == dense path."""
+    import functools
+
+    import lapha_tpu.ops.ragged_decode_attention as rda
+    from lapha_tpu.models import qwen2
+
+    cfg = qwen2.Qwen2Config.tiny(
+        head_dim=128, num_attention_heads=4, num_key_value_heads=2,
+        num_hidden_layers=2, layer_windows=(8, 0), attn_sinks=True,
+        attention_bias=True, o_proj_bias=True)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    params["layers"]["attn"]["sinks"] = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 4)).astype(np.float32) * 2)
+    B, S, L = 2, 256, cfg.num_hidden_layers
+    nkv, dh = cfg.num_key_value_heads, cfg.head_dim_
+    rng = np.random.default_rng(8)
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    tok = jnp.asarray([3, 7], jnp.int32)
+    lens = jnp.asarray([5, 9], jnp.int32)
+    dstart = jnp.asarray([16, 18], jnp.int32)
+    slot = jnp.asarray(22, jnp.int32)
+    positions = lens + (slot - dstart)
+
+    dense_logits, _, _, _ = qwen2.decode_step(
+        params, cfg, tok, positions, ck, cv, slot, lens, dstart,
+        ragged=False)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(rda, "ragged_decode_attention",
+                        functools.partial(rda.ragged_decode_attention,
+                                          interpret=True))
+    ragged_logits, _, _, _ = qwen2.decode_step(
+        params, cfg, tok, positions, ck, cv, slot, lens, dstart,
+        ragged=True)
+    np.testing.assert_allclose(np.asarray(ragged_logits),
+                               np.asarray(dense_logits), rtol=2e-4, atol=2e-4)
