@@ -116,6 +116,29 @@ class MTPOTrainer:
                     tokenizer.pad_token = tokenizer.eos_token
         else:
             self.params, self.model_cfg = model
+        # Quantized checkpoints are a SERVING artifact, not a training one:
+        # the reference trains bf16 (lapha.yaml bf16: true) while vLLM
+        # serves quantized — we keep that split explicit. int8/int4 leaves
+        # ({q, scale[, offset]} dicts) cannot take gradients and straight-
+        # through training on RTN-rounded weights would silently degrade,
+        # so reject loudly instead of auto-dequantizing a lossy artifact.
+        from ..models.quant import is_quantized
+
+        quant_leaves = [
+            jax.tree_util.keystr(path)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                self.params, is_leaf=is_quantized)
+            if is_quantized(leaf)
+        ]
+        if quant_leaves:
+            raise ValueError(
+                "MTPOTrainer requires full-precision parameters; got "
+                f"{len(quant_leaves)} quantized leaves (first: "
+                f"{quant_leaves[0]}). Quantized params are for SERVING "
+                "(Engine / load_params(quantize=...)). To train, reload "
+                "the checkpoint with quantize=None; quantization is lossy "
+                "(RTN), so dequantizing it back is a strictly worse "
+                "starting point than the original bf16 weights.")
         self.tokenizer = tokenizer
         self.head = value_model.make_value_head(
             args.value_head_type, self.model_cfg.hidden_size, jax.random.key(args.seed))

@@ -572,3 +572,25 @@ def test_engine_knobs_reach_rollout_engine():
                      train_dataset=[], tokenizer=ChatTok())
     assert tr.engine.spec_decode == "pld" and tr.engine.spec_k == 2
     assert tr.engine.kv_quant is None
+
+
+def test_trainer_rejects_quantized_params():
+    """Quantized checkpoints are a serving artifact: the trainer must
+    reject them loudly (reference trains bf16, lapha.yaml; vLLM serves
+    quantized — the split is explicit, not silent)."""
+    from lapha_tpu.models.quant import quantize_params
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    cfg = Qwen2Config.tiny(vocab_size=512)
+    qp = quantize_params(qwen2.init_params(cfg, jax.random.key(0)))
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-quant-reject-test", model_name_or_path=None,
+        depth=2, breadth=2, num_sim=2, max_model_len=256,
+        per_device_train_batch_size=1, num_generations=2, save_steps=0,
+        bf16=False, gradient_checkpointing=False, mesh_model=1,
+        debug_print=False,
+    )
+    with pytest.raises(ValueError, match="quantized"):
+        MTPOTrainer(model=(qp, cfg), agent_cls_list=[PoorAgent],
+                    args=args, reward_fns=[lambda c, g: 0.0],
+                    train_dataset=[], tokenizer=ChatTok())
