@@ -19,6 +19,16 @@ measured.
 
 Env knobs: BENCH_PRESET=tiny|1p5b (default 1p5b on TPU, tiny on CPU),
 BENCH_MAX_TOKENS, BENCH_PROMPT_LEN, BENCH_BREADTH, BENCH_ROUNDS.
+
+BENCH_MESH=DxM makes the mesh a bench dimension: params shard over
+make_mesh(D, M) (FSDP over `data`, TP over `model` — the dryrun's TP
+serving path) and the same engine rounds run sharded. One command
+measures multi-device decode on the virtual CPU mesh today
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+BENCH_MESH=1x8 BENCH_PRESET=tiny) and on real hardware the day a
+multi-chip tunnel appears (BENCH_MESH=1x4 BENCH_PRESET=7b on a v5p
+slice). Not composable with BENCH_QUANT (quantized leaves have no TP
+PARAM_RULES yet).
 """
 
 from __future__ import annotations
@@ -145,6 +155,16 @@ def main():
                         ("int8" if preset != "tiny" else None))),
     )
 
+    mesh = None
+    if os.getenv("BENCH_MESH"):
+        if os.getenv("BENCH_QUANT"):
+            raise SystemExit("BENCH_MESH does not compose with BENCH_QUANT")
+        from lapha_tpu.parallel import make_mesh, shard_params
+
+        d, m = (int(x) for x in os.environ["BENCH_MESH"].lower().split("x"))
+        mesh = make_mesh(d, m)
+        eng.update_params(shard_params(params, mesh))
+
     rng = np.random.default_rng(0)
     sp = SamplingParams(n=breadth, temperature=0.8, top_p=0.95, top_k=20,
                         max_tokens=max_tokens, seed=1)
@@ -155,14 +175,17 @@ def main():
         outs = eng.generate(prompts, sp)
         return sum(len(o.token_ids) for r in outs for o in r.outputs)
 
-    # warmup (compile)
-    one_round(0)
+    import contextlib
 
-    t0 = time.perf_counter()
-    total_tokens = 0
-    for r in range(rounds):
-        total_tokens += one_round(r + 1)
-    dt = time.perf_counter() - t0
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        # warmup (compile)
+        one_round(0)
+
+        t0 = time.perf_counter()
+        total_tokens = 0
+        for r in range(rounds):
+            total_tokens += one_round(r + 1)
+        dt = time.perf_counter() - t0
 
     tok_per_sec = total_tokens / dt
     print(json.dumps({

@@ -73,10 +73,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
             ident = _plat.machine()
             try:
+                # flags AND model name: two VM generations can expose the
+                # same /proc flags line while LLVM host-detects different
+                # feature sets (amx-complex, prefer-no-gather tunings…) —
+                # seen as cross-VM AOT loads that deadlock collectives
                 with open("/proc/cpuinfo") as f:
-                    ident += next(
-                        (l for l in f
-                         if l.startswith(("flags", "Features"))), "")
+                    lines = f.readlines()
+                for key in ("flags", "Features", "model name"):
+                    ident += next((l for l in lines if l.startswith(key)), "")
             except OSError:
                 pass
             fp = hashlib.sha1(ident.encode()).hexdigest()[:12]

@@ -143,10 +143,12 @@ class Engine:
                 raise ValueError(
                     "spec_decode does not support sliding-window models "
                     "yet (decode_step_multi's bitmap validity is unbanded)")
-            if seq_mesh is not None:
+            if seq_mesh is not None and getattr(cfg, "layer_windows", ()):
                 raise ValueError(
-                    "seq_mesh does not support sliding-window models yet "
-                    "(ring/distributed-softmax paths assume full masks)")
+                    "seq_mesh does not support heterogeneous layer_windows "
+                    "stacks yet (per-layer widths are not plumbed through "
+                    "the ring); uniform sliding_window composes (banded "
+                    "ring prefill + position-windowed seq decode)")
         if getattr(cfg, "attn_sinks", False):
             if spec_decode is not None:
                 raise ValueError(
@@ -187,12 +189,12 @@ class Engine:
         # KV exceeds one chip's HBM. Composes with kv_quant="int8" (the
         # per-vector scale planes shard with the slots).
         self.seq_mesh = seq_mesh
-        if seq_mesh is not None:
-            # token-prefix KV reuse stores per-row cache slices; slicing a
-            # slot-sharded cache per row would gather across shards — the
-            # long-context niche this mode serves rarely shares prefixes
-            # at MCTS density, so reuse is disabled rather than slowed
-            prefix_cache_bytes = 0
+        # token-prefix KV reuse composes with seq_mesh: stored slices come
+        # off the slot-sharded prefill cache (XLA reshards the per-row
+        # slice), hit batches write them back into a sharded batch cache,
+        # and the suffix forward runs qwen2_seq.suffix_seq — the T-token
+        # distributed-softmax generalization of decode_step_seq — so the
+        # reused prefix attention stays O(B·T·S/n) per device.
         self._prefill_seq_jit = jax.jit(self._prefill_seq_impl,
                                         static_argnames=("S",))
         self.prefix_cache = (
@@ -361,6 +363,22 @@ class Engine:
         that serialized device calls exactly in the deep-tree MCTS case).
 
         Returns (last_logits (Hn, V), (cache_k, cache_v), h_sum (Hn, H))."""
+        if self.seq_mesh is not None:
+            from ..models import qwen2_seq
+
+            logits, hidden, (ck, cv) = qwen2_seq.suffix_seq(
+                params, self.cfg, ids, mask, starts, cache_k, cache_v,
+                mesh=self.seq_mesh, return_hidden=self.collect_h0)
+            last = jnp.take_along_axis(
+                logits, jnp.maximum(real_lens - 1, 0)[:, None, None],
+                axis=1)[:, 0, :]
+            if self.collect_h0:
+                h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
+                                   mask.astype(jnp.float32))
+            else:
+                h_sum = jnp.zeros((ids.shape[0], self.cfg.hidden_size),
+                                  jnp.float32)
+            return last, (ck, cv), h_sum
         S = cache_k.shape[2]
         ar = jnp.arange(S)[None, :]
         kv_valid = ar < (starts + real_lens)[:, None]
@@ -851,6 +869,15 @@ class Engine:
                         self.cfg.num_key_value_heads, self.cfg.head_dim_),
                        self.cfg.dtype)
         cv = jnp.zeros_like(ck)
+        if self.seq_mesh is not None:
+            # slot-sharded residency from the start: prefix writes land on
+            # the owning shards instead of materializing (L, Hn, S) whole
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            spec = NamedSharding(self.seq_mesh,
+                                 PSpec(None, None, "sequence", None, None))
+            ck = jax.device_put(ck, spec)
+            cv = jax.device_put(cv, spec)
         for i, (k_pref, v_pref, _plen, _h) in enumerate(hit_rows):
             ck, cv = self._write_prefix_jit(ck, cv, k_pref, v_pref,
                                             jnp.asarray(i, jnp.int32))

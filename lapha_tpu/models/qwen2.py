@@ -980,6 +980,14 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
         k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    # named remat targets: `remat="save_qkv"` keeps the post-RoPE
+    # projections across the backward (flash bwd re-reads them instead of
+    # recomputing 4 projections per layer) at B·T·(nh+2nkv)·dh bytes/layer
+    from jax.ad_checkpoint import checkpoint_name
+
+    q = checkpoint_name(q, "qkv")
+    k = checkpoint_name(k, "qkv")
+    v = checkpoint_name(v, "qkv")
 
     sinks = p["attn"]["sinks"] if cfg.attn_sinks else None
     if cache_k is not None:
@@ -1001,6 +1009,9 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
                else _dispatch_attend(cfg, q, k, v, mask, key_mask, win=win,
                                      sinks=sinks))
 
+    # `remat="save_attn"` keeps the attention core's output: the backward
+    # then reruns only the flash BWD kernel, never the fwd (B·T·nh·dh/layer)
+    att = checkpoint_name(att, "attn_out")
     att = jnp.einsum("btd,dh->bth", att.reshape(B, T, nh * dh), dq(p["attn"]["o_proj"]["w"]),
                      preferred_element_type=jnp.float32)
     if cfg.o_proj_bias:  # gpt_oss biases o_proj too
@@ -1136,6 +1147,26 @@ def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
             .astype(jnp.int8), s_)
 
 
+def remat_policy(remat):
+    """Map a remat knob to a jax.checkpoint policy.
+
+    ``True`` / ``"full"``: save nothing (recompute the whole layer — the
+    round-3 default, min memory / max recompute). ``"save_qkv"`` /
+    ``"save_attn"`` / ``"save_qkv_attn"``: keep the named intermediates
+    (checkpoint_name tags in _layer_body) across the backward, trading
+    per-layer activation memory for skipped recompute FLOPs — the lever
+    the round-3 profile identified (flash fwd recompute = 42% of the
+    train step) for meshes with memory headroom (FSDP)."""
+    if remat is True or remat == "full":
+        return None  # jax.checkpoint default: save nothing
+    names = {"save_qkv": ("qkv",), "save_attn": ("attn_out",),
+             "save_qkv_attn": ("qkv", "attn_out")}.get(remat)
+    if names is None:
+        raise ValueError(f"unknown remat policy {remat!r} (expected True, "
+                         "'full', 'save_qkv', 'save_attn', 'save_qkv_attn')")
+    return jax.checkpoint_policies.save_only_these_names(*names)
+
+
 def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=None, cache_pos=0, remat=False, key_mask=None, rope_loc=None, qk_idx=None):
     """Scan the stacked layer params. Returns (hidden, new_kv) where new_kv is
     the per-layer (k, v) stack when a cache is threaded, else None.
@@ -1172,7 +1203,8 @@ def _scan_layers(cfg: Qwen2Config, params: dict, x, cos, sin, mask, kv_cache=Non
                 return x2, None
             xs = (layer_params, wins)
         if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            body = jax.checkpoint(body, prevent_cse=False,
+                                  policy=remat_policy(remat))
         x, _ = jax.lax.scan(body, x, xs)
         return x, None
 

@@ -59,11 +59,12 @@ def forward_seq(
     step itself see :func:`decode_step_seq`.
     """
     B, T = input_ids.shape
-    if cfg.max_window_:
+    if cfg.layer_windows:
         raise ValueError(
-            "sliding-window checkpoints do not compose with sequence "
-            "parallelism yet (ring attention assumes full causal masks); "
-            "run this model dense or flash on a non-seq mesh")
+            "heterogeneous layer_windows stacks do not compose with "
+            "sequence parallelism yet (the scan-threaded per-layer width "
+            "is not plumbed through the ring); uniform sliding_window "
+            "checkpoints DO (banded ring attention)")
     if cfg.sandwich_norms or cfg.attn_softcap or cfg.query_pre_attn_scalar:
         raise ValueError(
             "gemma-family stacks do not compose with sequence parallelism "
@@ -111,8 +112,11 @@ def forward_seq(
         def attend(q, k, v):
             if return_kv:
                 kv_out.append((k, v))
+            # uniform sliding_window -> banded ring (same index-based rule
+            # as qwen2.forward's dense band; out-of-band blocks skip FLOPs)
             return ring_attend_local(q, k, v, mask, axis=seq_axis, n=n,
-                                     vary_axes=vary)
+                                     vary_axes=vary,
+                                     window=int(cfg.sliding_window or 0))
 
         def body(x, p):
             (x2, *_), _ = _layer_body(cfg, (x, cos, sin, None, None, None, 0),
@@ -133,7 +137,10 @@ def forward_seq(
             h = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
             return h, kstack, vstack
         if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            from .qwen2 import remat_policy
+
+            body = jax.checkpoint(body, prevent_cse=False,
+                                  policy=remat_policy(remat))
         x, _ = jax.lax.scan(body, x, params["layers"])
         return rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
 
@@ -235,6 +242,11 @@ def decode_step_seq(
             "starcoder2/olmo2/gpt_oss/smollm3-style stacks do not compose "
             "with seq-sharded decode yet (this path is the pre-norm RMS "
             "SwiGLU all-rope structure)")
+    if cfg.layer_windows:
+        raise ValueError(
+            "heterogeneous layer_windows stacks do not compose with "
+            "seq-sharded decode yet; uniform sliding_window does")
+    W = int(cfg.sliding_window or 0)
 
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -253,7 +265,8 @@ def decode_step_seq(
 
     quantized = cache_scale is not None
 
-    def local(params, tok, ck, cv, ks_all, vs_all, cos, sin, slot, lens, dstart):
+    def local(params, tok, ck, cv, ks_all, vs_all, cos, sin, slot, lens,
+              dstart, positions):
         idx = jax.lax.axis_index(seq_axis)
         owner = slot // Sl
         local_slot = slot - owner * Sl
@@ -261,6 +274,15 @@ def decode_step_seq(
         j_global = idx * Sl + jnp.arange(Sl)[None, :]          # (1, Sl)
         valid = ((j_global < lens[:, None])
                  | ((j_global >= dstart[:, None]) & (j_global <= slot)))  # (B, Sl)
+        if W:
+            # position-windowed slot validity, the same rule as
+            # qwen2.decode_step's win_valid: prompt slot j has position j;
+            # decode slot j (one column per step up to `slot`) has position
+            # positions[b] - (slot - j)
+            valid = valid & jnp.where(
+                j_global < lens[:, None],
+                j_global > positions[:, None] - W,
+                j_global > slot - W)
 
         def rope1(v):
             c, s_ = cos[:, None, :], sin[:, None, :]
@@ -380,14 +402,197 @@ def decode_step_seq(
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(), cache_spec, cache_spec,
                                  scale_spec, scale_spec,
-                                 P(), P(), P(), P(), P()),
+                                 P(), P(), P(), P(), P(), P()),
                        out_specs=(P(), cache_spec, cache_spec,
                                   scale_spec, scale_spec),
                        axis_names={seq_axis})
     x, cache_k, cache_v, ks_out, vs_out = fn(
         params, tok, cache_k, cache_v, ks_in, vs_in,
-        cos_g, sin_g, jnp.asarray(slot, jnp.int32), lens, dstart)
+        cos_g, sin_g, jnp.asarray(slot, jnp.int32), lens, dstart,
+        jnp.asarray(positions, jnp.int32))
     logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
     if quantized:
         return logits, hidden, cache_k, cache_v, (ks_out, vs_out)
     return logits, hidden, cache_k, cache_v
+
+
+def suffix_seq(
+    params: dict,
+    cfg: Qwen2Config,
+    ids: jax.Array,        # (B, T) right-padded suffix tokens
+    mask: jax.Array,       # (B, T) suffix validity
+    starts: jax.Array,     # (B,) reused-prefix length per row
+    cache_k: jax.Array,    # (L, B, S, nkv, dh) PREFILL layout, S sharded
+    cache_v: jax.Array,
+    *,
+    mesh: Mesh,
+    seq_axis: str = "sequence",
+    return_hidden: bool = False,
+):
+    """Cached suffix prefill with the KV cache SHARDED over ``seq_axis`` —
+    prefix-KV reuse under engine-side sequence parallelism.
+
+    The T-token generalization of :func:`decode_step_seq`'s distributed
+    softmax: row b's reused prefix KV already sits at cache columns
+    [0, starts[b]); the suffix K/V are written into columns
+    [starts[b], starts[b]+T) on their OWNER shards (each local column c
+    gathers its token via j_global - starts[b]); attention computes local
+    masked logits over each shard's (B, T, Sl) panel and combines with the
+    flash-style pmax/psum reduction, so per-device attention work is
+    O(B·T·S/n) and per-layer communication O(B·nh·T·dh). Validity for
+    suffix query t is ``j_global <= starts[b] + t`` (the prefix region
+    [0, starts) is content-valid by the reuse contract; suffix columns at
+    or below the query's own are written by construction), banded by the
+    uniform ``cfg.sliding_window`` when set — exactly
+    engine._suffix_batch_impl's ``kv_valid``/causal semantics distributed.
+
+    Projections/MLP/norms are computed replicated on every shard (same
+    trade as decode_step_seq: the MCTS reuse niche has SHORT suffixes over
+    LONG shared prefixes, so the sharded attention panel is the cost that
+    matters). Returns (last-token hidden pre-head logits are NOT computed
+    here) — concretely ``(logits (B, T, V) f32, hidden (B, T, H) | None,
+    (cache_k, cache_v))`` matching qwen2.forward's cached mode so the
+    engine's suffix path is a drop-in dispatch.
+    """
+    if (getattr(cfg, "norm_style", "rms") != "rms"
+            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
+            or getattr(cfg, "post_norms_only", False)
+            or getattr(cfg, "qk_norm_full", False)
+            or getattr(cfg, "attn_sinks", False)
+            or getattr(cfg, "nope_layers", ())):
+        raise ValueError(
+            "starcoder2/olmo2/gpt_oss/smollm3-style stacks do not compose "
+            "with seq-sharded suffix prefill yet")
+    if cfg.layer_windows:
+        raise ValueError(
+            "heterogeneous layer_windows stacks do not compose with "
+            "seq-sharded suffix prefill yet; uniform sliding_window does")
+    W = int(cfg.sliding_window or 0)
+
+    L = cfg.num_hidden_layers
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    group = nh // nkv
+    B, T = ids.shape
+    S = cache_k.shape[2]
+    n = mesh.shape[seq_axis]
+    assert S % n == 0, (S, n)
+    Sl = S // n
+    import math
+
+    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+    positions = starts[:, None] + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta,
+                              cfg.rope_scaling)  # (B, T, dh/2)
+
+    def local(params, ids, mask, starts, ck, cv, cos, sin):
+        idx = jax.lax.axis_index(seq_axis)
+        j_global = idx * Sl + jnp.arange(Sl)                    # (Sl,)
+        # which suffix token (if any) each local column receives
+        t_of_col = j_global[None, :] - starts[:, None]          # (B, Sl)
+        col_written = (t_of_col >= 0) & (t_of_col < T)
+        t_idx = jnp.clip(t_of_col, 0, T - 1)
+        # query validity over local columns: j <= starts[b] + t
+        q_t = jnp.arange(T)
+        valid = (j_global[None, None, :]
+                 <= (starts[:, None] + q_t[None, :])[:, :, None])  # (B,T,Sl)
+        if W:
+            valid = valid & (j_global[None, None, :]
+                             > (starts[:, None] + q_t[None, :])[:, :, None]
+                             - W)
+
+        def ropeT(v):
+            c, s_ = cos[:, :, None, :], sin[:, :, None, :]
+            v1 = v[..., : dh // 2].astype(jnp.float32)
+            v2 = v[..., dh // 2 :].astype(jnp.float32)
+            return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
+                                   -1).astype(v.dtype)
+
+        emb = params["embed"]["weight"]
+        if is_quantized(emb):
+            x = emb["q"][ids].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
+        else:
+            x = emb[ids].astype(cfg.dtype)
+
+        def proj(h, w, b=None):
+            y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
+                           preferred_element_type=jnp.float32)
+            if b is not None:
+                y = y + b.astype(jnp.float32)
+            return y.astype(h.dtype)
+
+        for l in range(L):
+            p = _layer_params(params, l)
+            h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+            q = proj(h, p["attn"]["q_proj"]["w"],
+                     p["attn"]["q_proj"]["b"]).reshape(B, T, nh, dh)
+            k = proj(h, p["attn"]["k_proj"]["w"],
+                     p["attn"]["k_proj"]["b"]).reshape(B, T, nkv, dh)
+            v = proj(h, p["attn"]["v_proj"]["w"],
+                     p["attn"]["v_proj"]["b"]).reshape(B, T, nkv, dh)
+            if cfg.qk_norm:
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            q, k = ropeT(q), ropeT(k)
+
+            # owner-shard writes: local column c takes suffix token t_of_col
+            k_wr = jnp.take_along_axis(k, t_idx[:, :, None, None], axis=1)
+            v_wr = jnp.take_along_axis(v, t_idx[:, :, None, None], axis=1)
+            wr = col_written[:, :, None, None]
+            k_loc = jnp.where(wr, k_wr.astype(ck.dtype), ck[l])
+            v_loc = jnp.where(wr, v_wr.astype(cv.dtype), cv[l])
+            ck = ck.at[l].set(k_loc)
+            cv = cv.at[l].set(v_loc)
+
+            # distributed softmax over the sharded panel
+            qg = q.reshape(B, T, nkv, group, dh)
+            att = jnp.einsum("btkgd,bskd->bkgts", qg,
+                             k_loc.astype(x.dtype),
+                             preferred_element_type=jnp.float32) * inv_sqrt_dh
+            att = jnp.where(valid[:, None, None, :, :], att, -jnp.inf)
+            m_loc = jnp.max(att, axis=-1)                     # (B,nkv,g,T)
+            m = jax.lax.pmax(m_loc, seq_axis)
+            pexp = jnp.exp(att - m[..., None])
+            pexp = jnp.where(valid[:, None, None, :, :], pexp, 0.0)
+            den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)
+            num = jax.lax.psum(
+                jnp.einsum("bkgts,bskd->btkgd", pexp.astype(v_loc.dtype),
+                           v_loc, preferred_element_type=jnp.float32),
+                seq_axis)
+            o = (num / jnp.maximum(den, 1e-30)[..., None].transpose(
+                0, 3, 1, 2, 4)).reshape(B, T, nh * dh)
+            x = x + proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"])
+
+            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"],
+                          cfg.rms_norm_eps)
+            if cfg.num_experts > 0:
+                from ..ops.moe import moe_block
+
+                x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
+                                  norm_topk=cfg.norm_topk_prob,
+                                  impl=cfg.moe_impl,
+                                  capacity_factor=cfg.moe_capacity_factor)
+            else:
+                gate = jnp.einsum(
+                    "bth,hi->bti", h2, dequant(p["mlp"]["gate_proj"]["w"],
+                                               h2.dtype),
+                    preferred_element_type=jnp.float32)
+                up = jnp.einsum(
+                    "bth,hi->bti", h2, dequant(p["mlp"]["up_proj"]["w"],
+                                               h2.dtype),
+                    preferred_element_type=jnp.float32)
+                act = (jax.nn.silu(gate) * up).astype(x.dtype)
+                x = x + proj(act, p["mlp"]["down_proj"]["w"])
+
+        x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+        return x, ck, cv
+
+    cache_spec = P(None, None, seq_axis, None, None)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), cache_spec, cache_spec,
+                                 P(), P()),
+                       out_specs=(P(), cache_spec, cache_spec),
+                       axis_names={seq_axis})
+    x, cache_k, cache_v = fn(params, ids, mask, starts, cache_k, cache_v,
+                             cos_g, sin_g)
+    logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
+    return logits, hidden, (cache_k, cache_v)

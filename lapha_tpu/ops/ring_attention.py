@@ -74,6 +74,7 @@ def ring_attend_local(
     n: int,
     causal: bool = True,
     vary_axes: tuple[str, ...] | None = None,
+    window: int = 0,
 ) -> jax.Array:
     """Per-device ring attention body (call inside shard_map over `axis`).
 
@@ -86,7 +87,16 @@ def ring_attend_local(
     ``vary_axes``: ALL mesh axes the q/k/v blocks vary over (default just
     ``axis``) — the fori_loop accumulators must carry the same varying-
     manual-axes type or shard_map's vma check rejects the loop (e.g. add
-    "data" when batch is sharded too, models/qwen2_seq.forward_seq)."""
+    "data" when batch is sharded too, models/qwen2_seq.forward_seq).
+
+    ``window`` (> 0): sliding-window banding — key slot j visible to query
+    slot i iff i-window < j <= i, the same INDEX-based rule as
+    qwen2.forward's banded dense mask (equal to position-based banding for
+    left- or right-padded rows: both indices shift by the pad offset).
+    Blocks wholly outside the band (and, under ``causal``, wholly in the
+    future) skip their attention FLOPs via ``lax.cond`` — only the
+    ppermute rotation still touches them, so W << T long-context runs pay
+    O(W·T/n) compute per device, not O((T/n)·T)."""
     B, Tl, nh, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -101,7 +111,25 @@ def ring_attend_local(
         valid = jnp.broadcast_to(valid, (B, Tl, Tl))
         if causal:
             valid = valid & (k_pos[None, None, :] <= q_pos[None, :, None])
-        m, l, acc = _block_attend(q, kb, vb, valid, m, l, acc, scale)
+        if window:
+            valid = valid & (k_pos[None, None, :]
+                             > q_pos[None, :, None] - window)
+
+        # block-level skip: no (query, key) pair of this block can be live
+        # when the block is entirely in the causal future or entirely below
+        # the window band — the mask math above would zero it anyway, but
+        # the cond saves the einsums (the dominant cost at W << T)
+        live = jnp.bool_(True)
+        if causal:
+            live = live & (k_pos[0] <= q_pos[-1])
+        if window:
+            live = live & (k_pos[-1] > q_pos[0] - window)
+        m, l, acc = jax.lax.cond(
+            live,
+            lambda m, l, acc: _block_attend(q, kb, vb, valid, m, l, acc,
+                                            scale),
+            lambda m, l, acc: (m, l, acc),
+            m, l, acc)
         kb = jax.lax.ppermute(kb, axis, perm)
         vb = jax.lax.ppermute(vb, axis, perm)
         maskb = jax.lax.ppermute(maskb, axis, perm)
@@ -127,6 +155,7 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "sequence",
     causal: bool = True,
+    window: int = 0,
 ) -> jax.Array:
     """Full-sequence causal attention with T sharded across `axis`.
 
@@ -139,7 +168,8 @@ def ring_attention(
     assert T % n == 0, (T, n)
 
     def local(q, k, v, mask):
-        return ring_attend_local(q, k, v, mask, axis=axis, n=n, causal=causal)
+        return ring_attend_local(q, k, v, mask, axis=axis, n=n,
+                                 causal=causal, window=window)
 
     spec_q = P(None, axis, None, None)
     spec_m = P(None, axis)

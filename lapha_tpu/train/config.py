@@ -44,6 +44,12 @@ class MTPOConfig:
     attn_implementation: str = "auto"
     bf16: bool = True
     gradient_checkpointing: bool = True
+    # per-layer remat policy when gradient_checkpointing is on:
+    # "full" (save nothing — min memory), "save_qkv", "save_attn",
+    # "save_qkv_attn" (keep named intermediates across the backward —
+    # trades activation memory for skipped recompute; the FSDP-mesh lever,
+    # models/qwen2.remat_policy)
+    remat_policy: str = "full"
 
     # ---- optimization ----
     learning_rate: float = 1e-6

@@ -214,7 +214,8 @@ class MTPOTrainer:
                 max_completion_length=args.max_completion_length,
                 no_head_scale=args.no_head_scale,
                 value_activation=args.value_activation,
-                remat=args.gradient_checkpointing,
+                remat=(args.remat_policy if args.gradient_checkpointing
+                       else False),
                 attn_impl=args.attn_implementation,
                 # mesh_sequence > 1: LM forward rides the ring-attention
                 # sequence axis of the 3-axis mesh (context parallelism)
@@ -226,7 +227,8 @@ class MTPOTrainer:
         self._value_sumsq_grad = losses.make_value_sumsq_grad_fn(
             self.model_cfg, no_head_scale=args.no_head_scale,
             value_activation=args.value_activation,
-            remat=args.gradient_checkpointing,
+            remat=(args.remat_policy if args.gradient_checkpointing
+                   else False),
             attn_impl=args.attn_implementation,
             seq_mesh=(self.mesh if "sequence" in self.mesh.shape
                       and self.mesh.shape["sequence"] > 1 else None))

@@ -5,7 +5,14 @@ One GRPO+value update (losses.make_update_fn) on a Qwen2.5-1.5B-architecture
 model with random weights, packed batch of B rows of (prompt_len +
 completion_len) tokens. Env knobs: NL (layers, 28), BB (batch, 8),
 LP (prompt len, 3072), LC (completion len, 1024), OPT (adamw|sgd),
-ATTN (pallas|dense).
+ATTN (pallas|dense), REMAT (full|save_qkv|save_attn|save_qkv_attn|off —
+models/qwen2.remat_policy), MESH_DATA (FSDP data-axis size; default all
+visible devices, so `XLA_FLAGS=--xla_force_host_platform_device_count=8
+JAX_PLATFORMS=cpu MESH_DATA=8 OPT=adamw` is the FSDP-Adam mode today and
+the same command is the real-mesh mode the day hardware appears: params
+AND both Adam moment trees shard over the data axis — the configuration
+the reference runs via DeepSpeed ZeRO-3 on 6 GPUs and a single 16 GB chip
+cannot hold).
 
 Measured on 1x v5e (see BASELINE.md): at 4k context the 28-layer model
 trains with ATTN=pallas at ~4.4k tok/s and does not compile with dense
@@ -21,6 +28,10 @@ import lapha_tpu
 
 lapha_tpu.enable_compilation_cache()
 import jax
+
+if os.getenv("JAX_PLATFORMS"):
+    # the axon sitecustomize re-forces its platform; env alone is not enough
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -39,8 +50,11 @@ def main():
         dtype=jnp.bfloat16)
     params = qwen2.init_params(cfg, jax.random.key(0))
     head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
-    mesh = make_mesh(None, 1)
+    mesh_data = os.getenv("MESH_DATA")
+    mesh = make_mesh(int(mesh_data) if mesh_data else None, 1)
     params = shard_params(params, mesh)
+    remat = os.getenv("REMAT", "full")
+    remat = False if remat in ("off", "0", "false") else remat
     if os.getenv("OPT", "adamw") == "sgd":
         optimizer = optax.sgd(1e-6)
     else:
@@ -63,7 +77,7 @@ def main():
     update = losses.make_update_fn(cfg, optimizer, loss_kwargs=dict(
         temperature=1.0, eps_low=0.2, eps_high=0.2, loss_type="grpo",
         importance_level="token", value_w=1.0, beta=0.0,
-        max_completion_length=Lc, remat=True, attn_impl=impl))
+        max_completion_length=Lc, remat=remat, attn_impl=impl))
     o = optimizer.init((params, head))
     with mesh:
         # TWO warm calls: the first compiles; the SECOND pays a one-time
@@ -82,7 +96,8 @@ def main():
     loss = float(np.asarray(m["loss"]))
     dt = (time.time() - t0) / 3
     ntok = int(np.asarray(batch["attn"]).sum())
-    print(f"{impl}: {dt:.2f}s/step ({ntok/dt:.0f} tok/s) loss={loss:.4f}", flush=True)
+    print(f"{impl} remat={remat} mesh={dict(mesh.shape)}: {dt:.2f}s/step "
+          f"({ntok/dt:.0f} tok/s) loss={loss:.4f}", flush=True)
 
 
 if __name__ == "__main__":

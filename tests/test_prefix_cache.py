@@ -184,3 +184,74 @@ def test_sliding_window_greedy_same_with_and_without_cache():
     warm.generate([base + " seed"], sp)
     got = [r.outputs[0].token_ids for r in warm.generate(prompts, sp)]
     assert got == ref
+
+
+def test_prefix_reuse_under_seq_mesh():
+    """Prefix-KV reuse composes with engine-side sequence parallelism:
+    the hit batch writes reused prefixes into a slot-sharded cache and the
+    suffix forwards through qwen2_seq.suffix_seq (distributed softmax) —
+    greedy tokens must match both the cold seq engine and the warm
+    unsharded engine (vLLM holds prefix caching + CP simultaneously)."""
+    from jax.sharding import Mesh
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(4))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+
+    def mk(cache_bytes, seq_mesh):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8, seq_mesh=seq_mesh)
+
+    parent = "shared long prefix text that forms a parent context here. "
+    children = [parent + "child one continues this way",
+                parent + "child two goes elsewhere entirely"]
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=8)
+
+    cold_seq = mk(0, mesh)
+    ref = [[o.token_ids for o in r.outputs]
+           for r in cold_seq.generate(children, sp)]
+
+    warm_flat = mk(100_000_000, None)
+    warm_flat.generate([parent], sp)
+    ref_flat = [[o.token_ids for o in r.outputs]
+                for r in warm_flat.generate(children, sp)]
+    assert ref_flat == ref
+
+    warm_seq = mk(100_000_000, mesh)
+    warm_seq.generate([parent], sp)
+    stats0 = warm_seq.prefix_cache.stats()
+    got = [[o.token_ids for o in r.outputs]
+           for r in warm_seq.generate(children, sp)]
+    stats1 = warm_seq.prefix_cache.stats()
+    assert got == ref
+    assert stats1["hits"] > stats0["hits"], "prefix was not reused under seq"
+    assert stats1["tokens_reused"] > 0
+
+
+def test_prefix_reuse_under_seq_mesh_windowed():
+    """All three compose at once: sliding window x seq_mesh x prefix
+    reuse — banded suffix_seq validity vs the cold banded engines."""
+    from jax.sharding import Mesh
+
+    cfg = Qwen2Config.tiny(vocab_size=300, sliding_window=16)
+    params = qwen2.init_params(cfg, jax.random.key(5))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+
+    def mk(cache_bytes, seq_mesh):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8, seq_mesh=seq_mesh)
+
+    parent = "a rather long shared parent prompt, well past the window. "
+    child = parent + "and a suffix that attends back through the band"
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+
+    ref = mk(0, None).generate([child], sp)[0].outputs[0].token_ids
+    warm_seq = mk(100_000_000, mesh)
+    warm_seq.generate([parent], sp)
+    got = warm_seq.generate([child], sp)[0].outputs[0].token_ids
+    assert got == ref
+    assert warm_seq.prefix_cache.stats()["hits"] > 0

@@ -594,3 +594,50 @@ def test_trainer_rejects_quantized_params():
         MTPOTrainer(model=(qp, cfg), agent_cls_list=[PoorAgent],
                     args=args, reward_fns=[lambda c, g: 0.0],
                     train_dataset=[], tokenizer=ChatTok())
+
+
+@pytest.mark.parametrize("pol", [True, "save_qkv", "save_attn",
+                                 "save_qkv_attn"])
+def test_remat_policy_update_matches_no_remat(pol):
+    """Remat policies change memory/recompute scheduling, never values:
+    one update step under each named policy == the no-remat update."""
+    import optax
+
+    cfg = Qwen2Config.tiny()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    head = value_model.init_value_head(cfg.hidden_size, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    samples = [dict(prompt_ids=rng.integers(2, cfg.vocab_size, 9).tolist(),
+                    completion_ids=rng.integers(2, cfg.vocab_size, 7).tolist())
+               for _ in range(4)]
+    packed = losses.pack_samples(samples, pad_id=0, eos_id=1,
+                                 max_prompt_length=32, pad_multiple=16,
+                                 batch_multiple=2)
+    packed.pop("kept")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    B = batch["ids"].shape[0]
+    batch["advantages"] = jnp.asarray(rng.normal(size=B).astype(np.float32))
+    batch["v_target"] = jnp.asarray(rng.uniform(size=B).astype(np.float32))
+    opt = optax.sgd(1e-3)
+
+    def run(remat):
+        kw = dict(temperature=1.0, eps_low=0.2, eps_high=0.2,
+                  loss_type="grpo", importance_level="token", value_w=1.0,
+                  beta=0.0, max_completion_length=8, remat=remat)
+        upd = losses.make_update_fn(cfg, opt, loss_kwargs=kw)
+        p, h = jax.tree.map(jnp.array, (params, head))
+        p2, h2, _, m = upd(p, h, opt.init((p, h)), batch, None)
+        return float(m["loss"]), jax.tree.leaves((p2, h2))
+
+    l_ref, w_ref = run(False)
+    l_pol, w_pol = run(pol)
+    assert abs(l_pol - l_ref) < 1e-5
+    for a, b in zip(w_pol, w_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_remat_policy_rejects_unknown():
+    with pytest.raises(ValueError, match="remat policy"):
+        qwen2.remat_policy("save_everything")
