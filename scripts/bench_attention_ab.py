@@ -120,11 +120,24 @@ def main():
         )
     W = int(os.getenv("AB_WINDOW", "0"))
     if W:
-        # gemma3 pattern: every 6th layer global, the rest windowed at W
+        # AB_PATTERN=gemma (default): every 6th layer global, rest windowed
+        # (gemma3). AB_PATTERN=alt: alternating sliding/full (gpt_oss).
+        pat = os.getenv("AB_PATTERN", "gemma")
         cfg = dataclasses.replace(cfg, layer_windows=tuple(
-            0 if (i + 1) % 6 == 0 else W
+            (0 if (i + 1) % 6 == 0 else W) if pat == "gemma"
+            else (W if i % 2 == 0 else 0)
             for i in range(cfg.num_hidden_layers)))
+    if os.getenv("AB_SINKS") == "1":
+        # gpt_oss learned per-head sinks: measures the m0=sink/l0=1 ragged
+        # fold vs _sink_softmax on the dense path (VERDICT round-3 weak #1:
+        # sink models used to force dense everywhere)
+        cfg = dataclasses.replace(cfg, attn_sinks=True)
     params = qwen2.init_params(cfg, jax.random.key(0))
+    if cfg.attn_sinks:
+        params["layers"]["attn"]["sinks"] = jax.random.normal(
+            jax.random.key(42),
+            (cfg.num_hidden_layers, cfg.num_attention_heads),
+            jnp.float32)
 
     rng = np.random.default_rng(0)
     lmax = min(400, S // 4)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Prefill attention-impl A/B: flash (Pallas) vs dense at 4k context.
+
+Times the FULL model prefill forward (qwen2.forward, no cache) at the
+engine's long-prompt shape, crossed over attn_impl in {dense, flash} and
+the model-structure knobs the round-3 families added:
+
+  PF_SINKS=1     gpt_oss learned attention sinks (flash folds exp(s-m)
+                 into the running denominator; dense uses _sink_softmax)
+  PF_WINDOW=W    uniform sliding window (banded flash skips out-of-band
+                 K blocks statically)
+  PF_PATTERN=alt alternating sliding/full layer_windows (gpt_oss stack;
+                 flash picks banded/full per layer via lax.cond)
+
+Methodology (verify-skill): N forwards chained in one jit with a token
+data dependency (argmax of the last row feeds token 0 of the next batch),
+one host sync, 2 timed reps after the compile warmup, min taken. Random
+weights on device. Usage:
+  PF_SINKS=1 PF_WINDOW=128 PF_PATTERN=alt python scripts/bench_prefill.py
+Env: PF_B (8), PF_T (4096), PF_REPS (4), PF_IMPLS (dense,flash), NL (28).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import lapha_tpu
+
+lapha_tpu.apply_platform_env()
+lapha_tpu.enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lapha_tpu.models import Qwen2Config, qwen2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "N"))
+def run_forwards(params, ids, mask, *, cfg, N):
+    def body(i, st):
+        ids, acc = st
+        logits, _, _ = qwen2.forward(params, cfg, ids, attention_mask=mask)
+        nxt = jnp.argmax(logits[:, -1, :], -1).astype(ids.dtype)  # (B,)
+        ids = ids.at[:, 0].set(nxt)  # data dependency rep -> rep
+        return ids, acc + logits[0, 0, 0]
+
+    st = jax.lax.fori_loop(0, N, body, (ids, jnp.float32(0.0)))
+    return st[1]
+
+
+def main():
+    tiny = os.getenv("PF_TINY") == "1"
+    assert tiny or jax.devices()[0].platform != "cpu", \
+        "prefill A/B is a hardware measurement (PF_TINY=1 for a CPU smoke)"
+    B = int(os.getenv("PF_B", "2" if tiny else "8"))
+    T = int(os.getenv("PF_T", "256" if tiny else "4096"))
+    N = int(os.getenv("PF_REPS", "2" if tiny else "4"))
+    if tiny:
+        cfg = Qwen2Config.tiny(max_position_embeddings=T, dtype=jnp.float32)
+    else:
+        cfg = Qwen2Config(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_hidden_layers=int(os.getenv("NL", "28")),
+            num_attention_heads=12, num_key_value_heads=2,
+            max_position_embeddings=T, rope_theta=1e6, dtype=jnp.bfloat16)
+    W = int(os.getenv("PF_WINDOW", "0"))
+    if W and os.getenv("PF_PATTERN") == "alt":
+        cfg = dataclasses.replace(cfg, layer_windows=tuple(
+            W if i % 2 == 0 else 0 for i in range(cfg.num_hidden_layers)))
+    elif W:
+        cfg = dataclasses.replace(cfg, sliding_window=W)
+    if os.getenv("PF_SINKS") == "1":
+        cfg = dataclasses.replace(cfg, attn_sinks=True)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    if cfg.attn_sinks:
+        params["layers"]["attn"]["sinks"] = jax.random.normal(
+            jax.random.key(42),
+            (cfg.num_hidden_layers, cfg.num_attention_heads), jnp.float32)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    impls = (os.getenv("PF_IMPLS") or
+             ("dense,flash" if not tiny else "dense")).split(",")
+    out = {}
+    for impl in impls:
+        c = dataclasses.replace(
+            cfg, attn_impl={"dense": "dense", "flash": "pallas"}[impl])
+        run_forwards(params, ids, mask, cfg=c, N=N)  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run_forwards(params, ids, mask, cfg=c, N=N))
+            best = min(best, (time.perf_counter() - t0) / N)
+        out[impl] = round(best * 1e3, 2)
+        print(f"{impl}: {out[impl]} ms/prefill "
+              f"({B * T / best / 1e3:.0f} ktok/s)", flush=True)
+    print(json.dumps({"shape": {"B": B, "T": T, "NL": cfg.num_hidden_layers,
+                                "window": W,
+                                "pattern": os.getenv("PF_PATTERN", "uniform"),
+                                "sinks": bool(cfg.attn_sinks)},
+                      "ms_per_prefill": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
