@@ -11,6 +11,9 @@ the model-structure knobs the round-3 families added:
                  K blocks statically)
   PF_PATTERN=alt alternating sliding/full layer_windows (gpt_oss stack;
                  flash picks banded/full per layer via lax.cond)
+  PF_MODEL=mla   DeepSeek MLA body (V2-Lite-proportioned 2.2B): flash
+                 rides the kernel with V padded to qk_head_dim (the HF
+                 flash trick) vs the dense quadratic path
 
 Methodology (verify-skill): N forwards chained in one jit with a token
 data dependency (argmax of the last row feeds token 0 of the next batch),
@@ -40,11 +43,11 @@ import numpy as np
 from lapha_tpu.models import Qwen2Config, qwen2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "N"))
-def run_forwards(params, ids, mask, *, cfg, N):
+@functools.partial(jax.jit, static_argnames=("cfg", "N", "fwd"))
+def run_forwards(params, ids, mask, *, cfg, N, fwd=qwen2.forward):
     def body(i, st):
         ids, acc = st
-        logits, _, _ = qwen2.forward(params, cfg, ids, attention_mask=mask)
+        logits, _, _ = fwd(params, cfg, ids, attention_mask=mask)
         nxt = jnp.argmax(logits[:, -1, :], -1).astype(ids.dtype)  # (B,)
         ids = ids.at[:, 0].set(nxt)  # data dependency rep -> rep
         return ids, acc + logits[0, 0, 0]
@@ -60,27 +63,58 @@ def main():
     B = int(os.getenv("PF_B", "2" if tiny else "8"))
     T = int(os.getenv("PF_T", "256" if tiny else "4096"))
     N = int(os.getenv("PF_REPS", "2" if tiny else "4"))
-    if tiny:
+    mla = os.getenv("PF_MODEL") == "mla"
+    if mla:
+        from lapha_tpu.models import deepseek
+
+        fwd = deepseek.forward
+        if tiny:
+            cfg = deepseek.DeepseekConfig(
+                vocab_size=512, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4, q_lora_rank=0,
+                kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+                v_head_dim=16, n_routed_experts=0,
+                max_position_embeddings=T, dtype=jnp.float32)
+        else:
+            cfg = deepseek.DeepseekConfig(  # the bench.py mla preset shape
+                vocab_size=102400, hidden_size=2048, intermediate_size=10944,
+                num_hidden_layers=int(os.getenv("NL", "27")),
+                num_attention_heads=16, q_lora_rank=0, kv_lora_rank=512,
+                qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+                n_routed_experts=0, max_position_embeddings=T,
+                rope_theta=10000.0, dtype=jnp.bfloat16)
+    elif tiny:
+        fwd = qwen2.forward
         cfg = Qwen2Config.tiny(max_position_embeddings=T, dtype=jnp.float32)
     else:
+        fwd = qwen2.forward
         cfg = Qwen2Config(
             vocab_size=151936, hidden_size=1536, intermediate_size=8960,
             num_hidden_layers=int(os.getenv("NL", "28")),
             num_attention_heads=12, num_key_value_heads=2,
             max_position_embeddings=T, rope_theta=1e6, dtype=jnp.bfloat16)
     W = int(os.getenv("PF_WINDOW", "0"))
+    assert not (mla and (W or os.getenv("PF_SINKS"))), \
+        "PF_MODEL=mla does not take window/sink knobs"
     if W and os.getenv("PF_PATTERN") == "alt":
         cfg = dataclasses.replace(cfg, layer_windows=tuple(
             W if i % 2 == 0 else 0 for i in range(cfg.num_hidden_layers)))
     elif W:
         cfg = dataclasses.replace(cfg, sliding_window=W)
     if os.getenv("PF_SINKS") == "1":
+        assert not mla
         cfg = dataclasses.replace(cfg, attn_sinks=True)
-    params = qwen2.init_params(cfg, jax.random.key(0))
-    if cfg.attn_sinks:
-        params["layers"]["attn"]["sinks"] = jax.random.normal(
-            jax.random.key(42),
-            (cfg.num_hidden_layers, cfg.num_attention_heads), jnp.float32)
+    if mla:
+        from lapha_tpu.models import deepseek
+
+        params = deepseek.init_params(cfg, jax.random.key(0))
+    else:
+        params = qwen2.init_params(cfg, jax.random.key(0))
+        if cfg.attn_sinks:
+            params["layers"]["attn"]["sinks"] = jax.random.normal(
+                jax.random.key(42),
+                (cfg.num_hidden_layers, cfg.num_attention_heads),
+                jnp.float32)
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, T)), jnp.int32)
@@ -92,11 +126,11 @@ def main():
     for impl in impls:
         c = dataclasses.replace(
             cfg, attn_impl={"dense": "dense", "flash": "pallas"}[impl])
-        run_forwards(params, ids, mask, cfg=c, N=N)  # compile + warm
+        run_forwards(params, ids, mask, cfg=c, N=N, fwd=fwd)  # compile+warm
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(run_forwards(params, ids, mask, cfg=c, N=N))
+            float(run_forwards(params, ids, mask, cfg=c, N=N, fwd=fwd))
             best = min(best, (time.perf_counter() - t0) / N)
         out[impl] = round(best * 1e3, 2)
         print(f"{impl}: {out[impl]} ms/prefill "
@@ -104,7 +138,9 @@ def main():
     print(json.dumps({"shape": {"B": B, "T": T, "NL": cfg.num_hidden_layers,
                                 "window": W,
                                 "pattern": os.getenv("PF_PATTERN", "uniform"),
-                                "sinks": bool(cfg.attn_sinks)},
+                                "model": "mla" if mla else "qwen2",
+                                "sinks": bool(getattr(cfg, "attn_sinks",
+                                                      False))},
                       "ms_per_prefill": out}), flush=True)
 
 
