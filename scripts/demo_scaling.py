@@ -229,7 +229,9 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
     cfg = dataclasses.replace(cfg, dtype=jnp.float32)
     params = jax.tree.map(lambda x: x.astype(jnp.float32)
                           if x.dtype == model_dtype else x, params)
-    sched = optax.warmup_cosine_decay_schedule(0.0, lr, 100, max_steps,
+    warm = min(100, max(1, max_steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm,
+                                               max(max_steps, warm + 2),
                                                end_value=lr * 0.03)
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0),
