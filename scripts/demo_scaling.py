@@ -52,8 +52,10 @@ see DEMO_SCALING.md for the committed run.
 
 Env knobs (defaults = the committed run):
   H, NL           model width/depth          (256, 4)
-  SFT_TARGET      stop SFT at this per-fact holdout accuracy (0.82)
-  SFT_MAX_STEPS   SFT step cap (4000)
+  SFT_TARGET      stop SFT at this per-fact holdout accuracy (0.93 —
+                  high enough that chain errors are SAMPLING noise the
+                  representation can flag, not missing knowledge)
+  SFT_MAX_STEPS   SFT step cap (12000)
   RL_STEPS        MTPOTrainer steps (24)
   N_EVAL          held-out eval questions (24)
   SIMS            comma list of num_sim points ("8,32,128")
@@ -405,8 +407,8 @@ def main():
         t0 = time.time()
         params, fact_acc = sft_warmup(
             tok, cfg, params, rng,
-            target_acc=float(os.getenv("SFT_TARGET", "0.82")),
-            max_steps=int(os.getenv("SFT_MAX_STEPS", "4000")),
+            target_acc=float(os.getenv("SFT_TARGET", "0.93")),
+            max_steps=int(os.getenv("SFT_MAX_STEPS", "12000")),
             depth=depth, log=log)
         log(f"[demo] SFT done in {time.time() - t0:.0f}s "
             f"fact_acc={fact_acc:.3f}")
@@ -455,7 +457,9 @@ def main():
     else:
         t0 = time.time()
         for it in range(rl_steps):
-            batch = [sample_question(rng, rng.randint(2, 4))
+            # 3-5 ops: with a ~0.9-facts policy, 2-op chains clear the
+            # trainer's avgAcc>=0.8 stability skip and would be dropped
+            batch = [sample_question(rng, rng.randint(3, 5))
                      for _ in range(4)]
             m = trainer.train_step(batch)
             log(f"[rl {it + 1}/{rl_steps}] " + " ".join(
