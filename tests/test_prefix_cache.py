@@ -255,3 +255,31 @@ def test_prefix_reuse_under_seq_mesh_windowed():
     got = warm_seq.generate([child], sp)[0].outputs[0].token_ids
     assert got == ref
     assert warm_seq.prefix_cache.stats()["hits"] > 0
+
+
+def test_prefix_reuse_under_seq_mesh_int8_kv():
+    """Quadruple composition: prefix reuse x seq_mesh x int8 KV — reused
+    bf16 prefixes quantize at the decode install onto the slot-sharded
+    scale planes; greedy tokens match the cold seq int8 engine."""
+    from jax.sharding import Mesh
+
+    cfg = Qwen2Config.tiny(vocab_size=300)
+    params = qwen2.init_params(cfg, jax.random.key(6))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+
+    def mk(cache_bytes, seq_mesh):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8, kv_quant="int8",
+                      seq_mesh=seq_mesh)
+
+    parent = "a long enough shared parent prompt for the int8 seq case. "
+    child = parent + "plus the suffix"
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+    ref = mk(0, mesh).generate([child], sp)[0].outputs[0].token_ids
+    warm = mk(100_000_000, mesh)
+    warm.generate([parent], sp)
+    got = warm.generate([child], sp)[0].outputs[0].token_ids
+    assert got == ref
+    assert warm.prefix_cache.stats()["hits"] > 0
