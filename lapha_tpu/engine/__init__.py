@@ -6,6 +6,7 @@ from .adapter import (
     build_engine_adapter,
 )
 from .client import EngineClient, RemoteEngineAdapter
+from .diffusion import DiffusionEngine
 from .engine import Engine
 from .prefix_cache import PrefixCacheStore
 from .scheduler import ContinuousEngine
@@ -17,6 +18,7 @@ __all__ = [
     "SamplingParams",
     "build_engine_adapter",
     "Engine",
+    "DiffusionEngine",
     "EngineClient",
     "RemoteEngineAdapter",
     "PrefixCacheStore",

@@ -17,11 +17,13 @@ from ..engine.adapter import SamplingParams
 
 @dataclasses.dataclass
 class GenParams(SamplingParams):
-    """SamplingParams + SDAR/diffusion knobs kept for config compatibility.
+    """SamplingParams + SDAR/diffusion knobs (reference adapters.py:100-125).
 
-    The diffusion fields are accepted but unused by the native engine (the
-    reference only consumes them through the optional JetEngine backend,
-    adapters.py:159-379, which is not parity-critical — SURVEY.md §2.4).
+    With ``ENGINE=jet`` the factory builds the native block-diffusion
+    engine (engine/diffusion.DiffusionEngine) and these knobs are LIVE:
+    block_length/denoising_steps/remasking_strategy configure the engine,
+    dynamic_threshold applies per-request. Under the AR engines they are
+    accepted-inert, exactly like the reference's vLLM path ignores them.
     """
 
     remasking_strategy: str = "low_confidence_dynamic"
@@ -31,11 +33,20 @@ class GenParams(SamplingParams):
 
 
 def build_engine_adapter(name: str = "tpu", tokenizer=None, **kw):
-    """Factory: "tpu" native; "fake" scripted; "vllm"/"jet" map to native.
+    """Factory: "tpu"/"vllm" native AR engine; "jet" native block-diffusion
+    engine (engine/diffusion.py — the SDAR decoding loop the reference
+    adapts an external JetEngine runtime for); "fake" scripted.
 
-    For the native engine pass either a prebuilt ``engine=`` instance or
-    ``model_path=`` (HF dir) plus engine kwargs.
+    For the native engines pass either a prebuilt ``engine=`` instance or
+    ``model_path=`` (HF dir) plus engine kwargs. "jet" additionally needs
+    a [MASK] token id: ``mask_token_id=`` kwarg, else $SDAR_MASK_TOKEN_ID,
+    else ``tokenizer.mask_token_id``. Block knobs come from kwargs or the
+    reference's env surface ($SDAR_BLOCK_LENGTH, $SDAR_DENOISING_STEPS,
+    $SDAR_REMASKING_STRATEGY, $SDAR_DYNAMIC_THRESHOLD —
+    reference eval/adapters.py:237-246).
     """
+    import os
+
     name = (name or "tpu").lower()
     if name == "fake":
         from ..engine.adapter import FakeEngine
@@ -44,7 +55,6 @@ def build_engine_adapter(name: str = "tpu", tokenizer=None, **kw):
     if name in ("tpu", "vllm", "jet"):
         if "engine" in kw:
             return kw["engine"]
-        from ..engine.engine import Engine
         from ..models import loader
 
         model_path = kw.pop("model_path", None) or kw.pop("jet_model_path", None)
@@ -54,5 +64,33 @@ def build_engine_adapter(name: str = "tpu", tokenizer=None, **kw):
         kw = {k: v for k, v in kw.items()
               if not k.startswith("jet_") and k not in ("vllm_client", "base_url")}
         params, cfg = loader.load_params(model_path)
+        if name == "jet":
+            from ..engine.diffusion import DiffusionEngine
+
+            mask_id = kw.pop("mask_token_id",
+                             os.getenv("SDAR_MASK_TOKEN_ID"))
+            if mask_id is None:
+                mask_id = getattr(tokenizer, "mask_token_id", None)
+            if mask_id is None:
+                raise ValueError(
+                    "ENGINE=jet needs a [MASK] token id: pass "
+                    "mask_token_id=, set $SDAR_MASK_TOKEN_ID, or use a "
+                    "tokenizer with mask_token_id")
+            return DiffusionEngine(
+                params, cfg, tokenizer, mask_token_id=int(mask_id),
+                block_length=int(kw.pop("block_length",
+                                        os.getenv("SDAR_BLOCK_LENGTH", 4))),
+                denoising_steps=int(kw.pop(
+                    "denoising_steps", os.getenv("SDAR_DENOISING_STEPS", 4))),
+                remasking_strategy=kw.pop(
+                    "remasking_strategy",
+                    os.getenv("SDAR_REMASKING_STRATEGY",
+                              "low_confidence_dynamic")),
+                dynamic_threshold=float(kw.pop(
+                    "dynamic_threshold",
+                    os.getenv("SDAR_DYNAMIC_THRESHOLD", 0.9))),
+                **kw)
+        from ..engine.engine import Engine
+
         return Engine(params, cfg, tokenizer, **kw)
     raise ValueError(f"unknown engine adapter {name!r}")

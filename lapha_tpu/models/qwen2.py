@@ -1249,6 +1249,7 @@ def forward(
     remat: bool = False,
     return_hidden: bool = False,
     compute_logits: bool = True,
+    block_bidir: bool = False,
 ):
     """Full forward pass.
 
@@ -1306,7 +1307,15 @@ def forward(
         valid = kv_valid[:, None, :] if kv_valid is not None else (kpos < (cp_btc + T))
         # new tokens at slots [cache_pos, cache_pos+T): causal among themselves
         qpos = cp_btc + jnp.arange(T)[None, :, None]  # (B|1, T, 1)
-        mask = valid & (kpos <= qpos)
+        if block_bidir:
+            # block-diffusion denoising (engine/diffusion.py): the T new
+            # tokens attend to each other BIDIRECTIONALLY in addition to
+            # the causal past — SDAR/BD3-style block-causal masking. The
+            # in-block columns are exactly kpos >= cache_pos (kv_valid
+            # bounds them above at cache_pos + T).
+            mask = valid & ((kpos <= qpos) | (kpos >= cp_btc))
+        else:
+            mask = valid & (kpos <= qpos)
         if W:
             # cache slots are positions in this mode (prompt at [0, plen),
             # continuation written at its position): band by slot index
@@ -1314,7 +1323,12 @@ def forward(
         qk_idx = ((jnp.broadcast_to(qpos, (B, T, 1)) if cp.ndim >= 1 else
                    jnp.broadcast_to(qpos, (1, T, 1)), kpos)
                   if cfg.layer_windows else None)
-        key_mask_c = cached_key_mask(kv_valid, cache_pos, T, B, S)
+        # block_bidir forces the dense attend: flash_attention_cached
+        # recomputes a CAUSAL frontier from cache_pos in-kernel, which
+        # cannot express the in-block bidirectional columns (key_mask=None
+        # routes _dispatch_attend_cached to _attend with the explicit mask)
+        key_mask_c = (None if block_bidir else
+                      cached_key_mask(kv_valid, cache_pos, T, B, S))
         x, (nk, nv) = _scan_layers(cfg, params, x, cos, sin, mask, kv_cache,
                                    cache_pos, key_mask=key_mask_c,
                                    rope_loc=rope_loc, qk_idx=qk_idx)

@@ -471,20 +471,18 @@ def test_qwen2_sliding_window_ignored_without_flag(tiny_hf_dir, tmp_path):
     assert loader.load_config(str(d)).sliding_window == 0
 
 
-def test_sliding_window_rejects_seq_and_spec(tiny_mistral_sw_dir):
-    """Unbanded optional paths reject loudly instead of mis-attending."""
+def test_sliding_window_rejects_spec(tiny_mistral_sw_dir):
+    """Unbanded optional paths reject loudly instead of mis-attending.
+
+    (seq_mesh is no longer in this list: uniform sliding windows compose
+    with sequence parallelism — banded ring attention, see
+    test_qwen2_seq.test_forward_seq_windowed_matches_dense.)"""
     from lapha_tpu.engine import Engine
 
     params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
     with pytest.raises(ValueError, match="sliding-window"):
         Engine(params, cfg, None, max_model_len=64, max_batch=2,
                spec_decode="pld")
-    from lapha_tpu.models import qwen2_seq
-    from lapha_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh(n_seq=2)
-    ids = jnp.asarray(rng.integers(0, 512, size=(1, 16)))
-    with pytest.raises(ValueError, match="sliding-window"):
-        qwen2_seq.forward_seq(params, cfg, ids, mesh=mesh)
 
 
 # --------------------------------------------------------------- qwen3 family
