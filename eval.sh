@@ -5,7 +5,9 @@
 #   ./eval.sh aime25     # single dataset
 # Env knobs (policy):
 #   TOKENIZER_PATH, MAX_NEW_TOKENS, TEMPERATURE, TOP_P, TOP_K, REPETITION_PENALTY, MIN_P
-#   ENGINE=tpu (native; "vllm"/"jet" accepted and mapped to the native engine)
+#   ENGINE=tpu (native AR; "vllm" maps to it; "jet" = native block-diffusion
+#     engine — SDAR_MASK_TOKEN_ID required, SDAR_BLOCK_LENGTH /
+#     SDAR_DENOISING_STEPS / SDAR_REMASKING_STRATEGY / SDAR_DYNAMIC_THRESHOLD)
 # Env knobs (ReAct):
 #   REACT_DEPTH=6 (breadth hard-capped to 1 for ReActAgent)
 # Env knobs (MCTS/value):

@@ -209,3 +209,30 @@ def test_single_mode_cli_deepseek_model(env, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 1 and isinstance(rows[0]["completion"], str)
+
+
+def test_single_mode_cli_jet_diffusion(tiny_model_dir, env, tmp_path):
+    """ENGINE=jet drives the native block-diffusion engine through the
+    same rollout CLI + JSONL contract (reference eval.sh ENGINE surface;
+    SDAR knobs via the reference's env names, eval/adapters.py:237-246)."""
+    data = tmp_path / "math-500.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"question": "What is 2+2?", "answer": "4"}) + "\n")
+
+    out = tmp_path / "math.pred.jsonl"
+    cmd = [
+        sys.executable, "-m", "lapha_tpu.evalsuite.rollout_jsonl",
+        "--data", str(data), "--out", str(out), "--dataset-name", "math",
+        "--mode", "single", "--tokenizer-path", tiny_model_dir,
+        "--engine", "jet", "--max-new-tokens", "16", "--temperature", "0.7",
+        "--max-model-len", "512", "--max-batch", "4",
+    ]
+    env2 = dict(env)
+    env2["SDAR_MASK_TOKEN_ID"] = "3"  # the fixture tokenizer's <pad>
+    env2["SDAR_BLOCK_LENGTH"] = "4"
+    env2["SDAR_DENOISING_STEPS"] = "2"
+    r = subprocess.run(cmd, env=env2, capture_output=True, text=True,
+                       cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 1 and isinstance(rows[0]["completion"], str)
