@@ -75,6 +75,10 @@ class DiffusionEngine(Engine):
         if kw.get("spec_decode") or kw.get("seq_mesh") is not None:
             raise ValueError("diffusion generation does not compose with "
                              "spec_decode/seq_mesh")
+        if kw.get("auto_continuous"):
+            raise ValueError("diffusion does not compose with "
+                             "auto_continuous (the scheduler's persistent "
+                             "batch decodes autoregressively)")
         if kw.pop("collect_h0", False):
             raise ValueError("diffusion generation does not collect h0 "
                              "(value-mode MCTS drives the AR Engine)")
@@ -113,7 +117,7 @@ class DiffusionEngine(Engine):
                              "static_top_k"))
 
     # ---------------------------------------------------------------- loop
-    def _diffusion_impl(self, params, ck, cv, lens, key, temperature,
+    def _diffusion_impl(self, params, ck, cv, lens, fin0, key, temperature,
                         top_k, top_p, min_p, threshold, *,
                         Lp: int, Tb: int, nblocks: int, steps: int,
                         strategy: str, static_top_k: int):
@@ -209,7 +213,7 @@ class DiffusionEngine(Engine):
                 jnp.zeros((B, Tb), jnp.float32),
                 jnp.zeros((B, nblocks * Tb), jnp.int32),
                 jnp.zeros((B, nblocks * Tb), jnp.float32),
-                jnp.zeros((B,), jnp.bool_), key, jnp.zeros((), jnp.int32))
+                fin0, key, jnp.zeros((), jnp.int32))
         st = jax.lax.while_loop(cond, body, init)
         return st[7], st[8], st[9], st[11]
 
@@ -240,6 +244,10 @@ class DiffusionEngine(Engine):
         cv = cv[:, row_of_j]
         B = Bb
         lens = jnp.asarray([len(enc[r]) for r in row_of], jnp.int32)
+        # bucket-padding rows are born finished so they never hold the
+        # loop's all-finished early exit hostage (AR _generate_chunk does
+        # the same)
+        fin0 = jnp.zeros((B,), jnp.bool_).at[P * n:].set(True)
 
         def vec(x, default):
             v = getattr(sp, x, None)
@@ -267,7 +275,7 @@ class DiffusionEngine(Engine):
         key = jax.random.key(np.uint32(seed))
 
         out, out_lp, _fin, nfwd = self._diff_jit(
-            self.params, ck, cv, lens, key, temperature, top_k, top_p,
+            self.params, ck, cv, lens, fin0, key, temperature, top_k, top_p,
             min_p, threshold, Lp=Lp, Tb=Tb, nblocks=nblocks,
             steps=self.denoising_steps, strategy=self.remasking_strategy,
             static_top_k=static_top_k)

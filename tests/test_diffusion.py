@@ -237,6 +237,8 @@ def test_diffusion_guards(tiny):
     params, cfg = tiny
     with pytest.raises(ValueError, match="collect h0"):
         make_engine(tiny, collect_h0=True)
+    with pytest.raises(ValueError, match="auto_continuous"):
+        make_engine(tiny, auto_continuous=True)
     with pytest.raises(ValueError, match="kv_quant"):
         make_engine(tiny, kv_quant="int8")
     with pytest.raises(ValueError, match="spec_decode|seq_mesh"):
