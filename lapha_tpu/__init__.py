@@ -71,15 +71,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
             import hashlib
             import platform as _plat
 
-            ident = _plat.machine()
+            ident = _plat.machine() + f":{os.cpu_count()}"
             try:
-                # flags AND model name: two VM generations can expose the
-                # same /proc flags line while LLVM host-detects different
-                # feature sets (amx-complex, prefer-no-gather tunings…) —
-                # seen as cross-VM AOT loads that deadlock collectives
+                # flags AND model name AND stepping/microcode/core count:
+                # two VM generations can expose the same /proc flags+model
+                # lines while LLVM host-detects different feature sets
+                # (amx-complex, prefer-no-gather tunings…) — seen twice as
+                # cross-VM AOT loads that deadlock collectives or risk
+                # SIGILL, so over-discriminate rather than under
                 with open("/proc/cpuinfo") as f:
                     lines = f.readlines()
-                for key in ("flags", "Features", "model name"):
+                for key in ("flags", "Features", "model name", "stepping",
+                            "microcode", "cpu family", "cpu cores"):
                     ident += next((l for l in lines if l.startswith(key)), "")
             except OSError:
                 pass

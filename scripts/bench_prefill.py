@@ -45,12 +45,19 @@ from lapha_tpu.models import Qwen2Config, qwen2
 
 @functools.partial(jax.jit, static_argnames=("cfg", "N", "fwd"))
 def run_forwards(params, ids, mask, *, cfg, N, fwd=qwen2.forward):
+    # compute_logits=False: real prefill never materializes (B, T, V)
+    # logits (12.5 GB f32 at B=8/T=4k — OOMs the 16 GB chip; the engine
+    # samples from the LAST position only). The rep->rep data dependency
+    # comes from the final hidden row instead — identical for both arms.
     def body(i, st):
         ids, acc = st
-        logits, _, _ = fwd(params, cfg, ids, attention_mask=mask)
-        nxt = jnp.argmax(logits[:, -1, :], -1).astype(ids.dtype)  # (B,)
+        out = fwd(params, cfg, ids, attention_mask=mask,
+                  compute_logits=False, return_hidden=True)
+        hidden = out[1]
+        nxt = (jnp.argmax(hidden[:, -1, :].astype(jnp.float32), -1)
+               % cfg.vocab_size).astype(ids.dtype)  # (B,)
         ids = ids.at[:, 0].set(nxt)  # data dependency rep -> rep
-        return ids, acc + logits[0, 0, 0]
+        return ids, acc + hidden[0, 0, 0].astype(jnp.float32)
 
     st = jax.lax.fori_loop(0, N, body, (ids, jnp.float32(0.0)))
     return st[1]
