@@ -143,31 +143,19 @@ class Engine:
                 raise ValueError(
                     "spec_decode does not support sliding-window models "
                     "yet (decode_step_multi's bitmap validity is unbanded)")
-            if seq_mesh is not None and getattr(cfg, "layer_windows", ()):
-                raise ValueError(
-                    "seq_mesh does not support heterogeneous layer_windows "
-                    "stacks yet (per-layer widths are not plumbed through "
-                    "the ring); uniform sliding_window composes (banded "
-                    "ring prefill + position-windowed seq decode)")
         if getattr(cfg, "attn_sinks", False):
             if spec_decode is not None:
                 raise ValueError(
                     "spec_decode does not support attention-sink models "
                     "yet (decode_step_multi has no sink column)")
-            if seq_mesh is not None:
-                raise ValueError(
-                    "seq_mesh does not support attention-sink models yet "
-                    "(ring/distributed-softmax denominators lack the sink)")
-        if seq_mesh is not None and (
-                getattr(cfg, "norm_style", "rms") != "rms"
-                or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
-                or getattr(cfg, "post_norms_only", False)
-                or getattr(cfg, "qk_norm_full", False)
-                or getattr(cfg, "nope_layers", ())):
-            raise ValueError(
-                "seq_mesh does not support starcoder2/olmo2/smollm3-style "
-                "stacks yet (the seq layer bodies are pre-norm RMS SwiGLU, "
-                "rope on every layer)")
+        # seq_mesh composes with every qwen2-family layer structure:
+        # sinks fold into the ring/distributed softmax, heterogeneous
+        # layer_windows thread per-layer (scanned through the ring,
+        # static in the unrolled decode/suffix loops), and the
+        # olmo2/starcoder2/smollm3/gemma bodies ride the shared
+        # _norm/_mlp dispatch (models/qwen2_seq.py). Windowed layers
+        # keep full-S panels under seq (position-windowed validity);
+        # the short win_cache is a single-chip residency optimization.
         self.spec_decode = spec_decode
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)

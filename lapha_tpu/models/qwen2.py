@@ -934,9 +934,12 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
                 use_rope=None):
     """One decoder layer; scanned over the stacked layer axis.
 
-    ``attend_fn(q, k, v) -> att`` overrides the no-cache attention core —
-    used by models/qwen2_seq.forward_seq to substitute ring attention when
-    the layer runs inside a sequence-sharded shard_map.
+    ``attend_fn(q, k, v, sinks=, win=) -> att`` overrides the no-cache
+    attention core — used by models/qwen2_seq.forward_seq to substitute
+    ring attention when the layer runs inside a sequence-sharded
+    shard_map. The layer's attention-sink logits and (traced) window
+    width are forwarded so the override can fold them (the in-body mask
+    banding below only covers the dense qk_idx path).
 
     Heterogeneous stacks (cfg.layer_windows — gemma2/gemma3) thread the
     per-layer window width ``win`` (traced i32 scalar, a scanned operand)
@@ -1005,7 +1008,8 @@ def _layer_body(cfg: Qwen2Config, carry, layer_params, key_mask=None,
                                       cache_pos, win=win, sinks=sinks)
     else:
         new_k = new_v = None
-        att = (attend_fn(q, k, v) if attend_fn is not None
+        att = (attend_fn(q, k, v, sinks=sinks, win=win)
+               if attend_fn is not None
                else _dispatch_attend(cfg, q, k, v, mask, key_mask, win=win,
                                      sinks=sinks))
 

@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.ring_attention import ring_attend_local
-from .quant import dequant, is_quantized
-from .qwen2 import Qwen2Config, _layer_body, _layer_params, rms_norm, rope_freqs
+from .quant import dequant
+from .qwen2 import (Qwen2Config, _embed, _layer_body, _layer_params,
+                    _lm_head, _mlp, _norm, rms_norm, rope_freqs)
 
 
 def forward_seq(
@@ -59,33 +60,6 @@ def forward_seq(
     step itself see :func:`decode_step_seq`.
     """
     B, T = input_ids.shape
-    if cfg.layer_windows:
-        raise ValueError(
-            "heterogeneous layer_windows stacks do not compose with "
-            "sequence parallelism yet (the scan-threaded per-layer width "
-            "is not plumbed through the ring); uniform sliding_window "
-            "checkpoints DO (banded ring attention)")
-    if cfg.sandwich_norms or cfg.attn_softcap or cfg.query_pre_attn_scalar:
-        raise ValueError(
-            "gemma-family stacks do not compose with sequence parallelism "
-            "yet (sandwich norms / softcap are not in the seq layer body)")
-    if getattr(cfg, "attn_sinks", False):
-        raise ValueError(
-            "attention-sink models (gpt_oss) do not compose with sequence "
-            "parallelism yet (the ring softmax denominator lacks the sink)")
-    if (getattr(cfg, "norm_style", "rms") != "rms"
-            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
-            or getattr(cfg, "post_norms_only", False)
-            or getattr(cfg, "qk_norm_full", False)):
-        raise ValueError(
-            "starcoder2/olmo2-style stacks (layernorm / plain FFN / "
-            "post-norms-only / full-width qk norms) do not compose with "
-            "sequence parallelism yet — the seq layer body is the "
-            "pre-norm RMS SwiGLU structure")
-    if getattr(cfg, "nope_layers", ()):
-        raise ValueError(
-            "NoPE stacks (smollm3) do not compose with sequence "
-            "parallelism yet (the seq layer body ropes every layer)")
     n = mesh.shape[seq_axis]
     assert T % n == 0, (T, n)
     da = data_axis if (data_axis in mesh.shape
@@ -97,30 +71,55 @@ def forward_seq(
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
     cos, sin = rope_freqs(positions, cfg.head_dim_, cfg.rope_theta,
                           cfg.rope_scaling)  # (B,T,dh/2)
+    # gemma3 dual rope: windowed (local) layers swap in unscaled
+    # rope_local_theta tables — selected per layer by _layer_body off the
+    # scanned window width, exactly like qwen2.forward
+    rope_loc = (rope_freqs(positions, cfg.head_dim_, cfg.rope_local_theta,
+                           ())
+                if (cfg.rope_local_theta and cfg.layer_windows) else None)
+    # per-layer attention knobs forwarded into the ring (the dense path
+    # applies these inside _dispatch_attend, which attend_fn bypasses)
+    softcap = float(cfg.attn_softcap or 0.0)
+    scale_over = cfg.attn_scale_ if cfg.query_pre_attn_scalar else None
+    uniform_w = int(cfg.sliding_window or 0)
 
-    def local(params, ids, mask, cos, sin):
-        emb = params["embed"]["weight"]
-        if is_quantized(emb):
-            x = emb["q"][ids].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-        else:
-            x = emb[ids].astype(cfg.dtype)
+    def local(params, ids, mask, cos, sin, cos_loc, sin_loc):
+        x = _embed(params, cfg, ids)
 
         vary = (da, seq_axis) if da else (seq_axis,)
 
         kv_out = [] if return_kv else None
 
-        def attend(q, k, v):
+        def attend(q, k, v, sinks=None, win=None):
             if return_kv:
                 kv_out.append((k, v))
-            # uniform sliding_window -> banded ring (same index-based rule
-            # as qwen2.forward's dense band; out-of-band blocks skip FLOPs)
+            # sliding windows -> banded ring (same index-based rule as
+            # qwen2.forward's dense band; out-of-band blocks skip FLOPs).
+            # ``win`` is the scanned per-layer width (heterogeneous
+            # stacks); None falls back to the uniform config window.
             return ring_attend_local(q, k, v, mask, axis=seq_axis, n=n,
                                      vary_axes=vary,
-                                     window=int(cfg.sliding_window or 0))
+                                     window=uniform_w if win is None else win,
+                                     sinks=sinks, softcap=softcap,
+                                     scale=scale_over)
 
-        def body(x, p):
+        rl = (cos_loc, sin_loc) if rope_loc is not None else None
+        wins = (jnp.asarray(cfg.layer_windows, jnp.int32)
+                if cfg.layer_windows else None)
+        ropes = (jnp.asarray([1 - f for f in cfg.nope_layers], jnp.int32)
+                 if cfg.nope_layers else None)
+
+        def body(x, pr):
+            if wins is not None:
+                p, w = pr
+                kw = dict(win=w, rope_loc=rl)
+            elif ropes is not None:
+                p, r = pr
+                kw = dict(use_rope=r)
+            else:
+                p, kw = pr, {}
             (x2, *_), _ = _layer_body(cfg, (x, cos, sin, None, None, None, 0),
-                                      p, attend_fn=attend)
+                                      p, attend_fn=attend, **kw)
             return x2, None
 
         if return_kv:
@@ -130,22 +129,32 @@ def forward_seq(
             x2 = x
             for l in range(cfg.num_hidden_layers):
                 p_l = jax.tree.map(lambda w: w[l], params["layers"])
-                x2, _ = body(x2, p_l)
+                if wins is not None:
+                    x2, _ = body(x2, (p_l, wins[l]))
+                elif ropes is not None:
+                    x2, _ = body(x2, (p_l, ropes[l]))
+                else:
+                    x2, _ = body(x2, p_l)
             x = x2
             kstack = jnp.stack([k for k, _ in kv_out])  # (L, B, Tl, nkv, dh)
             vstack = jnp.stack([v for _, v in kv_out])
-            h = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+            h = _norm(x, params["norm"], cfg)
             return h, kstack, vstack
         if remat:
             from .qwen2 import remat_policy
 
             body = jax.checkpoint(body, prevent_cse=False,
                                   policy=remat_policy(remat))
-        x, _ = jax.lax.scan(body, x, params["layers"])
-        return rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+        xs = (params["layers"] if wins is None and ropes is None else
+              (params["layers"], wins if wins is not None else ropes))
+        x, _ = jax.lax.scan(body, x, xs)
+        return _norm(x, params["norm"], cfg)
 
     spec2 = P(da, seq_axis)
     spec3 = P(da, seq_axis, None)
+    # tiny placeholders keep one shard_map signature when there is no
+    # dual-theta rope (never read inside)
+    cos_loc, sin_loc = rope_loc if rope_loc is not None else (cos, sin)
     # manual over (data?, sequence) ONLY: any other mesh axis (e.g. a TP
     # `model` axis) stays auto, so TP-sharded params are partitioned by
     # GSPMD inside instead of being gathered replicated per shard
@@ -153,34 +162,30 @@ def forward_seq(
     if return_kv:
         kv_spec = P(None, da, seq_axis, None, None)
         fn = jax.shard_map(local, mesh=mesh,
-                           in_specs=(P(), spec2, spec2, spec3, spec3),
+                           in_specs=(P(), spec2, spec2, spec3, spec3,
+                                     spec3, spec3),
                            out_specs=(spec3, kv_spec, kv_spec),
                            axis_names=manual)
-        x, kstack, vstack = fn(params, input_ids, attention_mask, cos, sin)
+        x, kstack, vstack = fn(params, input_ids, attention_mask, cos, sin,
+                               cos_loc, sin_loc)
         logits, hidden, _ = _head(params, cfg, x, return_hidden, compute_logits)
         return logits, hidden, (kstack, vstack)
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(), spec2, spec2, spec3, spec3),
+                       in_specs=(P(), spec2, spec2, spec3, spec3,
+                                 spec3, spec3),
                        out_specs=spec3,
                        axis_names=manual)
-    x = fn(params, input_ids, attention_mask, cos, sin)
+    x = fn(params, input_ids, attention_mask, cos, sin, cos_loc, sin_loc)
     return _head(params, cfg, x, return_hidden, compute_logits)
 
 
 def _head(params, cfg, x, return_hidden, compute_logits):
-    """LM head on hidden x (..., H) — shared by forward_seq / decode_step_seq."""
+    """LM head on hidden x (..., H) — shared by forward_seq /
+    decode_step_seq. Rides qwen2._lm_head so int8 heads and the gemma2
+    final softcap stay in lockstep with the dense path."""
     if not compute_logits:
         return None, (x if return_hidden else None), None
-    head_w = (params["embed"]["weight"] if cfg.tie_word_embeddings
-              else params["lm_head"]["weight"])
-    if is_quantized(head_w):
-        xs = x * head_w["s"][0].astype(x.dtype)
-        logits = jnp.einsum("...h,vh->...v", xs, head_w["q"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("...h,vh->...v", x, head_w,
-                            preferred_element_type=jnp.float32)
-    return logits, (x if return_hidden else None), None
+    return _lm_head(params, cfg, x), (x if return_hidden else None), None
 
 
 def decode_step_seq(
@@ -231,23 +236,21 @@ def decode_step_seq(
 
     Returns (logits (B, V) f32 replicated, hidden|None, cache_k, cache_v)
     — plus the updated ``(ks, vs)`` appended when quantized.
-    """
-    if (getattr(cfg, "norm_style", "rms") != "rms"
-            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
-            or getattr(cfg, "post_norms_only", False)
-            or getattr(cfg, "qk_norm_full", False)
-            or getattr(cfg, "attn_sinks", False)
-            or getattr(cfg, "nope_layers", ())):
-        raise ValueError(
-            "starcoder2/olmo2/gpt_oss/smollm3-style stacks do not compose "
-            "with seq-sharded decode yet (this path is the pre-norm RMS "
-            "SwiGLU all-rope structure)")
-    if cfg.layer_windows:
-        raise ValueError(
-            "heterogeneous layer_windows stacks do not compose with "
-            "seq-sharded decode yet; uniform sliding_window does")
-    W = int(cfg.sliding_window or 0)
 
+    Every layer structure the single-chip :func:`qwen2.decode_step`
+    serves runs here too (the per-layer dispatch is the SAME static
+    Python loop): attention sinks fold into the distributed softmax
+    (m ← max(m, sink) after the pmax, den += e^{sink−m} after the psum —
+    exact, since the sink column's value is zero), heterogeneous
+    ``layer_windows`` band each layer's slot validity statically
+    (windowed layers keep full-S panels with position-windowed validity —
+    the short win_cache is a single-chip residency optimization that does
+    not apply when the point of seq-sharding is S exceeding one chip),
+    gemma softcap/query-scale/dual-theta rope, olmo2 post-norms +
+    full-width qk norms, starcoder2 LayerNorm + plain FFN + o-proj bias,
+    and smollm3 per-layer NoPE all ride the shared _norm/_mlp/_embed
+    building blocks.
+    """
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     group = nh // nkv
@@ -256,17 +259,21 @@ def decode_step_seq(
     n = mesh.shape[seq_axis]
     assert S % n == 0, (S, n)
     Sl = S // n
-    import math
 
-    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+    scale = cfg.attn_scale_
+    softcap = float(cfg.attn_softcap or 0.0)
+    W_layers = [cfg.window_for_layer(l) for l in range(L)]
 
     cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta,
                               cfg.rope_scaling)  # (B, dh/2)
+    cos_lg, sin_lg = ((rope_freqs(positions, dh, cfg.rope_local_theta, ()))
+                      if (cfg.rope_local_theta and any(W_layers))
+                      else (cos_g, sin_g))
 
     quantized = cache_scale is not None
 
-    def local(params, tok, ck, cv, ks_all, vs_all, cos, sin, slot, lens,
-              dstart, positions):
+    def local(params, tok, ck, cv, ks_all, vs_all, cos, sin, cos_lt, sin_lt,
+              slot, lens, dstart, positions):
         idx = jax.lax.axis_index(seq_axis)
         owner = slot // Sl
         local_slot = slot - owner * Sl
@@ -274,28 +281,25 @@ def decode_step_seq(
         j_global = idx * Sl + jnp.arange(Sl)[None, :]          # (1, Sl)
         valid = ((j_global < lens[:, None])
                  | ((j_global >= dstart[:, None]) & (j_global <= slot)))  # (B, Sl)
-        if W:
+        win_valid = {}
+        for Wl in sorted({w for w in W_layers if w}):
             # position-windowed slot validity, the same rule as
             # qwen2.decode_step's win_valid: prompt slot j has position j;
             # decode slot j (one column per step up to `slot`) has position
             # positions[b] - (slot - j)
-            valid = valid & jnp.where(
+            win_valid[Wl] = valid & jnp.where(
                 j_global < lens[:, None],
-                j_global > positions[:, None] - W,
-                j_global > slot - W)
+                j_global > positions[:, None] - Wl,
+                j_global > slot - Wl)
 
-        def rope1(v):
-            c, s_ = cos[:, None, :], sin[:, None, :]
+        def rope1(v, c, s_):
+            c, s_ = c[:, None, :], s_[:, None, :]
             v1 = v[..., : dh // 2].astype(jnp.float32)
             v2 = v[..., dh // 2 :].astype(jnp.float32)
             return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
                                    -1).astype(v.dtype)
 
-        emb = params["embed"]["weight"]
-        if is_quantized(emb):
-            x = emb["q"][tok].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-        else:
-            x = emb[tok].astype(cfg.dtype)
+        x = _embed(params, cfg, tok)
 
         def proj(h, w, b=None):
             y = jnp.einsum("bh,hd->bd", h, dequant(w, h.dtype),
@@ -305,15 +309,26 @@ def decode_step_seq(
             return y.astype(h.dtype)
 
         for l in range(L):
+            Wl = W_layers[l]
             p = _layer_params(params, l)
-            h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
-            q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"]).reshape(B, nh, dh)
-            k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"]).reshape(B, nkv, dh)
-            v = proj(h, p["attn"]["v_proj"]["w"], p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+            sinks_l = p["attn"]["sinks"] if cfg.attn_sinks else None
+            cos_l, sin_l = ((cos_lt, sin_lt)
+                            if (Wl and cfg.rope_local_theta) else (cos, sin))
+            h = (x if cfg.post_norms_only
+                 else _norm(x, p["input_layernorm"], cfg))
+            q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"])
+            k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"])
+            v = proj(h, p["attn"]["v_proj"]["w"],
+                     p["attn"]["v_proj"]["b"]).reshape(B, nkv, dh)
+            if cfg.qk_norm_full:  # olmo2: full projection width
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            q, k = q.reshape(B, nh, dh), k.reshape(B, nkv, dh)
             if cfg.qk_norm:
                 q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
                 k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
-            q, k = rope1(q), rope1(k)
+            if not (cfg.nope_layers and cfg.nope_layers[l]):  # static skip
+                q, k = rope1(q, cos_l, sin_l), rope1(k, cos_l, sin_l)
 
             # only the owner shard keeps the new K/V at its local column
             if quantized:
@@ -350,18 +365,30 @@ def decode_step_seq(
             qg = q.reshape(B, nkv, group, dh)
             if quantized:  # int8 reads: cast in registers, fold scales
                 att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc.astype(x.dtype),
-                                 preferred_element_type=jnp.float32) * inv_sqrt_dh
+                                 preferred_element_type=jnp.float32) * scale
                 att = att * ks_all[l][:, :, None, :]
             else:
                 att = jnp.einsum("bkgd,bksd->bkgs", qg, k_loc,
-                                 preferred_element_type=jnp.float32) * inv_sqrt_dh
-            att = jnp.where(valid[:, None, None, :], att, -jnp.inf)
+                                 preferred_element_type=jnp.float32) * scale
+            if softcap:  # gemma2 (true logits: after the k-scale fold)
+                att = jnp.tanh(att / softcap) * softcap
+            vl = win_valid[Wl] if Wl else valid
+            att = jnp.where(vl[:, None, None, :], att, -jnp.inf)
             m_loc = jnp.max(att, axis=-1)                    # (B, nkv, g)
             m = jax.lax.pmax(m_loc, seq_axis)
+            if sinks_l is not None:
+                # gpt_oss sink: extra softmax column with logit sink_h and
+                # zero value — global max includes it, denominator adds
+                # e^{sink-m} ONCE (after the psum; every shard computes the
+                # same fold from the same replicated m and sink)
+                sk_h = sinks_l.astype(jnp.float32).reshape(nkv, group)[None]
+                m = jnp.maximum(m, sk_h)
             # guard rows with no valid local slot: exp(-inf - m) -> 0
             pexp = jnp.exp(att - m[..., None])
-            pexp = jnp.where(valid[:, None, None, :], pexp, 0.0)
+            pexp = jnp.where(vl[:, None, None, :], pexp, 0.0)
             den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)   # (B,nkv,g)
+            if sinks_l is not None:
+                den = den + jnp.exp(sk_h - m)
             if quantized:
                 pv = (pexp * vs_all[l][:, :, None, :]).astype(x.dtype)
                 num = jax.lax.psum(
@@ -372,24 +399,25 @@ def decode_step_seq(
                     jnp.einsum("bkgs,bksd->bkgd", pexp.astype(v_loc.dtype), v_loc,
                                preferred_element_type=jnp.float32), seq_axis)
             o = (num / jnp.maximum(den, 1e-30)[..., None]).reshape(B, nh * dh)
-            x = x + proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"])
+            att_out = proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"],
+                           p["attn"]["o_proj"]["b"] if cfg.o_proj_bias
+                           else None)
 
-            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-            if cfg.num_experts > 0:
-                from ..ops.moe import moe_block
-
-                x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
-                                  norm_topk=cfg.norm_topk_prob, impl=cfg.moe_impl,
-                                  capacity_factor=cfg.moe_capacity_factor)
+            if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                h2 = _norm(x, p["pre_feedforward_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, h2),
+                              p["post_feedforward_layernorm"], cfg)
+            elif cfg.post_norms_only:  # olmo2: norm sublayer outputs ONLY
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, x),
+                              p["post_feedforward_layernorm"], cfg)
             else:
-                gate = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["gate_proj"]["w"], h2.dtype),
-                                  preferred_element_type=jnp.float32)
-                up = jnp.einsum("bh,hi->bi", h2, dequant(p["mlp"]["up_proj"]["w"], h2.dtype),
-                                preferred_element_type=jnp.float32)
-                act = (jax.nn.silu(gate) * up).astype(x.dtype)
-                x = x + proj(act, p["mlp"]["down_proj"]["w"])
+                x = x + att_out
+                h2 = _norm(x, p["post_attention_layernorm"], cfg)
+                x = x + _mlp(cfg, p, h2)
 
-        x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+        x = _norm(x, params["norm"], cfg)
         return x, ck, cv, ks_all, vs_all
 
     cache_spec = P(None, None, None, seq_axis, None)
@@ -402,14 +430,14 @@ def decode_step_seq(
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(), cache_spec, cache_spec,
                                  scale_spec, scale_spec,
-                                 P(), P(), P(), P(), P(), P()),
+                                 P(), P(), P(), P(), P(), P(), P(), P()),
                        out_specs=(P(), cache_spec, cache_spec,
                                   scale_spec, scale_spec),
                        axis_names={seq_axis})
     x, cache_k, cache_v, ks_out, vs_out = fn(
         params, tok, cache_k, cache_v, ks_in, vs_in,
-        cos_g, sin_g, jnp.asarray(slot, jnp.int32), lens, dstart,
-        jnp.asarray(positions, jnp.int32))
+        cos_g, sin_g, cos_lg, sin_lg, jnp.asarray(slot, jnp.int32), lens,
+        dstart, jnp.asarray(positions, jnp.int32))
     logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
     if quantized:
         return logits, hidden, cache_k, cache_v, (ks_out, vs_out)
@@ -453,22 +481,11 @@ def suffix_seq(
     here) — concretely ``(logits (B, T, V) f32, hidden (B, T, H) | None,
     (cache_k, cache_v))`` matching qwen2.forward's cached mode so the
     engine's suffix path is a drop-in dispatch.
-    """
-    if (getattr(cfg, "norm_style", "rms") != "rms"
-            or getattr(cfg, "mlp_style", "swiglu") != "swiglu"
-            or getattr(cfg, "post_norms_only", False)
-            or getattr(cfg, "qk_norm_full", False)
-            or getattr(cfg, "attn_sinks", False)
-            or getattr(cfg, "nope_layers", ())):
-        raise ValueError(
-            "starcoder2/olmo2/gpt_oss/smollm3-style stacks do not compose "
-            "with seq-sharded suffix prefill yet")
-    if cfg.layer_windows:
-        raise ValueError(
-            "heterogeneous layer_windows stacks do not compose with "
-            "seq-sharded suffix prefill yet; uniform sliding_window does")
-    W = int(cfg.sliding_window or 0)
 
+    Layer-structure coverage matches :func:`decode_step_seq` (same static
+    per-layer dispatch): sinks, heterogeneous windows, gemma softcap/
+    scale/dual rope, olmo2/starcoder2/smollm3 bodies.
+    """
     L = cfg.num_hidden_layers
     nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     group = nh // nkv
@@ -477,14 +494,19 @@ def suffix_seq(
     n = mesh.shape[seq_axis]
     assert S % n == 0, (S, n)
     Sl = S // n
-    import math
 
-    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+    scale = cfg.attn_scale_
+    softcap = float(cfg.attn_softcap or 0.0)
+    W_layers = [cfg.window_for_layer(l) for l in range(L)]
+
     positions = starts[:, None] + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
     cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta,
                               cfg.rope_scaling)  # (B, T, dh/2)
+    cos_lg, sin_lg = ((rope_freqs(positions, dh, cfg.rope_local_theta, ()))
+                      if (cfg.rope_local_theta and any(W_layers))
+                      else (cos_g, sin_g))
 
-    def local(params, ids, mask, starts, ck, cv, cos, sin):
+    def local(params, ids, mask, starts, ck, cv, cos, sin, cos_lt, sin_lt):
         idx = jax.lax.axis_index(seq_axis)
         j_global = idx * Sl + jnp.arange(Sl)                    # (Sl,)
         # which suffix token (if any) each local column receives
@@ -493,25 +515,20 @@ def suffix_seq(
         t_idx = jnp.clip(t_of_col, 0, T - 1)
         # query validity over local columns: j <= starts[b] + t
         q_t = jnp.arange(T)
-        valid = (j_global[None, None, :]
-                 <= (starts[:, None] + q_t[None, :])[:, :, None])  # (B,T,Sl)
-        if W:
-            valid = valid & (j_global[None, None, :]
-                             > (starts[:, None] + q_t[None, :])[:, :, None]
-                             - W)
+        q_slot = (starts[:, None] + q_t[None, :])[:, :, None]   # (B,T,1)
+        valid = j_global[None, None, :] <= q_slot               # (B,T,Sl)
+        win_valid = {}
+        for Wl in sorted({w for w in W_layers if w}):
+            win_valid[Wl] = valid & (j_global[None, None, :] > q_slot - Wl)
 
-        def ropeT(v):
-            c, s_ = cos[:, :, None, :], sin[:, :, None, :]
+        def ropeT(v, c, s_):
+            c, s_ = c[:, :, None, :], s_[:, :, None, :]
             v1 = v[..., : dh // 2].astype(jnp.float32)
             v2 = v[..., dh // 2 :].astype(jnp.float32)
             return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
                                    -1).astype(v.dtype)
 
-        emb = params["embed"]["weight"]
-        if is_quantized(emb):
-            x = emb["q"][ids].astype(cfg.dtype) * emb["s"][0].astype(cfg.dtype)
-        else:
-            x = emb[ids].astype(cfg.dtype)
+        x = _embed(params, cfg, ids)
 
         def proj(h, w, b=None):
             y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
@@ -521,18 +538,27 @@ def suffix_seq(
             return y.astype(h.dtype)
 
         for l in range(L):
+            Wl = W_layers[l]
             p = _layer_params(params, l)
-            h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
-            q = proj(h, p["attn"]["q_proj"]["w"],
-                     p["attn"]["q_proj"]["b"]).reshape(B, T, nh, dh)
-            k = proj(h, p["attn"]["k_proj"]["w"],
-                     p["attn"]["k_proj"]["b"]).reshape(B, T, nkv, dh)
+            sinks_l = p["attn"]["sinks"] if cfg.attn_sinks else None
+            cos_l, sin_l = ((cos_lt, sin_lt)
+                            if (Wl and cfg.rope_local_theta) else (cos, sin))
+            h = (x if cfg.post_norms_only
+                 else _norm(x, p["input_layernorm"], cfg))
+            q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"])
+            k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"])
             v = proj(h, p["attn"]["v_proj"]["w"],
                      p["attn"]["v_proj"]["b"]).reshape(B, T, nkv, dh)
+            if cfg.qk_norm_full:  # olmo2: full projection width
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            q = q.reshape(B, T, nh, dh)
+            k = k.reshape(B, T, nkv, dh)
             if cfg.qk_norm:
                 q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
                 k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
-            q, k = ropeT(q), ropeT(k)
+            if not (cfg.nope_layers and cfg.nope_layers[l]):  # static skip
+                q, k = ropeT(q, cos_l, sin_l), ropeT(k, cos_l, sin_l)
 
             # owner-shard writes: local column c takes suffix token t_of_col
             k_wr = jnp.take_along_axis(k, t_idx[:, :, None, None], axis=1)
@@ -547,52 +573,56 @@ def suffix_seq(
             qg = q.reshape(B, T, nkv, group, dh)
             att = jnp.einsum("btkgd,bskd->bkgts", qg,
                              k_loc.astype(x.dtype),
-                             preferred_element_type=jnp.float32) * inv_sqrt_dh
-            att = jnp.where(valid[:, None, None, :, :], att, -jnp.inf)
+                             preferred_element_type=jnp.float32) * scale
+            if softcap:  # gemma2
+                att = jnp.tanh(att / softcap) * softcap
+            vl = win_valid[Wl] if Wl else valid
+            att = jnp.where(vl[:, None, None, :, :], att, -jnp.inf)
             m_loc = jnp.max(att, axis=-1)                     # (B,nkv,g,T)
             m = jax.lax.pmax(m_loc, seq_axis)
+            if sinks_l is not None:  # same fold as decode_step_seq
+                sk_h = sinks_l.astype(jnp.float32).reshape(
+                    nkv, group)[None, :, :, None]
+                m = jnp.maximum(m, sk_h)
             pexp = jnp.exp(att - m[..., None])
-            pexp = jnp.where(valid[:, None, None, :, :], pexp, 0.0)
+            pexp = jnp.where(vl[:, None, None, :, :], pexp, 0.0)
             den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)
+            if sinks_l is not None:
+                den = den + jnp.exp(sk_h - m)
             num = jax.lax.psum(
                 jnp.einsum("bkgts,bskd->btkgd", pexp.astype(v_loc.dtype),
                            v_loc, preferred_element_type=jnp.float32),
                 seq_axis)
             o = (num / jnp.maximum(den, 1e-30)[..., None].transpose(
                 0, 3, 1, 2, 4)).reshape(B, T, nh * dh)
-            x = x + proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"])
+            att_out = proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"],
+                           p["attn"]["o_proj"]["b"] if cfg.o_proj_bias
+                           else None)
 
-            h2 = rms_norm(x, p["post_attention_layernorm"]["scale"],
-                          cfg.rms_norm_eps)
-            if cfg.num_experts > 0:
-                from ..ops.moe import moe_block
-
-                x = x + moe_block(h2, p["moe"], top_k=cfg.num_experts_per_tok,
-                                  norm_topk=cfg.norm_topk_prob,
-                                  impl=cfg.moe_impl,
-                                  capacity_factor=cfg.moe_capacity_factor)
+            if cfg.sandwich_norms:  # gemma
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                h2 = _norm(x, p["pre_feedforward_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, h2),
+                              p["post_feedforward_layernorm"], cfg)
+            elif cfg.post_norms_only:  # olmo2
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, x),
+                              p["post_feedforward_layernorm"], cfg)
             else:
-                gate = jnp.einsum(
-                    "bth,hi->bti", h2, dequant(p["mlp"]["gate_proj"]["w"],
-                                               h2.dtype),
-                    preferred_element_type=jnp.float32)
-                up = jnp.einsum(
-                    "bth,hi->bti", h2, dequant(p["mlp"]["up_proj"]["w"],
-                                               h2.dtype),
-                    preferred_element_type=jnp.float32)
-                act = (jax.nn.silu(gate) * up).astype(x.dtype)
-                x = x + proj(act, p["mlp"]["down_proj"]["w"])
+                x = x + att_out
+                h2 = _norm(x, p["post_attention_layernorm"], cfg)
+                x = x + _mlp(cfg, p, h2)
 
-        x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+        x = _norm(x, params["norm"], cfg)
         return x, ck, cv
 
     cache_spec = P(None, None, seq_axis, None, None)
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), cache_spec, cache_spec,
-                                 P(), P()),
+                                 P(), P(), P(), P()),
                        out_specs=(P(), cache_spec, cache_spec),
                        axis_names={seq_axis})
     x, cache_k, cache_v = fn(params, ids, mask, starts, cache_k, cache_v,
-                             cos_g, sin_g)
+                             cos_g, sin_g, cos_lg, sin_lg)
     logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
     return logits, hidden, (cache_k, cache_v)

@@ -37,11 +37,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def _block_attend(q, k, v, valid, m, l, acc, scale):
+def _block_attend(q, k, v, valid, m, l, acc, scale, softcap=0.0):
     """One blockwise online-softmax update.
 
     q (B, Tl, nh, dh); k/v (B, Tl, nkv, dh); valid (B, Tl, Tl) mask of
     (query, key) pairs; carries m/l (B, nh, Tl, 1), acc (B, nh, Tl, dh).
+    ``softcap`` > 0 soft-clamps logits to ±cap before masking (gemma2,
+    same order as qwen2._attend: scale → softcap → mask).
     """
     B, Tl, nh, dh = q.shape
     nkv = k.shape[2]
@@ -50,6 +52,8 @@ def _block_attend(q, k, v, valid, m, l, acc, scale):
     s = jnp.einsum("btkgd,bskd->bkgts", qg.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale          # (B,nkv,g,Tl,Tl)
     s = s.reshape(B, nh, Tl, Tl)
+    if softcap:
+        s = jnp.tanh(s / softcap) * softcap
     s = jnp.where(valid[:, None, :, :], s, NEG_INF)
 
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -74,7 +78,10 @@ def ring_attend_local(
     n: int,
     causal: bool = True,
     vary_axes: tuple[str, ...] | None = None,
-    window: int = 0,
+    window: int | jax.Array = 0,
+    sinks: jax.Array | None = None,
+    softcap: float = 0.0,
+    scale: float | None = None,
 ) -> jax.Array:
     """Per-device ring attention body (call inside shard_map over `axis`).
 
@@ -96,12 +103,29 @@ def ring_attend_local(
     Blocks wholly outside the band (and, under ``causal``, wholly in the
     future) skip their attention FLOPs via ``lax.cond`` — only the
     ppermute rotation still touches them, so W << T long-context runs pay
-    O(W·T/n) compute per device, not O((T/n)·T)."""
+    O(W·T/n) compute per device, not O((T/n)·T). A TRACED scalar window
+    (heterogeneous layer_windows stacks thread widths as a scan operand,
+    qwen2_seq.forward_seq) also works: 0 means full attention, the band
+    and the block skip use lax.cond's runtime predicate — the FLOP skip
+    is still real, only the mask structure stays dynamic.
+
+    ``sinks`` (nh,) f32: gpt_oss learned per-head attention sinks — an
+    extra softmax column with logit sink_h and zero value. Folded EXACTLY
+    after the ring completes (the same fold as ops/flash_attention's
+    _flash_attention_sink_vjp): m_t = max(m, sink), l_t = l·e^{m−m_t} +
+    e^{sink−m_t}, acc_t = acc·e^{m−m_t} — fully-masked rows give all mass
+    to the sink (output 0), matching qwen2._sink_softmax.
+
+    ``softcap`` (gemma2) soft-clamps logits; ``scale`` overrides the
+    1/sqrt(dh) logit scale (gemma's query_pre_attn_scalar)."""
     B, Tl, nh, dh = q.shape
-    scale = 1.0 / math.sqrt(dh)
+    scale = (1.0 / math.sqrt(dh)) if scale is None else float(scale)
     perm = [(i, (i + 1) % n) for i in range(n)]
     idx = jax.lax.axis_index(axis)
     q_pos = idx * Tl + jnp.arange(Tl)                      # global positions
+    traced_w = not isinstance(window, int)
+    if traced_w:  # per-layer scanned width: 0 = full attention
+        wide = jnp.where(window > 0, window, n * Tl + 1).astype(jnp.int32)
 
     def body(j, carry):
         m, l, acc, kb, vb, maskb = carry
@@ -111,7 +135,10 @@ def ring_attend_local(
         valid = jnp.broadcast_to(valid, (B, Tl, Tl))
         if causal:
             valid = valid & (k_pos[None, None, :] <= q_pos[None, :, None])
-        if window:
+        if traced_w:
+            valid = valid & (k_pos[None, None, :]
+                             > q_pos[None, :, None] - wide)
+        elif window:
             valid = valid & (k_pos[None, None, :]
                              > q_pos[None, :, None] - window)
 
@@ -122,12 +149,14 @@ def ring_attend_local(
         live = jnp.bool_(True)
         if causal:
             live = live & (k_pos[0] <= q_pos[-1])
-        if window:
+        if traced_w:
+            live = live & (k_pos[-1] > q_pos[0] - wide)
+        elif window:
             live = live & (k_pos[-1] > q_pos[0] - window)
         m, l, acc = jax.lax.cond(
             live,
             lambda m, l, acc: _block_attend(q, kb, vb, valid, m, l, acc,
-                                            scale),
+                                            scale, softcap),
             lambda m, l, acc: (m, l, acc),
             m, l, acc)
         kb = jax.lax.ppermute(kb, axis, perm)
@@ -143,6 +172,11 @@ def ring_attend_local(
     l0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, 1), jnp.float32), va)
     a0 = jax.lax.pvary(jnp.zeros((B, nh, Tl, dh), jnp.float32), va)
     m, l, acc, *_ = jax.lax.fori_loop(0, n, body, (m0, l0, a0, k, v, mask))
+    if sinks is not None:  # exact post-ring fold (docstring)
+        sk = sinks.astype(jnp.float32).reshape(1, nh, 1, 1)
+        m_t = jnp.maximum(m, sk)
+        l = l * jnp.exp(m - m_t) + jnp.exp(sk - m_t)
+        acc = acc * jnp.exp(m - m_t)
     out = acc / jnp.maximum(l, 1e-30)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)        # (B, Tl, nh, dh)
 

@@ -283,3 +283,40 @@ def test_prefix_reuse_under_seq_mesh_int8_kv():
     got = warm.generate([child], sp)[0].outputs[0].token_ids
     assert got == ref
     assert warm.prefix_cache.stats()["hits"] > 0
+
+
+def test_prefix_reuse_under_seq_mesh_gptoss_style():
+    """Prefix reuse x seq_mesh x a gpt-oss-style body (learned sinks +
+    alternating sliding/full layers + o-proj bias): the reused-suffix
+    forward (qwen2_seq.suffix_seq) must fold the sink into its
+    distributed softmax and band the windowed layers — greedy tokens
+    match the cold seq engine and the warm unsharded engine."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    cfg = Qwen2Config.tiny(vocab_size=300, num_hidden_layers=4,
+                           attn_sinks=True, o_proj_bias=True)
+    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
+    params = qwen2.init_params(cfg, jax.random.key(8))
+    params["layers"]["attn"]["sinks"] = jax.random.normal(
+        jax.random.key(88), (4, cfg.num_attention_heads), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+
+    def mk(cache_bytes, seq_mesh):
+        return Engine(params, cfg, ByteTok(), max_model_len=256, max_batch=8,
+                      decode_chunk=8, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[0], prefix_cache_bytes=cache_bytes,
+                      prefix_cache_min_reuse=8, seq_mesh=seq_mesh)
+
+    parent = "a shared parent context longer than the sliding window is. "
+    child = parent + "with a distinctive suffix"
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+    ref = mk(0, mesh).generate([child], sp)[0].outputs[0].token_ids
+    warm_flat = mk(100_000_000, None)
+    warm_flat.generate([parent], sp)
+    assert warm_flat.generate([child], sp)[0].outputs[0].token_ids == ref
+    warm = mk(100_000_000, mesh)
+    warm.generate([parent], sp)
+    got = warm.generate([child], sp)[0].outputs[0].token_ids
+    assert got == ref
+    assert warm.prefix_cache.stats()["hits"] > 0

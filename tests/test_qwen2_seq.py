@@ -477,15 +477,194 @@ def test_forward_seq_windowed_matches_dense(ds_mesh):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_forward_seq_rejects_layer_windows():
-    cfg = Qwen2Config.tiny()
-    object.__setattr__(cfg, "layer_windows",
-                       tuple([8, 0] * (cfg.num_hidden_layers // 2)))
+def test_forward_seq_layer_windows_matches_dense():
+    """Heterogeneous layer_windows stacks (gemma/gpt_oss alternating
+    sliding/full) thread per-layer widths as a scan operand into the
+    ring — banded blocks skip FLOPs via the runtime lax.cond predicate,
+    full layers attend everywhere. Parity vs qwen2.forward's scanned
+    in-body banding."""
+    cfg = Qwen2Config.tiny(num_hidden_layers=4)
+    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
     params = qwen2.init_params(cfg, jax.random.key(2))
     mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
-    ids = jnp.zeros((2, 32), jnp.int32)
-    with pytest.raises(ValueError, match="layer_windows"):
-        forward_seq(params, cfg, ids, None, mesh=mesh)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 32)))
+    ref, _, _ = qwen2.forward(params, cfg, ids)
+    with mesh:
+        got, _, _ = jax.jit(
+            lambda p: forward_seq(p, cfg, ids, None, mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # the band must bite: an all-full stack differs
+    import dataclasses
+
+    full, _, _ = qwen2.forward(
+        params, dataclasses.replace(cfg, layer_windows=()), ids)
+    assert not np.allclose(np.asarray(full), np.asarray(ref),
+                           rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------------- family layer structures
+def _family_cfgs():
+    """Tiny configs for every layer structure the seq paths now serve —
+    parity closes the seq_mesh exclusion matrix (round-3 verdict weak #3:
+    vLLM holds these features simultaneously)."""
+    gptoss = Qwen2Config.tiny(num_hidden_layers=4, attn_sinks=True,
+                              o_proj_bias=True)
+    object.__setattr__(gptoss, "layer_windows", (8, 0, 8, 0))
+    gemma = Qwen2Config.tiny(
+        num_hidden_layers=4, sandwich_norms=True,
+        hidden_act="gelu_pytorch_tanh", embed_normalizer=True,
+        query_pre_attn_scalar=24.0, attn_softcap=50.0, final_softcap=30.0,
+        rope_local_theta=5000.0)  # != rope_theta so the dual rope bites
+    object.__setattr__(gemma, "layer_windows", (8, 0, 8, 0))
+    olmo2 = Qwen2Config.tiny(post_norms_only=True, qk_norm_full=True,
+                             tie_word_embeddings=False,
+                             attention_bias=False)
+    starcoder2 = Qwen2Config.tiny(norm_style="layernorm", mlp_style="plain",
+                                  o_proj_bias=True)
+    smollm3 = Qwen2Config.tiny(num_hidden_layers=4,
+                               nope_layers=(0, 0, 0, 1),
+                               tie_word_embeddings=False,
+                               attention_bias=False)
+    return {"gptoss": gptoss, "gemma": gemma, "olmo2": olmo2,
+            "starcoder2": starcoder2, "smollm3": smollm3}
+
+
+def _family_params(cfg, key):
+    params = qwen2.init_params(cfg, key)
+    if cfg.attn_sinks:  # nonzero sinks so the fold is actually exercised
+        L, nh = cfg.num_hidden_layers, cfg.num_attention_heads
+        params["layers"]["attn"]["sinks"] = jax.random.normal(
+            jax.random.key(99), (L, nh), jnp.float32)
+    return params
+
+
+@pytest.mark.parametrize("name", ["gptoss", "gemma", "olmo2", "starcoder2",
+                                  "smollm3"])
+def test_forward_seq_families_match_dense(name):
+    """Sinks (post-ring exact fold), gemma softcap/query-scale/dual-theta
+    rope/sandwich norms, olmo2 post-norms + full-width qk norms,
+    starcoder2 LayerNorm + plain FFN, smollm3 NoPE — all parity vs the
+    dense forward through the ring."""
+    cfg = _family_cfgs()[name]
+    params = _family_params(cfg, jax.random.key(3))
+    rng = np.random.default_rng(11)
+    B, T = 2, 32
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, T)))
+    mask = np.ones((B, T), np.int32)
+    mask[0, 28:] = 0
+    mask = jnp.asarray(mask)
+    ref, _, _ = qwen2.forward(params, cfg, ids, attention_mask=mask)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    with mesh:
+        got, _, _ = jax.jit(lambda p: forward_seq(
+            p, cfg, ids, mask, mesh=mesh))(params)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(ref)[valid],
+                               rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("name", ["gptoss", "gemma", "olmo2", "starcoder2",
+                                  "smollm3"])
+def test_decode_step_seq_families_match_decode_step(name):
+    """The seq decode's static per-layer dispatch == qwen2.decode_step for
+    every layer structure (sink fold after pmax/psum, per-layer windowed
+    validity, body-structure residuals)."""
+    from lapha_tpu.models.qwen2_seq import decode_step_seq
+
+    cfg = _family_cfgs()[name]
+    params = _family_params(cfg, jax.random.key(4))
+    rng = np.random.default_rng(13)
+    B, S = 2, 32
+    L, nkv, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([10, 7], jnp.int32)
+    dstart = jnp.full((B,), 16, jnp.int32)
+    slot = jnp.asarray(20, jnp.int32)
+    tok = jnp.asarray(rng.integers(2, cfg.vocab_size, B), jnp.int32)
+    pos = lens + 4
+
+    ref = qwen2.decode_step(params, cfg, tok, pos, ck, cv, slot, lens,
+                            dstart)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = decode_step_seq(params, cfg, tok, pos, ck, cv, slot, lens, dstart,
+                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_forward_seq_sink_grads_match_dense():
+    """The post-ring sink fold is pure jnp, so XLA differentiates it —
+    dsink through the sequence-sharded loss must equal the dense path's
+    (the fold is m_t = max(m, sink); l_t = l·e^{m−m_t} + e^{sink−m_t};
+    acc_t = acc·e^{m−m_t}, all smooth in sink)."""
+    cfg = _family_cfgs()["gptoss"]
+    params = _family_params(cfg, jax.random.key(7))
+    rng = np.random.default_rng(17)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (4, 32)))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("data", "sequence"))
+
+    def loss_seq(p):
+        lg, _, _ = forward_seq(p, cfg, ids, None, mesh=mesh)
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(lp[:, :-1], ids[:, 1:, None], -1).mean()
+
+    def loss_dense(p):
+        lg, _, _ = qwen2.forward(p, cfg, ids)
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        return -jnp.take_along_axis(lp[:, :-1], ids[:, 1:, None], -1).mean()
+
+    with mesh:
+        ls, gs = jax.jit(jax.value_and_grad(loss_seq))(params)
+    ld, gd = jax.jit(jax.value_and_grad(loss_dense))(params)
+    assert abs(float(ls) - float(ld)) < 2e-5
+    gs_sink = np.asarray(gs["layers"]["attn"]["sinks"])
+    gd_sink = np.asarray(gd["layers"]["attn"]["sinks"])
+    assert np.abs(gd_sink).max() > 1e-6, "sink grads did not flow"
+    np.testing.assert_allclose(gs_sink, gd_sink, rtol=1e-4, atol=1e-6)
+
+
+def test_engine_seq_mesh_gptoss_style_matches_unsharded():
+    """End-to-end: a gpt-oss-style model (learned sinks + alternating
+    sliding/full layers + o-proj bias) serves through the seq-sharded
+    engine with greedy parity vs the unsharded engine past the window."""
+    from lapha_tpu.engine import Engine, SamplingParams
+
+    cfg = Qwen2Config.tiny(vocab_size=300, num_hidden_layers=4,
+                           attn_sinks=True, o_proj_bias=True)
+    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
+    params = _family_params(cfg, jax.random.key(21))
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(seq_mesh):
+        return Engine(params, cfg, IdTok(), max_model_len=64, max_batch=4,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0,
+                      seq_mesh=seq_mesh)
+
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=12)
+    rng = np.random.default_rng(22)
+    prompts = [" ".join(str(t) for t in rng.integers(2, 300, 24)),
+               " ".join(str(t) for t in rng.integers(2, 300, 20))]
+    ref = [[o.token_ids for o in r.outputs]
+           for r in mk(None).generate(prompts, sp)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got = [[o.token_ids for o in r.outputs]
+           for r in mk(mesh).generate(prompts, sp)]
+    assert got == ref
 
 
 def test_decode_step_seq_windowed_matches_decode_step():
