@@ -88,9 +88,15 @@ class Engine:
                 raise ValueError("spec_decode does not support deepseek yet "
                                  "(decode_step_multi is qwen2-family)")
             if seq_mesh is not None:
-                raise ValueError("seq_mesh does not support deepseek yet "
-                                 "(ring/distributed-softmax paths are "
-                                 "qwen2-family)")
+                raise ValueError(
+                    "seq_mesh does not support deepseek (the ring/"
+                    "distributed-softmax paths are qwen2-family). "
+                    "Deliberate: MLA's latent decode cache is 10-50x "
+                    "smaller than per-head KV (models/deepseek.py "
+                    "init_kv_cache — 69 KB/token at V3 scale), so the "
+                    "KV-residency problem seq sharding solves barely "
+                    "exists for this family; long DeepSeek prompts ride "
+                    "the flash MLA prefill instead")
         self._mod = _mod
         self.tokenizer = tokenizer
         self.max_model_len = int(max_model_len)

@@ -108,6 +108,9 @@ def forward_seq(
                 if cfg.layer_windows else None)
         ropes = (jnp.asarray([1 - f for f in cfg.nope_layers], jnp.int32)
                  if cfg.nope_layers else None)
+        assert not (wins is not None and ropes is not None), \
+            "layer_windows and nope_layers cannot combine (same rule as " \
+            "qwen2._scan_layers)"
 
         def body(x, pr):
             if wins is not None:
