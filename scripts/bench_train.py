@@ -43,8 +43,13 @@ from lapha_tpu.train import losses
 
 def main():
     impl = (sys.argv[1] if len(sys.argv) > 1 else None) or os.getenv("ATTN", "pallas")
+    # H/IM/VOCAB shrink the architecture for pathway validation on the
+    # virtual CPU mesh (a 1-core host cannot turn the 1.5B shape over);
+    # defaults are the Qwen2.5-1.5B architecture the TPU numbers use
     cfg = Qwen2Config(
-        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        vocab_size=int(os.getenv("VOCAB", "151936")),
+        hidden_size=int(os.getenv("H", "1536")),
+        intermediate_size=int(os.getenv("IM", "8960")),
         num_hidden_layers=int(os.getenv("NL", "28")), num_attention_heads=12,
         num_key_value_heads=2, max_position_embeddings=8192, rope_theta=1e6,
         dtype=jnp.bfloat16)
