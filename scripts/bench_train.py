@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 import lapha_tpu
 
 lapha_tpu.enable_compilation_cache()
