@@ -737,3 +737,47 @@ def test_engine_seq_mesh_windowed_matches_unsharded():
     got = [[o.token_ids for o in r.outputs]
            for r in mk(mesh).generate(prompts, sp)]
     assert got == ref
+
+
+def test_seq_paths_gptoss_moe_match_dense():
+    """The REAL gpt-oss body is MoE (clamped-GLU fused gate_up experts,
+    topk-then-softmax router) — the seq paths reach it through the shared
+    _mlp dispatch. Forward (ring) and decode (distributed softmax) parity
+    vs the dense paths with sinks + alternating windows + experts at once."""
+    from lapha_tpu.models.qwen2_seq import decode_step_seq
+
+    cfg = Qwen2Config.tiny(num_hidden_layers=4, attn_sinks=True,
+                           o_proj_bias=True, num_experts=4,
+                           num_experts_per_tok=2, moe_intermediate_size=32,
+                           moe_style="gptoss")
+    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
+    params = qwen2.init_params(cfg, jax.random.key(31))
+    params["layers"]["attn"]["sinks"] = jax.random.normal(
+        jax.random.key(32), (4, cfg.num_attention_heads), jnp.float32)
+    rng = np.random.default_rng(33)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 32)))
+
+    ref, _, _ = qwen2.forward(params, cfg, ids)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    with mesh:
+        got, _, _ = jax.jit(
+            lambda p: forward_seq(p, cfg, ids, None, mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+    B, S = 2, 32
+    L, nkv, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)).astype(np.float32))
+    lens = jnp.asarray([10, 7], jnp.int32)
+    dstart = jnp.full((B,), 16, jnp.int32)
+    slot = jnp.asarray(20, jnp.int32)
+    tok = jnp.asarray(rng.integers(2, cfg.vocab_size, B), jnp.int32)
+    pos = lens + 4
+    ref_d = qwen2.decode_step(params, cfg, tok, pos, ck, cv, slot, lens,
+                              dstart)
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    got_d = decode_step_seq(params, cfg, tok, pos, ck, cv, slot, lens,
+                            dstart, mesh=mesh8)
+    np.testing.assert_allclose(np.asarray(got_d[0]), np.asarray(ref_d[0]),
+                               rtol=2e-4, atol=2e-4)
