@@ -86,6 +86,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
                     ident += next((l for l in lines if l.startswith(key)), "")
             except OSError:
                 pass
+            try:
+                # even the full cpuinfo surface has collided across VM
+                # generations (LLVM host-detects different tunings —
+                # prefer-no-gather/scatter — from identical flags lines;
+                # a third cross-VM AOT load was observed round 4). Scope
+                # CPU entries to one boot: same-boot reuse (xdist
+                # workers, repeated runs) is what actually pays.
+                with open("/proc/sys/kernel/random/boot_id") as f:
+                    ident += f.read()
+            except OSError:
+                pass
             fp = hashlib.sha1(ident.encode()).hexdigest()[:12]
             cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
         os.makedirs(cache_dir, exist_ok=True)

@@ -51,6 +51,7 @@ Outputs: DEMO_SCALING.json (all records) + a markdown table on stdout;
 see DEMO_SCALING.md for the committed run.
 
 Env knobs (defaults = the committed run):
+  TASK            "chain" (run 2) or "nav" (run 3) — see below
   H, NL           model width/depth          (256, 4)
   SFT_TARGET      stop SFT at this per-fact holdout accuracy (0.93 —
                   high enough that chain errors are SAMPLING noise the
@@ -60,7 +61,25 @@ Env knobs (defaults = the committed run):
   N_EVAL          held-out eval questions (24)
   SIMS            comma list of num_sim points ("8,32,128")
   SEED            base seed (0)
-  DEMO_OUT        output dir (/tmp/lapha-demo-scaling)
+  DEMO_OUT        output dir (/tmp/lapha-demo-scaling[-TASK])
+
+TASK=nav (run 3, the fig2 vehicle): run 2 attributed fig2's miss to the
+chain task's error structure — errors were single-token sampling slips,
+and a post-slip state is arithmetically coherent, so NO visible-state
+feature separates doomed leaves from good ones (DEMO_SCALING.md). The
+nav task makes errors CHOICE errors instead: the question gives a start
+value, a TARGET, and a 3-op menu ("start with 7 ; reach 26 ; ops add 3
+, mul 2 , sub 4 ; at most 6 steps ?"); the expert emits the BFS
+shortest path, one op per STEP. Choosing needs lookahead (the menu
+varies per question, so it cannot be memorised), so an SFT policy picks
+legal-but-doomed ops; the resulting states are arithmetically coherent
+AND visibly off-track — their doom is a function of (current value,
+target, steps left), all in plain sight of the pooled latent. fig2 for
+nav is scored over ALL terminal leaves (answered or not; the rule
+grader marks unanswered/invalid chains 0 — exactly how the reference's
+graders treat a leaf with no \\boxed answer), with full-chain validity
+grading: every step equation must be true, chain-continuous, and use a
+menu op.
 """
 from __future__ import annotations
 
@@ -118,7 +137,10 @@ class DemoTok:
                   "<think>", "</think>", "<answer>", "</answer>",
                   "start", "with", ";", "=", "?", "what", "is", "the",
                   "result", "then", "wait", "Solve", "one", "operation",
-                  "per", "step.", "Limit", "steps.", "Q:"]
+                  "per", "step.", "Limit", "steps.", "Q:",
+                  # nav task (run 3) — stays under the same 128-padded
+                  # vocab size, so chain-task checkpoints are unaffected
+                  "reach", "ops", ",", "at", "most", "steps"]
                  + [f"STEP-{k}:" for k in range(1, 10)]
                  + [str(n) for n in range(0, MAXV + 1)]
                  + [str(k) for k in range(1, 10)]  # dedup below keeps first
@@ -185,6 +207,107 @@ def step_completion(j: int, op: str, k: int, v: int, r: int, last: bool):
     return f"STEP-{j}:\n<think>\n" + body
 
 
+# ------------------------------------------------------ nav task (run 3)
+def _nav_apply(op: str, k: int, v: int) -> int:
+    return {"add": v + k, "sub": v - k, "mul": v * k}[op]
+
+
+def _nav_menu(rng: random.Random):
+    """3 distinct ops: one small mul (makes wrong turns overshoot-fatal)
+    + two add/sub. Menus vary per question so choice cannot be memorised
+    — it is a lookahead problem over (value, target, menu, steps left)."""
+    menu = [("mul", rng.randint(2, 3))]
+    while len(menu) < 3:
+        cand = (rng.choice(("add", "sub")), rng.randint(2, 9))
+        if cand not in menu:
+            menu.append(cand)
+    rng.shuffle(menu)
+    return menu
+
+
+def nav_bfs(v0: int, menu, max_depth: int):
+    """BFS over values in [0, MAXV]: dist[v] = min ops from v0, parent
+    pointers for the canonical shortest path (ties: menu order)."""
+    dist, par = {v0: 0}, {}
+    frontier = [v0]
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for v in frontier:
+            for op, k in menu:
+                r = _nav_apply(op, k, v)
+                if 0 <= r <= MAXV and r not in dist:
+                    dist[r] = d
+                    par[r] = (v, op, k)
+                    nxt.append(r)
+        frontier = nxt
+    return dist, par
+
+
+def sample_question_nav(rng: random.Random, n_ops: int):
+    """One reach-the-target instance whose BFS-shortest solution is
+    exactly n_ops long; ex["ops"] is the expert path in the chain task's
+    (op, k, v, r) format so step_completion/expert_pairs are shared."""
+    while True:
+        v0 = rng.randint(2, 20)
+        menu = _nav_menu(rng)
+        dist, par = nav_bfs(v0, menu, n_ops)
+        cands = sorted(t for t, d in dist.items() if d == n_ops)
+        if len(cands) < 3:
+            continue
+        t = rng.choice(cands)
+        ops, cur = [], t
+        while cur != v0:
+            pv, op, k = par[cur]
+            ops.append((op, k, pv, cur))
+            cur = pv
+        ops.reverse()
+        menu_str = " , ".join(f"{op} {k}" for op, k in menu)
+        q = (f"start with {v0} ; reach {t} ; ops {menu_str} ; "
+             f"at most 6 steps ?")
+        return {"question": q, "ground_truth": str(t), "ops": ops,
+                "menu": menu, "v0": v0, "support_material_path": []}
+
+
+def reward_nav(completion, gt):
+    """Per-step rule grader (what MCTS terminal backups / the trainer
+    see): the answer must equal the target AND be the result of a TRUE
+    equation in this step. Full-chain validity needs earlier steps,
+    which a per-step grader cannot see — eval grades the whole chain
+    with grade_chain_nav (the honest pass@1/fig2 number)."""
+    m = _ANS_RE.search(completion or "")
+    if not (m and gt is not None and m.group(1) == str(gt)):
+        return 0.0
+    eqs = _STEP_RE.findall(completion or "")
+    if not eqs:
+        return 0.0
+    v, op, k, r = eqs[-1]
+    return float(_nav_apply(op, int(k), int(v)) == int(r)
+                 and int(r) == int(gt))
+
+
+def grade_chain_nav(chain, ex) -> float:
+    """Full-chain rule grader: chain-continuous from v0, every equation
+    true and menu-legal, answered value == final value == target."""
+    cur, menu = ex["v0"], set(map(tuple, ex["menu"]))
+    for st in chain:
+        c = st.get("completion") or ""
+        if not c.strip():
+            continue
+        eqs = _STEP_RE.findall(c)
+        if len(eqs) != 1:
+            return 0.0
+        v, op, k, r = eqs[0]
+        v, k, r = int(v), int(k), int(r)
+        if v != cur or (op, k) not in menu or _nav_apply(op, k, v) != r:
+            return 0.0
+        cur = r
+        m = _ANS_RE.search(c)
+        if m:
+            return float(m.group(1) == ex["ground_truth"]
+                         and cur == int(ex["ground_truth"]))
+    return 0.0
+
+
 class DemoAgent(MCTSAgent):
     TOOLS: dict = {}
     TOOLS_DESCRIPTION = ""
@@ -218,6 +341,7 @@ def expert_pairs(tok: DemoTok, ex: dict, depth: int):
 
 # --------------------------------------------------------------- SFT warmup
 def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
+               sample_fn=None, len_lo=2, len_hi=4,
                batch=64, seqlen=224, lr=3e-3, log=print):
     """Teacher-forced CE on expert traces; stop at target per-fact holdout
     accuracy so the policy is deliberately imperfect.
@@ -226,6 +350,8 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
     end): bf16 params plateau early — once the cosine-decayed update drops
     below bf16's ~2^-8 relative resolution it rounds to zero."""
     import dataclasses
+
+    sample_fn = sample_fn or sample_question
 
     model_dtype = cfg.dtype
     cfg = dataclasses.replace(cfg, dtype=jnp.float32)
@@ -246,7 +372,7 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
         attn = np.zeros((batch, seqlen), np.int32)
         i = 0
         while i < batch:
-            ex = sample_question(rng, rng.randint(2, 4))
+            ex = sample_fn(rng, rng.randint(len_lo, len_hi))
             for (p_ids, t_ids, _fact) in expert_pairs(tok, ex, depth):
                 if i >= batch:
                     break
@@ -272,73 +398,96 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # holdout fact probe: argmax accuracy of the result token right after
-    # "=" in a fresh batch of expert rows (the hard part of each step)
+    # holdout probes over fresh expert rows: FACT = argmax accuracy of
+    # the result token right after "=" (execution); CHOICE = argmax
+    # accuracy of the op token opening the step body (for nav this is
+    # the lookahead decision — the knob fig2 turns; for chain a copy)
     probe_rng = random.Random(10_007)
     probe = []
     while len(probe) < 256:
-        ex = sample_question(probe_rng, probe_rng.randint(2, 4))
+        ex = sample_fn(probe_rng, probe_rng.randint(len_lo, len_hi))
         for (p_ids, t_ids, fact) in expert_pairs(tok, ex, depth):
             eq = tok.vocab["="]
             row = p_ids + t_ids
             pos = len(p_ids) + t_ids.index(eq) + 1  # index of r
+            pos_op = len(p_ids) + 1                 # body = "v OP k = r"
             if pos < seqlen:
-                probe.append((row, pos))
+                probe.append((row, pos, pos_op))
     p_ids2 = np.zeros((len(probe), seqlen), np.int32)
     p_attn = np.zeros_like(p_ids2)
     p_pos = np.zeros((len(probe),), np.int32)
-    for i, (row, pos) in enumerate(probe):
+    p_posop = np.zeros((len(probe),), np.int32)
+    for i, (row, pos, pos_op) in enumerate(probe):
         row = row[:seqlen]
         p_ids2[i, :len(row)] = row
         p_attn[i, :len(row)] = 1
         p_pos[i] = pos
+        p_posop[i] = pos_op
 
     @jax.jit
-    def fact_acc(params):
+    def probe_acc(params):
         logits, _, _ = qwen2.forward(
             params, cfg, jnp.asarray(p_ids2[:, :-1]),
             attention_mask=jnp.asarray(p_attn[:, :-1]))
         pred = jnp.argmax(logits, axis=-1)
-        idx = jnp.asarray(p_pos)
-        hit = (jnp.take_along_axis(pred, idx[:, None] - 1, axis=1)[:, 0]
-               == jnp.asarray(p_ids2)[jnp.arange(len(probe)), idx])
-        return hit.mean()
 
-    acc = 0.0
+        def hit(idx):
+            return (jnp.take_along_axis(pred, idx[:, None] - 1,
+                                        axis=1)[:, 0]
+                    == jnp.asarray(p_ids2)[jnp.arange(len(probe)), idx]
+                    ).mean()
+
+        return hit(jnp.asarray(p_pos)), hit(jnp.asarray(p_posop))
+
+    acc = choice = 0.0
     for it in range(max_steps):
         ids, attn, mask = make_batch(batch)
         params, opt_state, loss = step(params, opt_state, ids, attn, mask)
         if (it + 1) % 50 == 0:
-            acc = float(fact_acc(params))
-            log(f"[sft {it + 1}] loss={float(loss):.4f} fact_acc={acc:.3f}")
+            a, c = probe_acc(params)
+            acc, choice = float(a), float(c)
+            log(f"[sft {it + 1}] loss={float(loss):.4f} "
+                f"fact_acc={acc:.3f} choice_acc={choice:.3f}")
             if acc >= target_acc:
                 break
     params = jax.tree.map(lambda x: x.astype(model_dtype)
                           if x.dtype == jnp.float32 else x, params)
-    return params, acc
+    return params, acc, choice
 
 
 # --------------------------------------------------------------- metrics
-def leaf_records(chains, gt: str):
-    """Terminal answered leaves -> (correct, v_pred) and chain features."""
-    recs, seen = [], set()
+def leaf_records(chains, ex, grade=None):
+    """Terminal-leaf records -> (records, by_leaf_id).
+
+    Default (chain task, the committed run 2): answered leaves only,
+    correct = answer == ground_truth. With a full-chain grader (nav):
+    ALL terminal non-pruned leaves count, correct = grade(chain) — an
+    unanswered or step-invalid chain scores 0, exactly how the
+    reference's rule graders treat a leaf with no \\boxed answer."""
+    recs, by_id = [], {}
+    gt = ex["ground_truth"]
     for ch in chains:
         if not ch:
             continue
         leaf = ch[-1]
-        if id(leaf) in seen or leaf.get("_disabled"):
+        if id(leaf) in by_id or leaf.get("_disabled"):
             continue
-        seen.add(id(leaf))
         m = _ANS_RE.search(leaf.get("completion") or "")
-        if not m:
-            continue
-        recs.append({"correct": float(m.group(1) == gt),
-                     "v_pred": float(leaf.get("v_pred") or 0.0)})
-    return recs
+        if grade is None:
+            if not m:
+                continue
+            correct = float(m.group(1) == gt)
+        else:
+            correct = float(grade(ch, ex))
+        rec = {"correct": correct, "answered": bool(m),
+               "v_pred": float(leaf.get("v_pred") or 0.0)}
+        by_id[id(leaf)] = rec
+        recs.append(rec)
+    return recs, by_id
 
 
 def eval_arm(questions, make_agent, *, num_sim, value_trust, prune_per,
-             seed, log=print):
+             seed, grade=None, log=print):
     """One experiment arm -> per-question record list."""
     out = []
     for qi, ex in enumerate(questions):
@@ -349,20 +498,30 @@ def eval_arm(questions, make_agent, *, num_sim, value_trust, prune_per,
                               ground_truth=ex["ground_truth"],
                               support_material_path=None, cot=None)
         best = pick_best_leaf(chains, prefer_answer=True)
-        m = _ANS_RE.search((best or {}).get("completion") or "")
-        pass1 = float(bool(m) and m.group(1) == ex["ground_truth"])
-        recs = leaf_records(chains, ex["ground_truth"])
+        recs, by_id = leaf_records(chains, ex, grade)
+        if grade is None:
+            m = _ANS_RE.search((best or {}).get("completion") or "")
+            pass1 = float(bool(m) and m.group(1) == ex["ground_truth"])
+        else:
+            rec = by_id.get(id(best)) if best is not None else None
+            if rec is None and best is not None:
+                bch = next((c for c in chains if c and c[-1] is best), None)
+                pass1 = float(grade(bch, ex)) if bch else 0.0
+            else:
+                pass1 = rec["correct"] if rec else 0.0
         avg_leaf = (sum(r["correct"] for r in recs) / len(recs)
                     if recs else 0.0)
         vh_top1 = (max(recs, key=lambda r: r["v_pred"])["correct"]
                    if recs else 0.0)
         any_correct = float(any(r["correct"] for r in recs))
+        n_ans = sum(r["answered"] for r in recs)
         out.append({"q": qi, "pass1": pass1, "avg_leaf": avg_leaf,
                     "vh_top1": vh_top1, "any_correct": any_correct,
-                    "n_leaves": len(recs), "secs": time.time() - t0})
+                    "n_leaves": len(recs), "n_answered": n_ans,
+                    "secs": time.time() - t0})
         log(f"  q{qi:02d} pass1={pass1:.0f} vh_top1={vh_top1:.0f} "
             f"avg_leaf={avg_leaf:.2f} leaves={len(recs)} "
-            f"({time.time() - t0:.1f}s)")
+            f"ans={n_ans} ({time.time() - t0:.1f}s)")
     return out
 
 
@@ -373,12 +532,25 @@ def summarize(recs, key):
 # --------------------------------------------------------------- main
 def main():
     seed = int(os.getenv("SEED", "0"))
+    task = os.getenv("TASK", "chain")
+    assert task in ("chain", "nav"), task
     depth = 6
-    out_dir = os.getenv("DEMO_OUT", "/tmp/lapha-demo-scaling")
+    out_dir = os.getenv(
+        "DEMO_OUT", "/tmp/lapha-demo-scaling"
+        + ("" if task == "chain" else f"-{task}"))
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
     tok = DemoTok()
     log = print
+    if task == "nav":
+        sample_fn, reward_fn, grade = (sample_question_nav, reward_nav,
+                                       grade_chain_nav)
+        sft_lo, sft_hi, sft_target = 2, 5, float(
+            os.getenv("SFT_TARGET", "0.95"))
+    else:
+        sample_fn, reward_fn, grade = sample_question, None, None
+        sft_lo, sft_hi, sft_target = 2, 4, float(
+            os.getenv("SFT_TARGET", "0.93"))
 
     cfg = Qwen2Config(
         vocab_size=((len(tok) + 127) // 128) * 128,
@@ -397,6 +569,7 @@ def main():
     if os.getenv("DEMO_RESUME") and os.path.exists(ckpt):
         flat = dict(np.load(ckpt))
         fact_acc = float(flat.pop("__fact_acc__"))
+        choice_acc = float(flat.pop("__choice_acc__", 0.0))
         leaves, treedef = jax.tree.flatten(params)
         params = jax.tree.unflatten(
             treedef, [jnp.asarray(flat[f"p{i}"]).astype(l.dtype)
@@ -405,15 +578,16 @@ def main():
     else:
         # ---- stage A: SFT warmup to a deliberately-imperfect policy ----
         t0 = time.time()
-        params, fact_acc = sft_warmup(
+        params, fact_acc, choice_acc = sft_warmup(
             tok, cfg, params, rng,
-            target_acc=float(os.getenv("SFT_TARGET", "0.93")),
+            target_acc=sft_target,
             max_steps=int(os.getenv("SFT_MAX_STEPS", "12000")),
-            depth=depth, log=log)
+            depth=depth, sample_fn=sample_fn, len_lo=sft_lo,
+            len_hi=sft_hi, log=log)
         log(f"[demo] SFT done in {time.time() - t0:.0f}s "
-            f"fact_acc={fact_acc:.3f}")
+            f"fact_acc={fact_acc:.3f} choice_acc={choice_acc:.3f}")
         leaves = jax.tree.leaves(params)
-        np.savez(ckpt, __fact_acc__=fact_acc,
+        np.savez(ckpt, __fact_acc__=fact_acc, __choice_acc__=choice_acc,
                  **{f"p{i}": np.asarray(l.astype(jnp.float32))
                     for i, l in enumerate(leaves)})
 
@@ -421,6 +595,8 @@ def main():
     def reward(completion, gt):
         m = _ANS_RE.search(completion or "")
         return float(bool(m) and gt is not None and m.group(1) == str(gt))
+
+    reward = reward_fn or reward
 
     args = MTPOConfig(
         output_dir=os.path.join(out_dir, "train"),
@@ -459,7 +635,7 @@ def main():
         for it in range(rl_steps):
             # 3-5 ops: with a ~0.9-facts policy, 2-op chains clear the
             # trainer's avgAcc>=0.8 stability skip and would be dropped
-            batch = [sample_question(rng, rng.randint(3, 5))
+            batch = [sample_fn(rng, rng.randint(3, 5))
                      for _ in range(4)]
             m = trainer.train_step(batch)
             log(f"[rl {it + 1}/{rl_steps}] " + " ".join(
@@ -477,7 +653,7 @@ def main():
     # ---- stage C: experiments on held-out questions ----
     eval_rng = random.Random(seed + 777)
     n_eval = int(os.getenv("N_EVAL", "24"))
-    questions = [sample_question(eval_rng, eval_rng.randint(3, 4))
+    questions = [sample_fn(eval_rng, eval_rng.randint(3, 4))
                  for _ in range(n_eval)]
     sims = [int(s) for s in os.getenv("SIMS", "8,32,128").split(",")]
 
@@ -506,7 +682,8 @@ def main():
         return a
 
     results = {"config": {
-        "n_params_m": round(n_params / 1e6, 2), "fact_acc": fact_acc,
+        "task": task, "n_params_m": round(n_params / 1e6, 2),
+        "fact_acc": fact_acc, "choice_acc": choice_acc,
         "rl_steps": rl_steps, "n_eval": n_eval, "sims": sims,
         "depth": depth, "breadth": 6, "backend": jax.default_backend(),
     }, "arms": {}}
@@ -521,19 +698,19 @@ def main():
         log(f"[fig3] value-guided num_sim={ns}")
         results["arms"][f"guided_sim{ns}"] = eval_arm(
             questions, make_agent, num_sim=ns, value_trust=1.0,
-            prune_per=10**9, seed=seed + ns, log=log)
+            prune_per=10**9, seed=seed + ns, grade=grade, log=log)
         flush()
         log(f"[fig3] unguided control num_sim={ns}")
         results["arms"][f"unguided_sim{ns}"] = eval_arm(
             questions, make_agent, num_sim=ns, value_trust=0.0,
-            prune_per=10**9, seed=seed + ns, log=log)
+            prune_per=10**9, seed=seed + ns, grade=grade, log=log)
         flush()
 
     prune_sim = 32 if 32 in sims else sims[len(sims) // 2]
     log(f"[fig4] pruning on (prune_per=8) at num_sim={prune_sim}")
     results["arms"]["pruned"] = eval_arm(
         questions, make_agent, num_sim=prune_sim, value_trust=1.0,
-        prune_per=8, seed=seed + 31337, log=log)
+        prune_per=8, seed=seed + 31337, grade=grade, log=log)
     results["arms"]["unpruned"] = results["arms"][f"guided_sim{prune_sim}"]
 
     # ---- summary table ----
