@@ -285,27 +285,36 @@ def reward_nav(completion, gt):
                  and int(r) == int(gt))
 
 
-def grade_chain_nav(chain, ex) -> float:
-    """Full-chain rule grader: chain-continuous from v0, every equation
-    true and menu-legal, answered value == final value == target."""
-    cur, menu = ex["v0"], set(map(tuple, ex["menu"]))
+def nav_chain_state(chain, ex):
+    """Replay a chain against the rules -> (valid, current_value,
+    steps_used, answer_str_or_None). Stops at the first rule violation
+    (equation false / menu-illegal / chain-discontinuous) or answer."""
+    cur, menu, steps = ex["v0"], set(map(tuple, ex["menu"])), 0
     for st in chain:
         c = st.get("completion") or ""
         if not c.strip():
             continue
         eqs = _STEP_RE.findall(c)
         if len(eqs) != 1:
-            return 0.0
+            return False, cur, steps, None
         v, op, k, r = eqs[0]
         v, k, r = int(v), int(k), int(r)
         if v != cur or (op, k) not in menu or _nav_apply(op, k, v) != r:
-            return 0.0
+            return False, cur, steps, None
         cur = r
+        steps += 1
         m = _ANS_RE.search(c)
         if m:
-            return float(m.group(1) == ex["ground_truth"]
-                         and cur == int(ex["ground_truth"]))
-    return 0.0
+            return True, cur, steps, m.group(1)
+    return True, cur, steps, None
+
+
+def grade_chain_nav(chain, ex) -> float:
+    """Full-chain rule grader: chain-continuous from v0, every equation
+    true and menu-legal, answered value == final value == target."""
+    valid, cur, _steps, ans = nav_chain_state(chain, ex)
+    return float(valid and ans == ex["ground_truth"]
+                 and cur == int(ex["ground_truth"]))
 
 
 class DemoAgent(MCTSAgent):
@@ -514,10 +523,17 @@ def eval_arm(questions, make_agent, *, num_sim, value_trust, prune_per,
         vh_top1 = (max(recs, key=lambda r: r["v_pred"])["correct"]
                    if recs else 0.0)
         any_correct = float(any(r["correct"] for r in recs))
-        n_ans = sum(r["answered"] for r in recs)
+        # answered-only view (the run-2 metric): does the head also
+        # discriminate WITHIN the answered set, not just answered-vs-doomed
+        ans = [r for r in recs if r["answered"]]
+        avg_ans = (sum(r["correct"] for r in ans) / len(ans)
+                   if ans else 0.0)
+        vh_top1_ans = (max(ans, key=lambda r: r["v_pred"])["correct"]
+                       if ans else 0.0)
         out.append({"q": qi, "pass1": pass1, "avg_leaf": avg_leaf,
                     "vh_top1": vh_top1, "any_correct": any_correct,
-                    "n_leaves": len(recs), "n_answered": n_ans,
+                    "avg_ans": avg_ans, "vh_top1_ans": vh_top1_ans,
+                    "n_leaves": len(recs), "n_answered": len(ans),
                     "secs": time.time() - t0})
         log(f"  q{qi:02d} pass1={pass1:.0f} vh_top1={vh_top1:.0f} "
             f"avg_leaf={avg_leaf:.2f} leaves={len(recs)} "
@@ -714,13 +730,16 @@ def main():
     results["arms"]["unpruned"] = results["arms"][f"guided_sim{prune_sim}"]
 
     # ---- summary table ----
-    log("\n| arm | pass@1 (best-leaf) | value-head top-1 | avg leaf acc | any-correct |")
-    log("|---|---|---|---|---|")
+    log("\n| arm | pass@1 (best-leaf) | value-head top-1 | avg leaf acc "
+        "| any-correct | vh-top1 (answered) | avg leaf (answered) |")
+    log("|---|---|---|---|---|---|---|")
     for name, recs in results["arms"].items():
         log(f"| {name} | {summarize(recs, 'pass1'):.3f} "
             f"| {summarize(recs, 'vh_top1'):.3f} "
             f"| {summarize(recs, 'avg_leaf'):.3f} "
-            f"| {summarize(recs, 'any_correct'):.3f} |")
+            f"| {summarize(recs, 'any_correct'):.3f} "
+            f"| {summarize(recs, 'vh_top1_ans'):.3f} "
+            f"| {summarize(recs, 'avg_ans'):.3f} |")
 
     flush()
     log(f"[demo] wrote {path}")

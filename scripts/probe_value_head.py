@@ -11,6 +11,12 @@ attribute the failure: head-learned-geometry-not-correctness vs a
 depth/length confound vs a selection bug.
 
 Usage: DEMO_OUT=/root/repo/demo_out python scripts/probe_value_head.py
+
+TASK=nav (run 3): probes ALL terminal leaves (the nav fig2 population),
+grades with the full-chain rule grader, and adds the attribution the nav
+task is built around — corr(v_pred, reachable): can the head see whether
+the target is still reachable from the leaf's TRUE state within the
+remaining step budget (nav_bfs over the visible values)?
 """
 import os
 import random
@@ -38,6 +44,7 @@ def main():
     from lapha_tpu.train.trainer import MTPOTrainer
 
     seed = int(os.getenv("SEED", "0"))
+    task = os.getenv("TASK", "chain")
     tok = D.DemoTok()
     cfg = Qwen2Config(
         vocab_size=((len(tok) + 127) // 128) * 128,
@@ -52,6 +59,10 @@ def main():
     def reward(completion, gt):
         m = D._ANS_RE.search(completion or "")
         return float(bool(m) and gt is not None and m.group(1) == str(gt))
+
+    if task == "nav":
+        reward = D.reward_nav
+    sample_fn = D.sample_question_nav if task == "nav" else D.sample_question
 
     args = MTPOConfig(
         output_dir=os.path.join(out_dir, "train"),
@@ -88,7 +99,7 @@ def main():
                         max_tokens=32)
 
     eval_rng = random.Random(seed + 777)
-    questions = [D.sample_question(eval_rng, eval_rng.randint(3, 4))
+    questions = [sample_fn(eval_rng, eval_rng.randint(3, 4))
                  for _ in range(int(os.getenv("N_EVAL", "8")))]
 
     rows = []
@@ -113,6 +124,22 @@ def main():
                 continue
             seen.add(id(leaf))
             m = D._ANS_RE.search(leaf.get("completion") or "")
+            if task == "nav":
+                valid, cur, steps, ans = D.nav_chain_state(ch, ex)
+                gt = int(ex["ground_truth"])
+                if ans is not None:
+                    reach = float(valid and cur == gt and ans == str(gt))
+                else:  # budget left: is the target still reachable?
+                    dist, _ = D.nav_bfs(cur, ex["menu"], max(0, 6 - steps))
+                    reach = float(valid and gt in dist)
+                rows.append(dict(
+                    q=qi, correct=D.grade_chain_nav(ch, ex),
+                    v=float(leaf.get("v_pred") or 0.0),
+                    depth=int(leaf.get("current_depth") or 0),
+                    clen=len(leaf.get("completion") or ""),
+                    answered=float(bool(m)), reachable=reach,
+                    valid=float(valid)))
+                continue
             if not m:
                 continue
             rows.append(dict(
@@ -138,6 +165,15 @@ def main():
     print(f"corr(v, correct) = {corr(v, c):.3f}")
     print(f"corr(v, depth)   = {corr(v, d):.3f}")
     print(f"corr(v, clen)    = {corr(v, ln):.3f}")
+    if task == "nav":
+        rc = np.array([r["reachable"] for r in rows])
+        an = np.array([r["answered"] for r in rows])
+        vl = np.array([r["valid"] for r in rows])
+        print(f"corr(v, reachable) = {corr(v, rc):.3f}   "
+              f"corr(v, answered) = {corr(v, an):.3f}   "
+              f"corr(v, valid) = {corr(v, vl):.3f}")
+        print(f"reachable rate={rc.mean():.3f} answered rate={an.mean():.3f} "
+              f"valid rate={vl.mean():.3f}")
     print(f"v | correct=1: {v[c > 0.5].mean() if (c > 0.5).any() else float('nan'):.4f}"
           f"   v | correct=0: {v[c < 0.5].mean() if (c < 0.5).any() else float('nan'):.4f}")
     # per-question, since V is tree-relative: the cross-question pooling can
