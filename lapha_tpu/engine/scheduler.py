@@ -131,6 +131,11 @@ class ContinuousEngine:
         # S >> W the recommended serving config is kv_quant=None (bf16
         # cache + banded ragged); this per-config choice below already
         # picks ragged for bf16, so no policy change is needed.
+        # ATTENTION SINKS (gpt-oss class; round-4 AB_SINKS=1 AB_WINDOW=128
+        # AB_PATTERN=alt, same shape): the sink fold costs nothing and the
+        # same ordering holds — dense bf16 13.0, dense int8 9.51, ragged
+        # bf16 8.9-10.07 (block_rows 16/4/8), ragged int8 ~19.9. Policy
+        # unchanged; sinks ride whichever path the cache dtype picks.
         cfg = engine.cfg
         self.kv_quant = engine.kv_quant
         self.ragged = (jax.default_backend() == "tpu"

@@ -90,10 +90,13 @@ def main():
     w = 0.38
     vh = [mean(arms[f"guided_sim{s}"], "vh_top1") for s in sims]
     al = [mean(arms[f"guided_sim{s}"], "avg_leaf") for s in sims]
+    leaf_pop = ("average terminal leaf"
+                if res["config"].get("task") == "nav"
+                else "average answered leaf")
     b1 = ax.bar([i - w / 2 for i in x], vh, width=w - 0.04, color=BLUE,
                 label="value-head top-1 leaf")
     b2 = ax.bar([i + w / 2 for i in x], al, width=w - 0.04, color=ORANGE,
-                label="average answered leaf")
+                label=leaf_pop)
     for bars in (b1, b2):
         for b in bars:
             ax.annotate(f"{b.get_height():.2f}",
