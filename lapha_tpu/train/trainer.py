@@ -416,6 +416,14 @@ class MTPOTrainer:
         """
         args = self.args
         eps_reward, eps_vt = 1e-12, 1e-8
+        # rejection-reason counters (round-5 observability): the reference
+        # applies the same filters silently inside its group loop
+        # (mtpo_trainer.py:1611-1763) — a step that trains on nothing logs
+        # bare loss=0 with no trace of WHICH filter fired. Count every
+        # rejection so degenerate steps are explainable at a glance.
+        rej = dict(trees_no_v_signal=0, trees_no_samples=0,
+                   trees_high_acc=0, buckets_small=0,
+                   buckets_no_reward_var=0, buckets_no_pos_v_target=0)
         step_samples: list[dict] = []
         mse_nodes: list[dict] = []
         avg_accs, pass1s = [], []
@@ -461,6 +469,7 @@ class MTPOTrainer:
             has_sig = any(abs(float(st.get("v_target", 0.0))) > eps_vt
                           for ch in chains for st in ch)
             if not has_sig:
+                rej["trees_no_v_signal"] += 1
                 continue
 
             # dedup by step identity; keep per-sample fields
@@ -490,6 +499,7 @@ class MTPOTrainer:
                         has_answer=has_answer(st),
                     ))
             if not local_samples:
+                rej["trees_no_samples"] += 1
                 continue
 
             if args.num_trees != -1 and mse_tree_cnt < args.num_trees:
@@ -499,6 +509,7 @@ class MTPOTrainer:
                 mse_tree_cnt += 1
 
             if avg_acc >= 0.8:
+                rej["trees_high_acc"] += 1
                 continue  # training-stability skip
 
             buckets: dict[tuple, list[dict]] = defaultdict(list)
@@ -510,11 +521,14 @@ class MTPOTrainer:
                 if group_count >= args.num_groups or tree_groups >= 2:
                     break
                 if args.breadth > 0 and len(samples) < args.breadth:
+                    rej["buckets_small"] += 1
                     continue
                 r_vals = [s["reward"] for s in samples]
                 if max(r_vals) - min(r_vals) <= eps_reward:
+                    rej["buckets_no_reward_var"] += 1
                     continue
                 if max(s["v_target"] for s in samples) <= eps_vt:
+                    rej["buckets_no_pos_v_target"] += 1
                     continue
                 ss = sorted(samples, key=lambda s: s["reward"], reverse=True)
                 vals = np.asarray([s["reward"] for s in ss], np.float32)
@@ -538,9 +552,12 @@ class MTPOTrainer:
             plot_tree_disk(chains, root_step,
                            os.path.join(viz_dir, f"tree{tid}_disk.png"),
                            title=f"tree{tid}")
+        for k, v in rej.items():
+            if v:
+                self.writer.add_scalar(f"Rollout/rej_{k}", v, self.global_step)
         return dict(step_samples=step_samples, mse_nodes=mse_nodes,
                     avg_acc=batch_avg_acc, pass_at_1=batch_pass1,
-                    num_groups=group_count, viz=viz_payload)
+                    num_groups=group_count, viz=viz_payload, rejections=rej)
 
     # ------------------------------------------------------------- update
 
@@ -564,8 +581,12 @@ class MTPOTrainer:
         metrics = dict(avg_acc=rollout["avg_acc"], pass_at_1=rollout["pass_at_1"],
                        num_groups=rollout["num_groups"], rollout_s=t_rollout,
                        n_samples=len(samples))
+        metrics.update({f"rej_{k}": v for k, v in
+                        rollout.get("rejections", {}).items() if v})
         if not samples:
+            # every tree/bucket was filtered — say WHY, not a bare loss=0
             metrics["loss"] = 0.0
+            metrics["skipped"] = "no_trainable_groups"
             self.global_step += 1
             return metrics
 
@@ -574,6 +595,7 @@ class MTPOTrainer:
         packed = losses.pack_samples(samples, pad_id, eos_id, self.args.max_prompt_length)
         if packed is None:
             metrics["loss"] = 0.0
+            metrics["skipped"] = "pack_samples_empty"
             self.global_step += 1
             return metrics
 

@@ -537,7 +537,7 @@ def eval_arm(questions, make_agent, *, num_sim, value_trust, prune_per,
                     "secs": time.time() - t0})
         log(f"  q{qi:02d} pass1={pass1:.0f} vh_top1={vh_top1:.0f} "
             f"avg_leaf={avg_leaf:.2f} leaves={len(recs)} "
-            f"ans={n_ans} ({time.time() - t0:.1f}s)")
+            f"ans={len(ans)} ({time.time() - t0:.1f}s)")
     return out
 
 
@@ -654,11 +654,15 @@ def main():
             batch = [sample_fn(rng, rng.randint(3, 5))
                      for _ in range(4)]
             m = trainer.train_step(batch)
-            log(f"[rl {it + 1}/{rl_steps}] " + " ".join(
-                f"{k}={v:.4g}" for k, v in sorted(m.items())
-                if isinstance(v, (int, float)) and k in (
-                    "loss", "value_loss", "value_loss_all_nodes",
-                    "policy_loss", "avgAcc", "pass@1", "reward_mean")))
+            parts = [f"{k}={v:.4g}" for k, v in sorted(m.items())
+                     if isinstance(v, (int, float)) and (
+                         k.startswith("rej_") or k in (
+                             "loss", "value_loss", "value_loss_all_nodes",
+                             "policy_loss", "avgAcc", "pass@1",
+                             "reward_mean"))]
+            if m.get("skipped"):
+                parts.append(f"skipped={m['skipped']}")
+            log(f"[rl {it + 1}/{rl_steps}] " + " ".join(parts))
         log(f"[demo] RL stage done in {time.time() - t0:.0f}s")
         blob = {}
         for name, tree in (("p", trainer.params), ("h", trainer.head)):
@@ -673,20 +677,32 @@ def main():
                  for _ in range(n_eval)]
     sims = [int(s) for s in os.getenv("SIMS", "8,32,128").split(",")]
 
-    eval_sp = SamplingParams(n=6, temperature=1.0, top_p=1.0, top_k=0,
-                             max_tokens=32)
+    # fig4 regime knobs (round 5): the reference claims pruning HELPS
+    # when paraphrastic/duplicate branches crowd a small budget
+    # (reference agent.py:458-501, assets/fig4_pruning_effect.png) —
+    # that regime needs hot sampling + wide breadth + small num_sim so
+    # redundant siblings eat simulations. Defaults reproduce the
+    # committed runs exactly.
+    eval_temp = float(os.getenv("EVAL_TEMP", "1.0"))
+    eval_breadth = int(os.getenv("EVAL_BREADTH", "6"))
+    fig4_only = bool(os.getenv("FIG4_ONLY"))
+    fig4_sim = int(os.getenv("FIG4_SIM", "0"))  # 0 -> derive from SIMS
+    fig4_per = int(os.getenv("FIG4_PER", "8"))
+
+    eval_sp = SamplingParams(n=eval_breadth, temperature=eval_temp,
+                             top_p=1.0, top_k=0, max_tokens=32)
     # dedicated eval engine sharing the trained arrays: the trainer's is
     # sized for breadth-4 training waves; eval runs 2 leaves x n=6
     from lapha_tpu.engine import Engine
 
     eval_engine = Engine(
         trainer.params, cfg, tok, max_model_len=args.max_model_len,
-        max_batch=12, pad_multiple=min(128, args.max_model_len),
+        max_batch=2 * eval_breadth, pad_multiple=min(128, args.max_model_len),
         seed=seed, collect_h0=True)
 
     def make_agent(*, value_trust, num_sim, prune_per, seed):
         a = DemoAgent(
-            tokenizer=tok, depth=depth, breadth=6,
+            tokenizer=tok, depth=depth, breadth=eval_breadth,
             output_dir=out_dir, llm=eval_engine,
             max_model_len=args.max_model_len, sampling_params=eval_sp,
             value_fn=trainer.value_fn, reward_fns=[reward],
@@ -701,7 +717,9 @@ def main():
         "task": task, "n_params_m": round(n_params / 1e6, 2),
         "fact_acc": fact_acc, "choice_acc": choice_acc,
         "rl_steps": rl_steps, "n_eval": n_eval, "sims": sims,
-        "depth": depth, "breadth": 6, "backend": jax.default_backend(),
+        "depth": depth, "breadth": eval_breadth, "eval_temp": eval_temp,
+        "fig4_sim": fig4_sim or None, "fig4_per": fig4_per,
+        "backend": jax.default_backend(),
     }, "arms": {}}
 
     path = os.path.join(out_dir, "DEMO_SCALING.json")
@@ -710,24 +728,33 @@ def main():
         with open(path, "w") as f:
             json.dump(results, f, indent=1)
 
-    for ns in sims:
-        log(f"[fig3] value-guided num_sim={ns}")
-        results["arms"][f"guided_sim{ns}"] = eval_arm(
-            questions, make_agent, num_sim=ns, value_trust=1.0,
-            prune_per=10**9, seed=seed + ns, grade=grade, log=log)
-        flush()
-        log(f"[fig3] unguided control num_sim={ns}")
-        results["arms"][f"unguided_sim{ns}"] = eval_arm(
-            questions, make_agent, num_sim=ns, value_trust=0.0,
-            prune_per=10**9, seed=seed + ns, grade=grade, log=log)
-        flush()
+    if not fig4_only:
+        for ns in sims:
+            log(f"[fig3] value-guided num_sim={ns}")
+            results["arms"][f"guided_sim{ns}"] = eval_arm(
+                questions, make_agent, num_sim=ns, value_trust=1.0,
+                prune_per=10**9, seed=seed + ns, grade=grade, log=log)
+            flush()
+            log(f"[fig3] unguided control num_sim={ns}")
+            results["arms"][f"unguided_sim{ns}"] = eval_arm(
+                questions, make_agent, num_sim=ns, value_trust=0.0,
+                prune_per=10**9, seed=seed + ns, grade=grade, log=log)
+            flush()
 
-    prune_sim = 32 if 32 in sims else sims[len(sims) // 2]
-    log(f"[fig4] pruning on (prune_per=8) at num_sim={prune_sim}")
+    prune_sim = fig4_sim or (32 if 32 in sims else sims[len(sims) // 2])
+    log(f"[fig4] pruning on (prune_per={fig4_per}) at num_sim={prune_sim}")
     results["arms"]["pruned"] = eval_arm(
         questions, make_agent, num_sim=prune_sim, value_trust=1.0,
-        prune_per=8, seed=seed + 31337, grade=grade, log=log)
-    results["arms"]["unpruned"] = results["arms"][f"guided_sim{prune_sim}"]
+        prune_per=fig4_per, seed=seed + 31337, grade=grade, log=log)
+    flush()
+    if f"guided_sim{prune_sim}" in results["arms"]:
+        results["arms"]["unpruned"] = results["arms"][f"guided_sim{prune_sim}"]
+    else:
+        log(f"[fig4] pruning off at num_sim={prune_sim}")
+        results["arms"]["unpruned"] = eval_arm(
+            questions, make_agent, num_sim=prune_sim, value_trust=1.0,
+            prune_per=10**9, seed=seed + 31337, grade=grade, log=log)
+    flush()
 
     # ---- summary table ----
     log("\n| arm | pass@1 (best-leaf) | value-head top-1 | avg leaf acc "

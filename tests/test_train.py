@@ -641,3 +641,53 @@ def test_remat_policy_update_matches_no_remat(pol):
 def test_remat_policy_rejects_unknown():
     with pytest.raises(ValueError, match="remat policy"):
         qwen2.remat_policy("save_everything")
+
+
+def test_rejection_observability_on_filtered_step():
+    """A step where every tree is filtered must say WHY (round-5 item 4).
+
+    With a constant reward fn there is no reward signal anywhere, so every
+    tree is rejected before grouping (this config trips the all-zero
+    v_target filter). Run-3 logged such steps as bare 'loss=0'; now the
+    metrics carry per-filter rejection counts and an explicit skipped
+    marker, and every fired counter lands in metrics.jsonl as a named
+    Rollout/rej_* scalar.
+    """
+    cfg = Qwen2Config.tiny(vocab_size=4096)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    tok = ChatTok()
+    eng = FakeEngine(tok, script=[
+        (r"STEP-2", ["done </think> <answer>4</answer>"]),
+        (r".", ["go </think> on"]),
+    ])
+    args = MTPOConfig(
+        output_dir="/tmp/lapha-train-rej-test", model_name_or_path=None,
+        depth=3, breadth=2, num_sim=4, num_pos_sim=99, prune_per=100,
+        num_groups=4, max_model_len=512, max_prompt_length=256,
+        max_completion_length=32, per_device_train_batch_size=2,
+        num_generations=2, save_steps=0, bf16=False,
+        gradient_checkpointing=False, mesh_model=1, debug_print=False,
+        num_trees=-1,
+    )
+    from lapha_tpu.train.trainer import MTPOTrainer
+
+    dataset = [{"question": "what is 2+2?", "ground_truth": "4",
+                "support_material_path": []}]
+    trainer = MTPOTrainer(
+        model=(params, cfg), agent_cls_list=[PoorAgent], args=args,
+        reward_fns=[lambda c, gt: 1.0],  # everything correct -> avgAcc=1
+        train_dataset=dataset, tokenizer=tok,
+    )
+    trainer.engine = eng
+    m = trainer.train_step(dataset)
+    assert m["loss"] == 0.0 and m["n_samples"] == 0
+    assert m["skipped"] == "no_trainable_groups"
+    fired = {k: v for k, v in m.items() if k.startswith("rej_") and v}
+    assert fired, "a fully-filtered step must name at least one filter"
+    assert m.get("rej_trees_no_v_signal", 0) >= 1  # this config's filter
+    # the named scalars landed in metrics.jsonl too
+    lines = [json.loads(l) for l in
+             open(os.path.join(args.output_dir, "metrics.jsonl"))]
+    names = {l["name"] for l in lines}
+    for k in fired:
+        assert f"Rollout/{k}" in names
