@@ -63,7 +63,17 @@ class DiffusionEngine(Engine):
     prefill (_prefill_rows) and wave batching; only the token-production
     loop differs. Serves SDAR-class checkpoints: Qwen2-family bodies with
     a reserved [MASK] token id (JetEngine's ``mask_token_id``).
+
+    Composes with continuous batching (``auto_continuous=True`` or an
+    explicit :class:`~.scheduler.ContinuousEngine`): the scheduler's
+    persistent batch then advances one committed BLOCK per chunk via
+    :meth:`_diff_chunk_impl` — block-quantized column growth is
+    compatible with slot admission/compaction because every chunk
+    boundary is a commit boundary (no half-denoised block ever persists
+    between dispatches).
     """
+
+    decode_kind = "diffusion"
 
     def __init__(self, params, cfg, tokenizer, *,
                  mask_token_id: int,
@@ -75,10 +85,6 @@ class DiffusionEngine(Engine):
         if kw.get("spec_decode") or kw.get("seq_mesh") is not None:
             raise ValueError("diffusion generation does not compose with "
                              "spec_decode/seq_mesh")
-        if kw.get("auto_continuous"):
-            raise ValueError("diffusion does not compose with "
-                             "auto_continuous (the scheduler's persistent "
-                             "batch decodes autoregressively)")
         if kw.pop("collect_h0", False):
             raise ValueError("diffusion generation does not collect h0 "
                              "(value-mode MCTS drives the AR Engine)")
@@ -115,6 +121,56 @@ class DiffusionEngine(Engine):
             self._diffusion_impl,
             static_argnames=("Lp", "Tb", "nblocks", "steps", "strategy",
                              "static_top_k"))
+        # continuous-batching variant: one committed block over the
+        # scheduler's persistent prefill-layout cache per dispatch.
+        # ck/cv are returned, so donation aliases the persistent cache
+        # instead of double-buffering it every chunk.
+        self._diff_chunk_jit = jax.jit(
+            self._diff_chunk_impl, donate_argnums=(1, 2),
+            static_argnames=("Tb", "steps", "strategy", "static_top_k"))
+
+    # ------------------------------------------------------------- reveal
+    def _reveal_step(self, logits, blk_tok, blk_masked, blk_lp, d, key, *,
+                     temperature, top_k, top_p, min_p, threshold,
+                     Tb: int, steps: int, strategy: str, static_top_k: int):
+        """One denoise step: sample every position, reveal per strategy.
+
+        Shared by the sync loop (:meth:`_diffusion_impl`) and the
+        continuous-batching chunk (:meth:`_diff_chunk_impl`). Returns the
+        updated (blk_tok, blk_masked, blk_lp, key)."""
+        B = blk_tok.shape[0]
+        k_reveal = max(1, math.ceil(Tb / steps))
+        key, sub = jax.random.split(key)
+        flat = logits.reshape(B * Tb, -1).astype(jnp.float32)
+        # the model must not reveal [MASK] itself
+        flat = flat.at[:, self.mask_token_id].set(NEG_INF)
+        rep = lambda v: (None if v is None else jnp.repeat(v, Tb, axis=0))
+        cand_f, lp_f = sampling.sample(
+            flat, sub, temperature=rep(temperature),
+            top_k=rep(top_k), top_p=rep(top_p), min_p=rep(min_p),
+            static_top_k=static_top_k, approx_top_k=self.approx_top_k)
+        cand = cand_f.reshape(B, Tb)
+        cand_lp = lp_f.reshape(B, Tb)
+        conf = jnp.exp(cand_lp)
+        conf_m = jnp.where(blk_masked, conf, -jnp.inf)
+        if strategy == "low_confidence_dynamic":
+            top1 = jax.nn.one_hot(jnp.argmax(conf_m, axis=1), Tb,
+                                  dtype=jnp.bool_)
+            reveal = blk_masked & ((conf >= threshold[:, None]) | top1)
+        elif strategy == "low_confidence_static":
+            # rank by confidence among masked (exact count via
+            # double-argsort rank; Tb is tiny so the sort is free)
+            rank = jnp.argsort(jnp.argsort(-conf_m, axis=1), axis=1)
+            reveal = blk_masked & (rank < k_reveal)
+        else:  # sequential: leftmost masked positions
+            midx = jnp.where(blk_masked, jnp.arange(Tb)[None, :], Tb)
+            rank = jnp.argsort(jnp.argsort(midx, axis=1), axis=1)
+            reveal = blk_masked & (rank < k_reveal)
+        last = (d + 1) >= steps
+        reveal = jnp.where(last, blk_masked, reveal)
+        return (jnp.where(reveal, cand, blk_tok),
+                blk_masked & ~reveal,
+                jnp.where(reveal, cand_lp, blk_lp), key)
 
     # ---------------------------------------------------------------- loop
     def _diffusion_impl(self, params, ck, cv, lens, fin0, key, temperature,
@@ -134,7 +190,6 @@ class DiffusionEngine(Engine):
         S = ck.shape[2]
         eos_ids = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
         mask_id = self.mask_token_id
-        k_reveal = max(1, math.ceil(Tb / steps))  # static per-step quota
         j = jnp.arange(S)[None, :]  # (1, S) slot index
 
         def body(st):
@@ -162,41 +217,13 @@ class DiffusionEngine(Engine):
 
             def denoise(op):
                 out, out_lp, key = op
-                key, sub = jax.random.split(key)
-                flat = logits.reshape(B * Tb, -1).astype(jnp.float32)
-                # the model must not reveal [MASK] itself
-                flat = flat.at[:, mask_id].set(NEG_INF)
-                rep = lambda v: (None if v is None else
-                                 jnp.repeat(v, Tb, axis=0))
-                cand_f, lp_f = sampling.sample(
-                    flat, sub, temperature=rep(temperature),
-                    top_k=rep(top_k), top_p=rep(top_p), min_p=rep(min_p),
-                    static_top_k=static_top_k,
-                    approx_top_k=self.approx_top_k)
-                cand = cand_f.reshape(B, Tb)
-                cand_lp = lp_f.reshape(B, Tb)
-                conf = jnp.exp(cand_lp)
-                conf_m = jnp.where(blk_masked, conf, -jnp.inf)
-                if strategy == "low_confidence_dynamic":
-                    top1 = jax.nn.one_hot(jnp.argmax(conf_m, axis=1), Tb,
-                                          dtype=jnp.bool_)
-                    reveal = blk_masked & ((conf >= threshold[:, None]) | top1)
-                elif strategy == "low_confidence_static":
-                    # rank by confidence among masked (exact count via
-                    # double-argsort rank; Tb is tiny so the sort is free)
-                    rank = jnp.argsort(jnp.argsort(-conf_m, axis=1), axis=1)
-                    reveal = blk_masked & (rank < k_reveal)
-                else:  # sequential: leftmost masked positions
-                    midx = jnp.where(blk_masked, jnp.arange(Tb)[None, :], Tb)
-                    rank = jnp.argsort(jnp.argsort(midx, axis=1), axis=1)
-                    reveal = blk_masked & (rank < k_reveal)
-                last = (d + 1) >= steps
-                reveal = jnp.where(last, blk_masked, reveal)
-                return (b, d + 1,
-                        jnp.where(reveal, cand, blk_tok),
-                        blk_masked & ~reveal,
-                        jnp.where(reveal, cand_lp, blk_lp),
-                        out, out_lp, finished, key)
+                tok2, msk2, lp2, key2 = self._reveal_step(
+                    logits, blk_tok, blk_masked, blk_lp, d, key,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    min_p=min_p, threshold=threshold, Tb=Tb, steps=steps,
+                    strategy=strategy, static_top_k=static_top_k)
+                return (b, d + 1, tok2, msk2, lp2,
+                        out, out_lp, finished, key2)
 
             (b2, d2, tok2, msk2, lp2, out2, olp2, fin2, key2) = jax.lax.cond(
                 entry_clean, commit, denoise, (out, out_lp, key))
@@ -216,6 +243,78 @@ class DiffusionEngine(Engine):
                 fin0, key, jnp.zeros((), jnp.int32))
         st = jax.lax.while_loop(cond, body, init)
         return st[7], st[8], st[9], st[11]
+
+    # ----------------------------------------------------- continuous chunk
+    def _diff_chunk_impl(self, params, ck, cv, lens, dstart, fin, emitted,
+                         budget, col, key, temperature, top_k, top_p,
+                         min_p, threshold, *, Tb: int, steps: int,
+                         strategy: str, static_top_k: int):
+        """One COMMITTED block over the scheduler's persistent batch.
+
+        ck/cv: prefill-layout persistent cache (L, B, S, nkv, dh); row r's
+        prompt lives at slots [0, lens[r]) and its committed decode tokens
+        at [dstart[r], col). This dispatch denoises the block at columns
+        [col, col + Tb) to fully revealed and commits it (the entry-clean
+        forward recomputes the block's K/V from clean tokens, same
+        invariant as :meth:`_diffusion_impl`). Chunk boundaries are
+        therefore commit boundaries: the scheduler may admit rows or
+        compact columns between dispatches without ever observing a
+        half-denoised block. All sampling knobs are per-row (B,) vectors —
+        the persistent batch mixes requests.
+
+        Returns (ck, cv, blk_tok (B,Tb), blk_lp, fin, emitted, n_forwards).
+        """
+        cfg = self.cfg
+        B = ck.shape[1]
+        S = ck.shape[2]
+        eos_ids = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        j = jnp.arange(S)[None, :]
+        # row r's absolute position of the block start = prompt len +
+        # tokens decoded so far (col - dstart[r] columns, all committed)
+        pos = (lens + (col - dstart))[:, None] + jnp.arange(Tb)[None, :]
+        kvv = (j < lens[:, None]) | ((j >= dstart[:, None]) & (j < col + Tb))
+
+        def body(st):
+            (ck, cv, d, blk_tok, blk_masked, blk_lp, fin2, em2, done,
+             key, nfwd) = st
+            logits, _, (ck2, cv2) = qwen2.forward(
+                params, cfg, blk_tok, positions=pos, kv_cache=(ck, cv),
+                cache_pos=col, kv_valid=kvv, block_bidir=True)
+            entry_clean = ~jnp.any(blk_masked)
+
+            def commit(op):
+                fin2, em2, key = op
+                has_eos = jnp.any(
+                    blk_tok[:, :, None] == eos_ids[None, None, :],
+                    axis=(1, 2))
+                em3 = jnp.where(fin, em2, em2 + Tb)  # fin rows don't emit
+                fin3 = fin2 | has_eos | (em3 >= budget)
+                return (blk_tok, blk_masked, blk_lp, fin3, em3,
+                        jnp.ones((), jnp.bool_), key)
+
+            def denoise(op):
+                fin2, em2, key = op
+                tok2, msk2, lp2, key2 = self._reveal_step(
+                    logits, blk_tok, blk_masked, blk_lp, d, key,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    min_p=min_p, threshold=threshold, Tb=Tb, steps=steps,
+                    strategy=strategy, static_top_k=static_top_k)
+                return (tok2, msk2, lp2, fin2, em2,
+                        jnp.zeros((), jnp.bool_), key2)
+
+            tok2, msk2, lp2, fin3, em3, done2, key2 = jax.lax.cond(
+                entry_clean, commit, denoise, (fin2, em2, key))
+            return (ck2, cv2, d + 1, tok2, msk2, lp2, fin3, em3, done2,
+                    key2, nfwd + 1)
+
+        init = (ck, cv, jnp.zeros((), jnp.int32),
+                jnp.full((B, Tb), self.mask_token_id, jnp.int32),
+                jnp.ones((B, Tb), jnp.bool_),
+                jnp.zeros((B, Tb), jnp.float32),
+                fin, emitted, jnp.zeros((), jnp.bool_), key,
+                jnp.zeros((), jnp.int32))
+        st = jax.lax.while_loop(lambda s: ~s[8], body, init)
+        return st[0], st[1], st[3], st[5], st[6], st[7], st[10]
 
     # ------------------------------------------------------------ generate
     def _generate_chunk(self, prompts: list[str], sp, n: int,

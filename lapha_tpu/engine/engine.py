@@ -49,6 +49,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 class Engine:
+    # how the ContinuousEngine advances this engine's persistent batch:
+    # "ar" = one token per row per step (engine._decode_jit);
+    # "diffusion" = one committed block per chunk (DiffusionEngine)
+    decode_kind = "ar"
+
     def __init__(
         self,
         params: Any,

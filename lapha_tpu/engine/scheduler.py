@@ -105,6 +105,15 @@ class ContinuousEngine:
         self.slab = int(prompt_slab or (self.S // 2))
         assert 0 < self.slab < self.S
         self.chunk = int(chunk or engine.decode_chunk)
+        # DiffusionEngine composes: the persistent batch advances one
+        # committed BLOCK per chunk (engine._diff_chunk_impl) instead of
+        # `chunk` AR tokens. Chunk boundaries are commit boundaries, so
+        # admission and compaction slot in unchanged; the cache lives in
+        # PREFILL layout (L,B,S,nkv,dh) because the denoise forward is
+        # qwen2.forward(block_bidir=True), not decode_step.
+        self.diffusion = getattr(engine, "decode_kind", "ar") == "diffusion"
+        if self.diffusion:
+            self.chunk = int(engine.block_length)
         self.slots = make_slot_allocator(self.B)
         # Persistent-cache attention strategy, A/B-measured on v5e at the
         # S=4096/B=48/lens~500 shape, full 1.5B decode step
@@ -141,7 +150,7 @@ class ContinuousEngine:
         self.ragged = (jax.default_backend() == "tpu"
                        and cfg.head_dim_ % 128 == 0 and self.S % 256 == 0
                        and self.S >= 2048 and not self.kv_quant
-                       and not self.seq)
+                       and not self.seq and not self.diffusion)
 
         self._queue: list[_Request] = []
         self._cv = threading.Condition()
@@ -219,12 +228,16 @@ class ContinuousEngine:
         cfg = eng.cfg
         B, S = self.B, self.S
         kv_dtype = jnp.int8 if self.kv_quant == "int8" else cfg.dtype
-        # decode cache layout (L, B, nkv, S, dh) — qwen2.decode_step
+        # decode cache layout (L, B, nkv, S, dh) — qwen2.decode_step;
+        # diffusion keeps PREFILL layout (L, B, S, nkv, dh) for
+        # qwen2.forward(block_bidir=True)
+        kshape = ((cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+                   cfg.head_dim_) if self.diffusion else
+                  (cfg.num_hidden_layers, B, cfg.num_key_value_heads,
+                   S, cfg.head_dim_))
         self._state = dict(
-            ck=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
-                          S, cfg.head_dim_), kv_dtype),
-            cv=jnp.zeros((cfg.num_hidden_layers, B, cfg.num_key_value_heads,
-                          S, cfg.head_dim_), kv_dtype),
+            ck=jnp.zeros(kshape, kv_dtype),
+            cv=jnp.zeros(kshape, kv_dtype),
             scale=(tuple(jnp.full((cfg.num_hidden_layers, B,
                                    cfg.num_key_value_heads, S), 1e-12,
                                   jnp.float32) for _ in range(2))
@@ -242,8 +255,16 @@ class ContinuousEngine:
             min_p=np.zeros((B,), np.float32),
             rep_pen=np.full((B,), 1.0, np.float32),
             top_k=np.full((B,), -1, np.int32),
+            thr=np.full((B,), getattr(eng, "dynamic_threshold", 0.9),
+                        np.float32),
             col=self.slab,
         )
+        if self.diffusion:
+            # presence/last_logits are AR-decode state (repetition
+            # penalty, first-step logits); the diffusion chunk samples
+            # from the block forward directly
+            self._state["presence"] = None
+            self._state["last_logits"] = None
         if self.seq:
             # persistent residency on the sequence shards: decode_step_seq's
             # shard_map then never reshards the cache between chunks
@@ -258,14 +279,23 @@ class ContinuousEngine:
                 self._state["scale"] = tuple(
                     jax.device_put(s, sspec) for s in self._state["scale"])
 
+    def _budget_cols(self, sp) -> int:
+        """Decode columns a request may consume. Diffusion rounds up to
+        whole blocks: column growth is block-quantized, so a request's
+        reservation must be too."""
+        b = min(int(getattr(sp, "max_tokens", 256) or 256),
+                self.S - self.slab)
+        if self.diffusion:
+            Tb = int(self.engine.block_length)
+            b = -(-b // Tb) * Tb
+        return b
+
     def _admissible(self, req: _Request) -> bool:
         st = self._state
         free = self.slots.available()
         if free < req.n:
             return False
-        budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
-                     self.S - self.slab)
-        return st["col"] + budget <= self.S
+        return st["col"] + self._budget_cols(req.sp) <= self.S
 
     def _admit(self, reqs: list[_Request]):
         """Prefill the new requests (one batched call, prefix-store aware)
@@ -290,18 +320,24 @@ class ContinuousEngine:
         # device-side row installs: KV copy + last logits + presence
         rows_j = jnp.asarray(np.asarray(rows_all, np.int32))
         group_j = jnp.asarray(np.asarray(group_of, np.int32))
-        if self.kv_quant == "int8":
+        if self.diffusion:
+            # same layout both sides — one scatter, no transpose
+            st["ck"], st["cv"] = _install_rows_pf(st["ck"], st["cv"],
+                                                  ck_g, cv_g, group_j, rows_j)
+        elif self.kv_quant == "int8":
             st["ck"], st["cv"], st["scale"] = _install_rows_q(
                 st["ck"], st["cv"], st["scale"], ck_g, cv_g, group_j, rows_j)
         else:
             st["ck"], st["cv"] = _install_rows(st["ck"], st["cv"], ck_g, cv_g,
                                                group_j, rows_j)
-        st["last_logits"] = st["last_logits"].at[rows_j].set(
-            jnp.asarray(last_np)[group_j])
-        pres_rows = np.zeros((len(rows_all), eng.cfg.vocab_size), np.int8)
-        for i, gi in enumerate(group_of):
-            pres_rows[i, np.asarray(reqs[gi].enc, np.int64)] = 1
-        st["presence"] = st["presence"].at[rows_j].set(jnp.asarray(pres_rows))
+        if not self.diffusion:
+            st["last_logits"] = st["last_logits"].at[rows_j].set(
+                jnp.asarray(last_np)[group_j])
+            pres_rows = np.zeros((len(rows_all), eng.cfg.vocab_size), np.int8)
+            for i, gi in enumerate(group_of):
+                pres_rows[i, np.asarray(reqs[gi].enc, np.int64)] = 1
+            st["presence"] = st["presence"].at[rows_j].set(
+                jnp.asarray(pres_rows))
 
         for i, (r, gi) in enumerate(zip(rows_all, group_of)):
             req = reqs[gi]
@@ -320,15 +356,76 @@ class ContinuousEngine:
             st["rep_pen"][r] = float(getattr(sp, "repetition_penalty", 1.0) or 1.0)
             tk = getattr(sp, "top_k", -1)
             st["top_k"][r] = int(-1 if tk is None else tk)
+            thr = getattr(sp, "dynamic_threshold", None)
+            st["thr"][r] = float(getattr(eng, "dynamic_threshold", 0.9)
+                                 if thr is None else thr)
             row = self._rows[r]
             if eng.collect_h0:
                 row.h_gen = h_np[gi].astype(np.float32).copy()
+
+    def _diffusion_chunk(self):
+        """Advance the persistent batch by ONE committed diffusion block
+        (engine._diff_chunk_impl). Active rows gain exactly Tb tokens;
+        host-side EOS trimming and budget fin mirror the AR path."""
+        eng = self.engine
+        st = self._state
+        if not self._rows:
+            return
+        self._seed_counter += 1
+        key = jax.random.key(np.uint32(self._seed_counter * 2654435761 % (2**32)))
+        tks = st["top_k"][~st["fin"]] if (~st["fin"]).any() else st["top_k"]
+        static_top_k = 0 if (tks <= 0).any() else min(
+            eng.cfg.vocab_size, max(64, int(tks.max())))
+        em_before = st["emitted"].copy()
+        Tb = int(eng.block_length)
+
+        out = eng._diff_chunk_jit(
+            eng.params, st["ck"], st["cv"], jnp.asarray(st["lens"]),
+            jnp.asarray(st["dstart"]), jnp.asarray(st["fin"]),
+            jnp.asarray(st["emitted"]), jnp.asarray(st["budget"]),
+            jnp.asarray(st["col"], jnp.int32), key,
+            jnp.asarray(st["temp"]), jnp.asarray(st["top_k"]),
+            jnp.asarray(st["top_p"]), jnp.asarray(st["min_p"]),
+            jnp.asarray(st["thr"]),
+            Tb=Tb, steps=eng.denoising_steps,
+            strategy=eng.remasking_strategy, static_top_k=static_top_k)
+        st["ck"], st["cv"], toks_d, lps_d, fin_d, em_d, nfwd = out
+
+        toks = np.asarray(toks_d)
+        lps = np.asarray(lps_d)
+        st["fin"] = np.array(fin_d)
+        st["emitted"] = np.array(em_d)
+        st["col"] = int(st["col"]) + Tb
+        self.steps_executed += int(nfwd)
+
+        eos_set = set(eng.eos_token_ids)
+        done_rows = []
+        for r, row in self._rows.items():
+            d = int(st["emitted"][r] - em_before[r])
+            if d > 0:
+                # the whole block belongs to this row; budget may trim it
+                take = min(d, Tb, int(st["budget"][r]) - len(row.toks))
+                row.toks.extend(int(t) for t in toks[r, :take])
+                row.lps.extend(float(x) for x in lps[r, :take])
+                row.em = len(row.toks)
+                self._push_delta(row, eos_set)
+            if st["fin"][r]:
+                done_rows.append(r)
+        for r in done_rows:
+            self._finish_row(r)
+
+        if not self._rows:
+            st["col"] = self.slab
+            st["fin"][:] = True
+            self.waves += 1
 
     def _decode_chunk(self):
         eng = self.engine
         st = self._state
         if not self._rows:
             return
+        if self.diffusion:
+            return self._diffusion_chunk()
         self._seed_counter += 1
         key = jax.random.key(np.uint32(self._seed_counter * 2654435761 % (2**32)))
         tks = st["top_k"][~st["fin"]] if (~st["fin"]).any() else st["top_k"]
@@ -469,7 +566,8 @@ class ContinuousEngine:
             n_r = col - d0
             if n_r > 0:
                 idx[r, L0:L0 + n_r] = np.arange(d0, col, dtype=np.int32)
-        st["ck"], st["cv"] = _gather_columns(st["ck"], st["cv"], jnp.asarray(idx))
+        gather = _gather_columns_pf if self.diffusion else _gather_columns
+        st["ck"], st["cv"] = gather(st["ck"], st["cv"], jnp.asarray(idx))
         if st["scale"] is not None:
             st["scale"] = _gather_scale_columns(st["scale"], jnp.asarray(idx))
         for r in self._rows:
@@ -534,9 +632,7 @@ class ContinuousEngine:
         taken = sum(p.n for p in pending)
         if self.slots.available() - taken < req.n:
             return False
-        budget = min(int(getattr(req.sp, "max_tokens", 256) or 256),
-                     self.S - self.slab)
-        return self._state["col"] + budget <= self.S
+        return self._state["col"] + self._budget_cols(req.sp) <= self.S
 
 
 def _fail_request(req: _Request, err: Exception):
@@ -558,6 +654,25 @@ def _gather_columns(ck, cv, idx):
     ix = idx[None, :, None, :, None]
     ck = jnp.take_along_axis(ck, jnp.broadcast_to(ix, ck.shape), axis=3)
     cv = jnp.take_along_axis(cv, jnp.broadcast_to(ix, cv.shape), axis=3)
+    return ck, cv
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _install_rows_pf(ck_big, cv_big, ck_g, cv_g, group_of, rows):
+    """Prefill-layout install (diffusion scheduler): both the group cache
+    and the persistent cache are (L, ·, S, nkv, dh) — one row scatter."""
+    ck_big = ck_big.at[:, rows].set(ck_g[:, group_of])
+    cv_big = cv_big.at[:, rows].set(cv_g[:, group_of])
+    return ck_big, cv_big
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _gather_columns_pf(ck, cv, idx):
+    """Compaction column relocation for the PREFILL-layout cache
+    (L, B, S, nkv, dh): columns live on axis 2."""
+    ix = idx[None, :, :, None, None]
+    ck = jnp.take_along_axis(ck, jnp.broadcast_to(ix, ck.shape), axis=2)
+    cv = jnp.take_along_axis(cv, jnp.broadcast_to(ix, cv.shape), axis=2)
     return ck, cv
 
 

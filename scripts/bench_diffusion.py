@@ -111,6 +111,31 @@ def main():
             remasking_strategy="low_confidence_static", **common)
         v = run(eng, f"diffusion Tb={Tb} steps={steps}")
         results[f"diffusion_s{steps}_tok_s"] = round(v, 1)
+
+    # continuous batching at B > max_batch (round-5: diffusion composes
+    # with the scheduler): 2x the batch routed through auto_continuous —
+    # the persistent batch advances one committed block per chunk while
+    # requests stream through max_batch rows
+    if os.getenv("DF_CONTINUOUS", "1") != "0":
+        steps_c = steps_list[0]
+        eng = DiffusionEngine(
+            params, cfg, IdTok(), mask_token_id=mask_id, block_length=Tb,
+            denoising_steps=steps_c, auto_continuous=True,
+            remasking_strategy="low_confidence_static", **common)
+        big = prompts() + prompts()  # 2*batch > max_batch -> scheduler
+        eng.generate(big[:batch], sp)  # warm the block program
+        t0 = time.time()
+        outs = eng.generate(big, sp)
+        dt = time.time() - t0
+        n_tok = sum(len(o.token_ids) for ro in outs for o in ro.outputs)
+        if eng._auto_sched is not None:
+            eng._auto_sched.stop()
+        v = n_tok / dt
+        print(f"diffusion continuous B={2 * batch}>max_batch={batch} "
+              f"steps={steps_c}: {v:.1f} tok/s ({n_tok} tok / {dt:.2f}s)",
+              flush=True)
+        results["diffusion_continuous_tok_s"] = round(v, 1)
+
     print(json.dumps({"metric": "diffusion_ab", "preset": preset,
                       "batch": batch, "block": Tb, **results}))
 

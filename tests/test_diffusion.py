@@ -237,8 +237,6 @@ def test_diffusion_guards(tiny):
     params, cfg = tiny
     with pytest.raises(ValueError, match="collect h0"):
         make_engine(tiny, collect_h0=True)
-    with pytest.raises(ValueError, match="auto_continuous"):
-        make_engine(tiny, auto_continuous=True)
     with pytest.raises(ValueError, match="kv_quant"):
         make_engine(tiny, kv_quant="int8")
     with pytest.raises(ValueError, match="spec_decode|seq_mesh"):
@@ -266,3 +264,93 @@ def test_jet_adapter_builds_diffusion_engine(tmp_path, monkeypatch):
     out = eng.generate(["hello"], GenParams(n=1, temperature=0.0,
                                             max_tokens=4))[0]
     assert len(out.outputs[0].token_ids) >= 1
+
+
+# --------------------------------------------- continuous batching (round 5)
+def test_diffusion_through_scheduler_greedy_matches_sync(tiny):
+    """ContinuousEngine over a DiffusionEngine: greedy block-diffusion
+    through the persistent batch must equal the sync loop token-for-token
+    (same prefill, same absolute positions, same commit invariant)."""
+    from lapha_tpu.engine import ContinuousEngine
+
+    eng = make_engine(tiny, block_length=4, denoising_steps=4)
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=12)
+    prompts = ["hello there general", "a different prompt entirely"]
+    ref = [r.outputs[0].token_ids for r in eng.generate(prompts, sp)]
+    ce = ContinuousEngine(eng, prompt_slab=64)
+    assert ce.diffusion and ce.chunk == 4 and not ce.ragged
+    ce.start()
+    try:
+        got = [r.outputs[0].token_ids for r in ce.generate(prompts, sp)]
+    finally:
+        ce.stop()
+    assert got == ref
+    assert all(len(t) == 12 for t in got)
+
+
+def test_diffusion_scheduler_late_request_interleaves(tiny):
+    """A short request submitted mid-wave of a long one finishes first —
+    the continuous-batching property, now for block-diffusion."""
+    import time
+
+    from lapha_tpu.engine import ContinuousEngine
+
+    eng = make_engine(tiny, block_length=4, denoising_steps=2)
+    ce = ContinuousEngine(eng, prompt_slab=64)
+    ce.start()
+    try:
+        t0 = time.time()
+        fa = ce.submit("long running request", SamplingParams(
+            n=1, temperature=0.0, max_tokens=48))
+        time.sleep(0.3)
+        fb = ce.submit("short", SamplingParams(
+            n=1, temperature=0.0, max_tokens=4))
+        rb = fb.result(timeout=120)
+        tb = time.time() - t0
+        ra = fa.result(timeout=120)
+        ta = time.time() - t0
+    finally:
+        ce.stop()
+    assert len(rb.outputs[0].token_ids) == 4
+    assert len(ra.outputs[0].token_ids) == 48
+    assert tb < ta
+
+
+def test_diffusion_scheduler_budget_trims_mid_block(tiny):
+    """max_tokens that is NOT a block multiple: the row emits whole
+    blocks on-device but the host trims to the requested budget."""
+    from lapha_tpu.engine import ContinuousEngine
+
+    eng = make_engine(tiny, block_length=4, denoising_steps=2)
+    ce = ContinuousEngine(eng, prompt_slab=64)
+    ce.start()
+    try:
+        out = ce.generate(["trim me"], SamplingParams(
+            n=1, temperature=0.0, max_tokens=6))[0]
+    finally:
+        ce.stop()
+    assert len(out.outputs[0].token_ids) == 6
+    assert out.outputs[0].finish_reason == "length"
+    # sync path agrees on the shared prefix
+    ref = eng.generate(["trim me"], SamplingParams(
+        n=1, temperature=0.0, max_tokens=6))[0]
+    assert out.outputs[0].token_ids == ref.outputs[0].token_ids
+
+
+def test_diffusion_auto_continuous_oversized_batch(tiny):
+    """auto_continuous now composes with diffusion: a batch larger than
+    max_batch routes through the internal scheduler and matches the
+    sync waves output greedily."""
+    eng_sync = make_engine(tiny, block_length=4, denoising_steps=2,
+                           max_batch=2)
+    eng_auto = make_engine(tiny, block_length=4, denoising_steps=2,
+                           max_batch=2, auto_continuous=True)
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=8)
+    prompts = ["first prompt", "second one", "third entry", "and a fourth"]
+    ref = [r.outputs[0].token_ids for r in eng_sync.generate(prompts, sp)]
+    try:
+        got = [r.outputs[0].token_ids for r in eng_auto.generate(prompts, sp)]
+    finally:
+        if eng_auto._auto_sched is not None:
+            eng_auto._auto_sched.stop()
+    assert got == ref
