@@ -259,9 +259,11 @@ def _split_kv_b(cfg: DeepseekConfig, p: dict, dtype):
 def _mla_attend_full(cfg: DeepseekConfig, q, k, v, mask, key_mask):
     """Prefill/training attention on per-head expanded K/V.
 
-    q/k: (B, T, nh, qk_head_dim), v: (B, T, nh, v_head_dim). Flash (the
-    Pallas kernel) pads V up to qk_head_dim exactly as HF's
-    flash_attention_2 path does, then slices the output back."""
+    q/k: (B, T, nh, qk_head_dim), v: (B, T, nh, v_head_dim). The flash
+    kernel supports a V narrower than Q/K natively (round 5) — scores on
+    the 192-wide rope+nope Q/K, combines on the 128-wide V, so V/dO
+    traffic stays at v_head_dim (HF's flash_attention_2 path pads V up to
+    qk_head_dim instead and pays +50% V bandwidth)."""
     impl = str(cfg.attn_impl).lower()
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
@@ -269,12 +271,9 @@ def _mla_attend_full(cfg: DeepseekConfig, q, k, v, mask, key_mask):
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention
 
-        dv, dq = cfg.v_head_dim, cfg.qk_head_dim_
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dq - dv)))
-        out = flash_attention(q, k, vp, key_mask, causal=True,
-                              scale=cfg.attn_scale_, window=0, softcap=0.0,
-                              interpret=not on_tpu)
-        return out[..., :dv]
+        return flash_attention(q, k, v, key_mask, causal=True,
+                               scale=cfg.attn_scale_, window=0, softcap=0.0,
+                               interpret=not on_tpu)
     return _mla_attend_dense(cfg, q, k, v, mask)
 
 
@@ -367,10 +366,10 @@ def _mla_attend_dense(cfg: DeepseekConfig, q, k, v, mask):
 
 def _mla_attend_cached(cfg: DeepseekConfig, q, k, v, mask, key_mask, qstart):
     """Cache-threaded (engine prefill) attention: rectangular flash over
-    the whole cache (ops/flash_attention.flash_attention_cached) with V
-    padded to qk_head_dim exactly like _mla_attend_full, dense fallback
-    off-kernel. ``key_mask`` (B, S) cache-column validity; queries sit at
-    absolute positions ``qstart[b] + t``."""
+    the whole cache (ops/flash_attention.flash_attention_cached) with
+    NATIVE narrow V (v_head_dim < qk_head_dim; no padding tax — round 5),
+    dense fallback off-kernel. ``key_mask`` (B, S) cache-column validity;
+    queries sit at absolute positions ``qstart[b] + t``."""
     impl = str(cfg.attn_impl).lower()
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = impl in ("pallas", "flash", "flash_attention_2") or (
@@ -378,12 +377,9 @@ def _mla_attend_cached(cfg: DeepseekConfig, q, k, v, mask, key_mask, qstart):
     if use_pallas and key_mask is not None:
         from ..ops.flash_attention import flash_attention_cached
 
-        dv, dq = cfg.v_head_dim, cfg.qk_head_dim_
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dq - dv)))
-        out = flash_attention_cached(q, k, vp, key_mask, qstart,
-                                     scale=cfg.attn_scale_,
-                                     interpret=not on_tpu)
-        return out[..., :dv]
+        return flash_attention_cached(q, k, v, key_mask, qstart,
+                                      scale=cfg.attn_scale_,
+                                      interpret=not on_tpu)
     return _mla_attend_dense(cfg, q, k, v, mask)
 
 

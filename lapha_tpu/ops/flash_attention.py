@@ -46,7 +46,11 @@ NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int,
                   block_k: int, scale: float, causal: bool, window: int = 0,
                   softcap: float = 0.0):
-    dh = q_ref.shape[-1]
+    # V (and therefore the output/accumulator) may be NARROWER than Q/K:
+    # MLA scores on qk_head_dim=192 but combines on v_head_dim=128
+    # (models/deepseek.py) — splitting the widths saves the +50% V traffic
+    # a padded-V kernel would pay
+    dv = v_ref.shape[-1]
     q = q_ref[0].astype(jnp.float32) * scale  # (Bq, dh)
     T = k_ref.shape[1]
     qb = pl.program_id(1)
@@ -90,7 +94,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, block_q: int
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    a0 = jnp.zeros((block_q, dh), jnp.float32)
+    a0 = jnp.zeros((block_q, dv), jnp.float32)
     m, l, acc = jax.lax.fori_loop(kb_start, n_loop, body, (m0, l0, a0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     # logsumexp of the SCALED scores; NEG_INF rows (no valid key) stay NEG_INF
@@ -214,7 +218,7 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, mask_ref, lse_ref, d_ref,
         qb_end = jnp.minimum(
             n_qb, (kb * block_k + block_k - 1 + window - 1) // block_q + 1)
     dk0 = jnp.zeros((block_k, dh), jnp.float32)
-    dv0 = jnp.zeros((block_k, dh), jnp.float32)
+    dv0 = jnp.zeros((block_k, v_ref.shape[-1]), jnp.float32)  # dv may != dh
     dk, dv = jax.lax.fori_loop(qb_start, qb_end, body, (dk0, dv0))
     dk = dk * scale
 
@@ -348,7 +352,10 @@ def flash_attention(
     softcap: float = 0.0,
     sinks: jax.Array | None = None,
 ) -> jax.Array:
-    """Flash attention, differentiable. q:(B,T,nh,dh) k,v:(B,T,nkv,dh),
+    """Flash attention, differentiable. q:(B,T,nh,dh) k:(B,T,nkv,dh),
+    v:(B,T,nkv,dv) — dv may be NARROWER than dh (MLA scores on
+    qk_head_dim=192, combines on v_head_dim=128; the output is then
+    (B,T,nh,dv) and V/dO traffic stays at dv width, no padding tax).
     mask:(B,T) key validity. ``window`` > 0 bands the causal mask to the
     last ``window`` positions (sliding-window attention, Mistral-style;
     static, so out-of-band blocks are skipped, not just masked).
@@ -431,7 +438,7 @@ def _flash_cached_kernel(qstart_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    a0 = jnp.zeros((block_q, dh), jnp.float32)
+    a0 = jnp.zeros((block_q, v_ref.shape[-1]), jnp.float32)  # dv may != dh
     m, l, acc = jax.lax.fori_loop(kb_start, n_loop, body, (m0, l0, a0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
@@ -449,6 +456,7 @@ def _flash_cached_forward(q, k, v, kv_valid, qstart, *, window=0,
     B, T, nh, dh = q.shape
     S = k.shape[1]
     nkv = k.shape[2]
+    dv = v.shape[-1]  # may be narrower than dh (MLA)
     group = nh // nkv
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
 
@@ -463,7 +471,7 @@ def _flash_cached_forward(q, k, v, kv_valid, qstart, *, window=0,
 
     qr = q.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dh)
     kr = k.transpose(0, 2, 1, 3).reshape(B * nkv, Sp, dh)
-    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Sp, dh)
+    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Sp, dv)
     qstart = jnp.broadcast_to(jnp.asarray(qstart, jnp.int32).reshape(-1), (B,))
 
     kv_map = lambda i, j, qs, _nh=nh, _g=group, _nkv=nkv: (
@@ -478,20 +486,20 @@ def _flash_cached_forward(q, k, v, kv_valid, qstart, *, window=0,
             in_specs=[
                 pl.BlockSpec((1, block_q, dh), lambda i, j, qs: (i, j, 0)),
                 pl.BlockSpec((1, Sp, dh), kv_map),
-                pl.BlockSpec((1, Sp, dh), kv_map),
+                pl.BlockSpec((1, Sp, dv), kv_map),
                 pl.BlockSpec((1, 1, Sp),
                              lambda i, j, qs, _nh=nh: (i // _nh, 0, 0)),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_q, dh), lambda i, j, qs: (i, j, 0)),
+                pl.BlockSpec((1, block_q, dv), lambda i, j, qs: (i, j, 0)),
                 pl.BlockSpec((1, 1, Tp), lambda i, j, qs: (i, 0, 0))),
         ),
-        out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dh), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dv), q.dtype),
                    jax.ShapeDtypeStruct((B * nh, 1, Tp), jnp.float32)),
         interpret=interpret,
     )(qstart, qr, kr, vr, kv_valid.reshape(B, 1, Sp).astype(jnp.int32))
 
-    out = out.reshape(B, nh, Tp, dh).transpose(0, 2, 1, 3)
+    out = out.reshape(B, nh, Tp, dv).transpose(0, 2, 1, 3)
     lse = lse.reshape(B, nh, Tp)
     return out[:, :T], lse[:, :, :T]
 
@@ -560,9 +568,11 @@ def _flash_forward(
     scale: float | None = None,
     softcap: float = 0.0,
 ):
-    """Returns (out (B,T,nh,dh), lse (B,nh,T) f32)."""
+    """Returns (out (B,T,nh,dv), lse (B,nh,T) f32). dv = v.shape[-1] may be
+    narrower than dh (MLA: 128-wide V under 192-wide Q/K)."""
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
+    dv = v.shape[-1]
     group = nh // nkv
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
 
@@ -572,7 +582,7 @@ def _flash_forward(
     # grid map (no repeat materialization for GQA)
     qr = q.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dh)
     kr = k.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dh)
-    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dh)
+    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dv)
 
     grid = (B * nh, Tp // block_q)
 
@@ -580,23 +590,23 @@ def _flash_forward(
         functools.partial(_flash_kernel, block_q=block_q, block_k=block_k,
                           scale=scale, causal=causal, window=window,
                           softcap=softcap),
-        out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dh), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B * nh, Tp, dv), q.dtype),
                    jax.ShapeDtypeStruct((B * nh, 1, Tp), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, Tp, dh), lambda i, j, _nh=nh, _g=group, _nkv=nkv:
                          ((i // _nh) * _nkv + (i % _nh) // _g, 0, 0)),
-            pl.BlockSpec((1, Tp, dh), lambda i, j, _nh=nh, _g=group, _nkv=nkv:
+            pl.BlockSpec((1, Tp, dv), lambda i, j, _nh=nh, _g=group, _nkv=nkv:
                          ((i // _nh) * _nkv + (i % _nh) // _g, 0, 0)),
             pl.BlockSpec((1, 1, Tp), lambda i, j, _nh=nh: (i // _nh, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
+        out_specs=(pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0)),
                    pl.BlockSpec((1, 1, Tp), lambda i, j: (i, 0, 0))),
         interpret=interpret,
     )(qr, kr, vr, mask.reshape(B, 1, Tp))
 
-    out = out.reshape(B, nh, Tp, dh).transpose(0, 2, 1, 3)
+    out = out.reshape(B, nh, Tp, dv).transpose(0, 2, 1, 3)
     lse = lse.reshape(B, nh, Tp)
     return out[:, :T], lse[:, :, :T]
 
@@ -610,6 +620,7 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
                     softcap: float = 0.0, delta=None):
     B, T, nh, dh = q.shape
     nkv = k.shape[2]
+    dv_w = v.shape[-1]  # V/dO width; may be narrower than dh (MLA)
     group = nh // nkv
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
     q_dtype, k_dtype, v_dtype = q.dtype, k.dtype, v.dtype
@@ -629,8 +640,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
 
     qr = q.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dh)
     kr = k.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dh)
-    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dh)
-    dor = do.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dh)
+    vr = v.transpose(0, 2, 1, 3).reshape(B * nkv, Tp, dv_w)
+    dor = do.transpose(0, 2, 1, 3).reshape(B * nh, Tp, dv_w)
     lser = lse.reshape(B * nh, 1, Tp)
     dr = d.transpose(0, 2, 1).reshape(B * nh, 1, Tp)
     maskr = mask.reshape(B, 1, Tp)
@@ -647,9 +658,9 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),   # q
             pl.BlockSpec((1, Tp, dh), kv_map),                        # k panel
-            pl.BlockSpec((1, Tp, dh), kv_map),                        # v panel
+            pl.BlockSpec((1, Tp, dv_w), kv_map),                      # v panel
             pl.BlockSpec((1, 1, Tp), lambda i, j, _nh=nh: (i // _nh, 0, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),   # do
+            pl.BlockSpec((1, block_q, dv_w), lambda i, j: (i, j, 0)),  # do
             pl.BlockSpec((1, 1, Tp), lambda i, j: (i, 0, 0)),         # lse
             pl.BlockSpec((1, 1, Tp), lambda i, j: (i, 0, 0)),         # D
         ],
@@ -663,23 +674,23 @@ def _flash_backward(q, k, v, mask, out, lse, do, *, causal: bool,
                           scale=scale, causal=causal, window=window,
                           softcap=softcap),
         out_shape=(jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32),
-                   jax.ShapeDtypeStruct((B * nkv, Tp, dh), jnp.float32)),
+                   jax.ShapeDtypeStruct((B * nkv, Tp, dv_w), jnp.float32)),
         grid=(B * nkv, Tp // block_k, group),
         in_specs=[
             pl.BlockSpec((1, block_k, dh), lambda i, kb, g: (i, kb, 0)),   # k
-            pl.BlockSpec((1, block_k, dh), lambda i, kb, g: (i, kb, 0)),   # v
+            pl.BlockSpec((1, block_k, dv_w), lambda i, kb, g: (i, kb, 0)),  # v
             pl.BlockSpec((1, Tp, dh), lambda i, kb, g, _g=group: (i * _g + g, 0, 0)),  # q panel
-            pl.BlockSpec((1, Tp, dh), lambda i, kb, g, _g=group: (i * _g + g, 0, 0)),  # do panel
+            pl.BlockSpec((1, Tp, dv_w), lambda i, kb, g, _g=group: (i * _g + g, 0, 0)),  # do panel
             pl.BlockSpec((1, 1, Tp), lambda i, kb, g, _nkv=nkv: (i // _nkv, 0, 0)),
             pl.BlockSpec((1, 1, Tp), lambda i, kb, g, _g=group: (i * _g + g, 0, 0)),  # lse
             pl.BlockSpec((1, 1, Tp), lambda i, kb, g, _g=group: (i * _g + g, 0, 0)),  # D
         ],
         out_specs=(pl.BlockSpec((1, block_k, dh), lambda i, kb, g: (i, kb, 0)),
-                   pl.BlockSpec((1, block_k, dh), lambda i, kb, g: (i, kb, 0))),
+                   pl.BlockSpec((1, block_k, dv_w), lambda i, kb, g: (i, kb, 0))),
         interpret=interpret,
     )(kr, vr, qr, dor, maskr, lser, dr)
 
     dq = dq.reshape(B, nh, Tp, dh).transpose(0, 2, 1, 3)[:, :T]
     dk = dk.reshape(B, nkv, Tp, dh).transpose(0, 2, 1, 3)[:, :T].astype(k_dtype)
-    dv = dv.reshape(B, nkv, Tp, dh).transpose(0, 2, 1, 3)[:, :T].astype(v_dtype)
+    dv = dv.reshape(B, nkv, Tp, dv_w).transpose(0, 2, 1, 3)[:, :T].astype(v_dtype)
     return dq, dk, dv

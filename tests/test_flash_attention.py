@@ -520,3 +520,76 @@ def test_cached_prefill_pallas_windowed_sinks():
         res[name] = np.asarray(lg)
     np.testing.assert_allclose(res["pallas"], res["dense"],
                                rtol=2e-3, atol=2e-3)
+
+
+# ------------------------------------------------- mixed V width (MLA, r5)
+def _dense_mixed(q, k, v, mask, scale):
+    """Plain softmax attention with independent V width (f32)."""
+    B, T, nh, dh = q.shape
+    nkv = k.shape[2]
+    k = jnp.repeat(k, nh // nkv, axis=2)
+    v = jnp.repeat(v, nh // nkv, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    m = jnp.tril(jnp.ones((T, T), bool))[None, None] & (mask[:, None, None, :] > 0)
+    s = jnp.where(m, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("dh,dv", [(48, 32), (64, 32)])
+def test_flash_narrow_v_matches_dense(dh, dv):
+    """V narrower than Q/K (MLA: 192-wide scores, 128-wide combine) —
+    the kernel must not require padding V up to the Q/K width."""
+    B, T, nh, nkv = 2, 64, 4, 2
+    scale = 0.17
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dv)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 5:] = 0
+    mask = jnp.asarray(mask)
+    out = flash_attention(q, k, v, mask, causal=True, block_q=32,
+                          block_k=32, interpret=True, scale=scale)
+    assert out.shape == (B, T, nh, dv)
+    ref = _dense_mixed(q, k, v, mask, scale)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=2e-4, atol=2e-4)
+    # and the padded-V route must agree with the native narrow-V route
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dh - dv)))
+    out_pad = flash_attention(q, k, vp, mask, causal=True, block_q=32,
+                              block_k=32, interpret=True, scale=scale)
+    np.testing.assert_allclose(np.asarray(out)[valid],
+                               np.asarray(out_pad)[valid][..., :dv],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_narrow_v_backward_matches_dense():
+    B, T, nh, nkv, dh, dv = 2, 64, 4, 2, 48, 32
+    scale = 1.0 / np.sqrt(dh)
+    q = jnp.asarray(rng.normal(size=(B, T, nh, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, dv)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[0, T - 9:] = 0
+    mask = jnp.asarray(mask)
+    g_out = jnp.asarray(rng.normal(size=(B, T, nh, dv)).astype(np.float32))
+    g_out = g_out * mask[:, :, None, None].astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, causal=True, block_q=32,
+                            block_k=32, interpret=True, scale=scale)
+        return jnp.sum(o * g_out)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_mixed(q, k, v, mask, scale) * g_out)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    valid = np.asarray(mask) > 0
+    for name, a, b in zip("qkv", gf, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "q":
+            a, b = a[valid], b[valid]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name}")
