@@ -57,6 +57,9 @@ Env knobs (defaults = the committed run):
                   high enough that chain errors are SAMPLING noise the
                   representation can flag, not missing knowledge)
   SFT_MAX_STEPS   SFT step cap (12000)
+  CHOICE_TARGET   also require the CHOICE probe (nav lookahead op) to
+                  reach this before SFT stops (0 = committed runs 2/3;
+                  run 5 uses 0.9 so the latent encodes the decision)
   RL_STEPS        MTPOTrainer steps (24)
   N_EVAL          held-out eval questions (24)
   SIMS            comma list of num_sim points ("8,32,128")
@@ -350,10 +353,18 @@ def expert_pairs(tok: DemoTok, ex: dict, depth: int):
 
 # --------------------------------------------------------------- SFT warmup
 def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
-               sample_fn=None, len_lo=2, len_hi=4,
+               sample_fn=None, len_lo=2, len_hi=4, choice_target=0.0,
                batch=64, seqlen=224, lr=3e-3, log=print):
     """Teacher-forced CE on expert traces; stop at target per-fact holdout
     accuracy so the policy is deliberately imperfect.
+
+    ``choice_target`` > 0 additionally requires the CHOICE probe (the op
+    token opening each step — nav's lookahead decision) to reach that
+    accuracy before stopping. fig2's premise is that the policy's hidden
+    state ENCODES the decision-relevant state; a run-3/4 policy stopped at
+    fact 0.96 / choice 0.61 demonstrably does not (probe_value_head.py
+    round-5 separability probe), so run 5 trains the representation first
+    and leaves imperfection to sampling temperature instead.
 
     f32 master weights during SFT (cast back to the model dtype at the
     end): bf16 params plateau early — once the cosine-decayed update drops
@@ -457,7 +468,7 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
             acc, choice = float(a), float(c)
             log(f"[sft {it + 1}] loss={float(loss):.4f} "
                 f"fact_acc={acc:.3f} choice_acc={choice:.3f}")
-            if acc >= target_acc:
+            if acc >= target_acc and choice >= choice_target:
                 break
     params = jax.tree.map(lambda x: x.astype(model_dtype)
                           if x.dtype == jnp.float32 else x, params)
@@ -599,7 +610,8 @@ def main():
             target_acc=sft_target,
             max_steps=int(os.getenv("SFT_MAX_STEPS", "12000")),
             depth=depth, sample_fn=sample_fn, len_lo=sft_lo,
-            len_hi=sft_hi, log=log)
+            len_hi=sft_hi, log=log,
+            choice_target=float(os.getenv("CHOICE_TARGET", "0")))
         log(f"[demo] SFT done in {time.time() - t0:.0f}s "
             f"fact_acc={fact_acc:.3f} choice_acc={choice_acc:.3f}")
         leaves = jax.tree.leaves(params)
@@ -648,10 +660,13 @@ def main():
         log(f"[demo] resumed RL params from {rl_ckpt}")
     else:
         t0 = time.time()
+        rl_lo, rl_hi = (int(x) for x in os.getenv("RL_OPS", "3,5").split(","))
         for it in range(rl_steps):
-            # 3-5 ops: with a ~0.9-facts policy, 2-op chains clear the
-            # trainer's avgAcc>=0.8 stability skip and would be dropped
-            batch = [sample_fn(rng, rng.randint(3, 5))
+            # 3-5 ops default: with a ~0.9-facts policy, 2-op chains clear
+            # the trainer's avgAcc>=0.8 stability skip and would be dropped;
+            # a stronger (CHOICE_TARGET) policy may need harder questions —
+            # watch the rej_* counters and raise RL_OPS
+            batch = [sample_fn(rng, rng.randint(rl_lo, rl_hi))
                      for _ in range(4)]
             m = trainer.train_step(batch)
             parts = [f"{k}={v:.4g}" for k, v in sorted(m.items())
@@ -673,7 +688,8 @@ def main():
     # ---- stage C: experiments on held-out questions ----
     eval_rng = random.Random(seed + 777)
     n_eval = int(os.getenv("N_EVAL", "24"))
-    questions = [sample_fn(eval_rng, eval_rng.randint(3, 4))
+    ev_lo, ev_hi = (int(x) for x in os.getenv("EVAL_OPS", "3,4").split(","))
+    questions = [sample_fn(eval_rng, eval_rng.randint(ev_lo, ev_hi))
                  for _ in range(n_eval)]
     sims = [int(s) for s in os.getenv("SIMS", "8,32,128").split(",")]
 

@@ -132,13 +132,18 @@ def main():
                 else:  # budget left: is the target still reachable?
                     dist, _ = D.nav_bfs(cur, ex["menu"], max(0, 6 - steps))
                     reach = float(valid and gt in dist)
+                hid = leaf.get("hid_idx")
+                y_lat = (np.asarray(agent.hid_bank.index_select([int(hid)]),
+                                    np.float32)[0]
+                         if hid is not None and agent.hid_bank is not None
+                         else None)
                 rows.append(dict(
                     q=qi, correct=D.grade_chain_nav(ch, ex),
                     v=float(leaf.get("v_pred") or 0.0),
                     depth=int(leaf.get("current_depth") or 0),
                     clen=len(leaf.get("completion") or ""),
                     answered=float(bool(m)), reachable=reach,
-                    valid=float(valid)))
+                    valid=float(valid), y=y_lat))
                 continue
             if not m:
                 continue
@@ -186,6 +191,45 @@ def main():
     if wq:
         print(f"within-question corr(v, correct): mean={np.mean(wq):.3f} "
               f"over {len(wq)} questions  {['%.2f' % x for x in wq]}")
+
+    # ---- latent separability probe (round 5): is the signal IN the
+    # latent at all? Fit a ridge readout reachable~y on even questions,
+    # test on odd. AUC≈0.5 => the pooled latent does not carry the state
+    # (scale attribution: nothing downstream could recover it); AUC>>0.5
+    # => the representation is sufficient and the value head/targets are
+    # what under-deliver (training attribution).
+    if task == "nav" and any(r.get("y") is not None for r in rows):
+        keep = [r for r in rows if r.get("y") is not None]
+        Y = np.stack([r["y"] for r in keep])
+        qs = np.array([r["q"] for r in keep])
+        mu, sd = Y.mean(0), Y.std(0) + 1e-6
+        Yz = (Y - mu) / sd
+
+        def auc(score, lab):
+            pos, neg = score[lab > 0.5], score[lab < 0.5]
+            if not len(pos) or not len(neg):
+                return float("nan")
+            return float((pos[:, None] > neg[None, :]).mean()
+                         + 0.5 * (pos[:, None] == neg[None, :]).mean())
+
+        def ridge_auc(feat_tr, lab_tr, feat_te, lab_te, lam=10.0):
+            A = feat_tr.T @ feat_tr + lam * np.eye(feat_tr.shape[1])
+            w = np.linalg.solve(A, feat_tr.T @ (2 * lab_tr - 1))
+            return auc(feat_te @ w, lab_te)
+
+        tr, te = qs % 2 == 0, qs % 2 == 1
+        for name in ("reachable", "correct", "answered"):
+            lab = np.array([r[name] for r in keep])
+            if lab[tr].std() < 1e-9 or lab[te].std() < 1e-9:
+                print(f"[sep] {name}: degenerate labels, skipped")
+                continue
+            a_lat = ridge_auc(Yz[tr], lab[tr], Yz[te], lab[te])
+            dz = np.array([[r["depth"], r["clen"]] for r in keep], float)
+            dz = (dz - dz.mean(0)) / (dz.std(0) + 1e-6)
+            a_dep = ridge_auc(dz[tr], lab[tr], dz[te], lab[te], lam=1e-3)
+            print(f"[sep] held-out AUC({name}): latent={a_lat:.3f} "
+                  f"depth+len-only={a_dep:.3f}  (n_tr={tr.sum()} "
+                  f"n_te={te.sum()} base={lab.mean():.3f})")
 
 
 if __name__ == "__main__":
