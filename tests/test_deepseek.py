@@ -526,8 +526,9 @@ def test_cache_is_latent_sized():
 
 def test_cached_prefill_pallas_matches_dense():
     """MLA cache-threaded prefill with attn_impl='pallas' rides the
-    rectangular flash kernel (V padded to qk_head_dim) — logits must
-    match the dense cached path, fresh and suffix prefill both."""
+    rectangular flash kernel with NATIVE narrow V (v_head_dim 16 under
+    qk_head_dim 24 — no padding, round 5) — logits must match the dense
+    cached path, fresh and suffix prefill both."""
     import dataclasses
 
     cfg_d = tiny_cfg(attn_impl="dense")
