@@ -52,6 +52,38 @@ from . import sampling
 from .adapter import CompletionOutput, RequestOutput
 from .engine import Engine, _round_up
 
+
+_SHARED_DIFF_JITS: dict = {}
+
+
+def _shared_diffusion_jits(es) -> dict:
+    """Per-statics diffusion jit wrappers (see engine._shared_engine_jits).
+
+    No donate_argnums on "diff": the sync loop does not RETURN the cache,
+    so there is no output buffer to alias (donation would only warn); the
+    while_loop carries the cache in place on-device regardless. "chunk"
+    (the continuous-batching variant — one committed block over the
+    scheduler's persistent prefill-layout cache per dispatch) returns
+    ck/cv, so donation aliases the persistent cache instead of
+    double-buffering it every chunk."""
+    import functools
+
+    jits = _SHARED_DIFF_JITS.get(es)
+    if jits is None:
+        p = functools.partial
+        jits = _SHARED_DIFF_JITS[es] = {
+            "diff": jax.jit(
+                p(DiffusionEngine._diffusion_impl, es),
+                static_argnames=("Lp", "Tb", "nblocks", "steps", "strategy",
+                                 "static_top_k")),
+            "chunk": jax.jit(
+                p(DiffusionEngine._diff_chunk_impl, es),
+                donate_argnums=(1, 2),
+                static_argnames=("Tb", "steps", "strategy",
+                                 "static_top_k")),
+        }
+    return jits
+
 NEG_INF = -1e30
 STRATEGIES = ("low_confidence_dynamic", "low_confidence_static", "sequential")
 
@@ -114,23 +146,17 @@ class DiffusionEngine(Engine):
         self.dynamic_threshold = float(dynamic_threshold)
         # per-generate stats (forwards vs tokens — the diffusion speedup)
         self.last_diffusion_stats: dict | None = None
-        # no donate_argnums: the loop does not RETURN the cache, so there
-        # is no output buffer to alias (donation would only warn); the
-        # while_loop carries the cache in place on-device regardless
-        self._diff_jit = jax.jit(
-            self._diffusion_impl,
-            static_argnames=("Lp", "Tb", "nblocks", "steps", "strategy",
-                             "static_top_k"))
-        # continuous-batching variant: one committed block over the
-        # scheduler's persistent prefill-layout cache per dispatch.
-        # ck/cv are returned, so donation aliases the persistent cache
-        # instead of double-buffering it every chunk.
-        self._diff_chunk_jit = jax.jit(
-            self._diff_chunk_impl, donate_argnums=(1, 2),
-            static_argnames=("Tb", "steps", "strategy", "static_top_k"))
+        # shared wrappers, keyed by the base-engine statics + mask id (the
+        # only extra static the diffusion programs read) — same
+        # cross-instance compile sharing as Engine's programs
+        es = self._es._replace(mask_token_id=self.mask_token_id)
+        jits = _shared_diffusion_jits(es)
+        self._diff_jit = jits["diff"]
+        self._diff_chunk_jit = jits["chunk"]
 
     # ------------------------------------------------------------- reveal
-    def _reveal_step(self, logits, blk_tok, blk_masked, blk_lp, d, key, *,
+    @staticmethod
+    def _reveal_step(es, logits, blk_tok, blk_masked, blk_lp, d, key, *,
                      temperature, top_k, top_p, min_p, threshold,
                      Tb: int, steps: int, strategy: str, static_top_k: int):
         """One denoise step: sample every position, reveal per strategy.
@@ -143,12 +169,12 @@ class DiffusionEngine(Engine):
         key, sub = jax.random.split(key)
         flat = logits.reshape(B * Tb, -1).astype(jnp.float32)
         # the model must not reveal [MASK] itself
-        flat = flat.at[:, self.mask_token_id].set(NEG_INF)
+        flat = flat.at[:, es.mask_token_id].set(NEG_INF)
         rep = lambda v: (None if v is None else jnp.repeat(v, Tb, axis=0))
         cand_f, lp_f = sampling.sample(
             flat, sub, temperature=rep(temperature),
             top_k=rep(top_k), top_p=rep(top_p), min_p=rep(min_p),
-            static_top_k=static_top_k, approx_top_k=self.approx_top_k)
+            static_top_k=static_top_k, approx_top_k=es.approx_top_k)
         cand = cand_f.reshape(B, Tb)
         cand_lp = lp_f.reshape(B, Tb)
         conf = jnp.exp(cand_lp)
@@ -173,7 +199,8 @@ class DiffusionEngine(Engine):
                 jnp.where(reveal, cand_lp, blk_lp), key)
 
     # ---------------------------------------------------------------- loop
-    def _diffusion_impl(self, params, ck, cv, lens, fin0, key, temperature,
+    @staticmethod
+    def _diffusion_impl(es, params, ck, cv, lens, fin0, key, temperature,
                         top_k, top_p, min_p, threshold, *,
                         Lp: int, Tb: int, nblocks: int, steps: int,
                         strategy: str, static_top_k: int):
@@ -185,11 +212,11 @@ class DiffusionEngine(Engine):
         decode loop's slot-uniform layout. Returns (out (B, nblocks*Tb),
         out_lp, finished, n_forwards).
         """
-        cfg = self.cfg
+        cfg = es.cfg
         B = ck.shape[1]
         S = ck.shape[2]
-        eos_ids = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
-        mask_id = self.mask_token_id
+        eos_ids = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
+        mask_id = es.mask_token_id
         j = jnp.arange(S)[None, :]  # (1, S) slot index
 
         def body(st):
@@ -217,7 +244,7 @@ class DiffusionEngine(Engine):
 
             def denoise(op):
                 out, out_lp, key = op
-                tok2, msk2, lp2, key2 = self._reveal_step(
+                tok2, msk2, lp2, key2 = DiffusionEngine._reveal_step(es, 
                     logits, blk_tok, blk_masked, blk_lp, d, key,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, threshold=threshold, Tb=Tb, steps=steps,
@@ -235,7 +262,7 @@ class DiffusionEngine(Engine):
             return (b < nblocks) & ~jnp.all(finished)
 
         init = (ck, cv, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                jnp.full((B, Tb), self.mask_token_id, jnp.int32),
+                jnp.full((B, Tb), es.mask_token_id, jnp.int32),
                 jnp.ones((B, Tb), jnp.bool_),
                 jnp.zeros((B, Tb), jnp.float32),
                 jnp.zeros((B, nblocks * Tb), jnp.int32),
@@ -245,7 +272,8 @@ class DiffusionEngine(Engine):
         return st[7], st[8], st[9], st[11]
 
     # ----------------------------------------------------- continuous chunk
-    def _diff_chunk_impl(self, params, ck, cv, lens, dstart, fin, emitted,
+    @staticmethod
+    def _diff_chunk_impl(es, params, ck, cv, lens, dstart, fin, emitted,
                          budget, col, key, temperature, top_k, top_p,
                          min_p, threshold, *, Tb: int, steps: int,
                          strategy: str, static_top_k: int):
@@ -264,10 +292,10 @@ class DiffusionEngine(Engine):
 
         Returns (ck, cv, blk_tok (B,Tb), blk_lp, fin, emitted, n_forwards).
         """
-        cfg = self.cfg
+        cfg = es.cfg
         B = ck.shape[1]
         S = ck.shape[2]
-        eos_ids = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        eos_ids = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
         j = jnp.arange(S)[None, :]
         # row r's absolute position of the block start = prompt len +
         # tokens decoded so far (col - dstart[r] columns, all committed)
@@ -294,7 +322,7 @@ class DiffusionEngine(Engine):
 
             def denoise(op):
                 fin2, em2, key = op
-                tok2, msk2, lp2, key2 = self._reveal_step(
+                tok2, msk2, lp2, key2 = DiffusionEngine._reveal_step(es, 
                     logits, blk_tok, blk_masked, blk_lp, d, key,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     min_p=min_p, threshold=threshold, Tb=Tb, steps=steps,
@@ -308,7 +336,7 @@ class DiffusionEngine(Engine):
                     key2, nfwd + 1)
 
         init = (ck, cv, jnp.zeros((), jnp.int32),
-                jnp.full((B, Tb), self.mask_token_id, jnp.int32),
+                jnp.full((B, Tb), es.mask_token_id, jnp.int32),
                 jnp.ones((B, Tb), jnp.bool_),
                 jnp.zeros((B, Tb), jnp.float32),
                 fin, emitted, jnp.zeros((), jnp.bool_), key,

@@ -32,7 +32,8 @@ Compiled shapes are bucketed (lengths to ``pad_multiple``, batch to
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+import functools
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,60 @@ from .prefix_cache import PrefixCacheStore
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class _EngineStatics(NamedTuple):
+    """Everything the jitted engine programs read besides their array
+    arguments. Hashable → engines with EQUAL statics share one set of jit
+    wrappers (and therefore compiled programs): the trainer's engine and
+    a separate eval engine, or a test file's many tiny engines, compile
+    each program shape once per process instead of once per instance.
+    Shape-knobs (max_batch, max_model_len, pad_multiple…) are deliberately
+    absent — shapes are traced per call, so engines differing only in
+    them share wrappers too."""
+
+    mod: Any                 # model family module (models.qwen2/deepseek)
+    cfg: Any                 # model config (frozen dataclass, hashable)
+    collect_h0: bool
+    eos_token_ids: tuple
+    seq_mesh: Any            # jax.sharding.Mesh or None
+    approx_top_k: bool
+    win_split: Any           # (full_layers, win_layers, max_window) or None
+    mask_token_id: int | None = None  # DiffusionEngine reveal programs
+
+
+_SHARED_JITS: dict[_EngineStatics, dict] = {}
+
+
+def _shared_engine_jits(es: _EngineStatics) -> dict:
+    """The per-statics jit-wrapper set (built once, then shared)."""
+    jits = _SHARED_JITS.get(es)
+    if jits is None:
+        p = functools.partial
+        jits = _SHARED_JITS[es] = {
+            "prefill": jax.jit(p(Engine._prefill_impl, es),
+                               static_argnames=("S",)),
+            "prefill_seq": jax.jit(p(Engine._prefill_seq_impl, es),
+                                   static_argnames=("S",)),
+            "suffix": jax.jit(p(Engine._suffix_batch_impl, es),
+                              donate_argnums=(1, 2)),
+            "install_win": jax.jit(p(Engine._install_win_impl, es),
+                                   static_argnames=("Sw", "Wpad")),
+            "decode": jax.jit(
+                p(Engine._decode_impl, es),
+                static_argnames=("T", "static_top_k", "ragged",
+                                 "use_presence", "win_pad"),
+                donate_argnums=(1, 2),  # donate kv cache
+                donate_argnames=("cache_scale", "win_cache"),
+            ),
+            "decode_spec": jax.jit(
+                p(Engine._decode_spec_impl, es),
+                static_argnames=("T", "K", "M", "static_top_k"),
+                donate_argnums=(1, 2),
+                donate_argnames=("cache_scale",),
+            ),
+        }
+    return jits
 
 
 class Engine:
@@ -194,8 +249,6 @@ class Engine:
         # and the suffix forward runs qwen2_seq.suffix_seq — the T-token
         # distributed-softmax generalization of decode_step_seq — so the
         # reused prefix attention stays O(B·T·S/n) per device.
-        self._prefill_seq_jit = jax.jit(self._prefill_seq_impl,
-                                        static_argnames=("S",))
         self.prefix_cache = (
             PrefixCacheStore(prefix_cache_bytes, prefix_cache_min_reuse,
                              pad_to=min(self.pad_multiple, 128))
@@ -207,18 +260,6 @@ class Engine:
             eos_token_ids = [eos] if eos is not None else []
         self.eos_token_ids = [int(e) for e in eos_token_ids if e is not None]
 
-        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("S",))
-        self._suffix_batch_jit = jax.jit(
-            self._suffix_batch_impl, donate_argnums=(1, 2))
-        self._write_prefix_jit = jax.jit(
-            self._write_prefix_impl, donate_argnums=(0, 1))
-        self._decode_jit = jax.jit(
-            self._decode_impl,
-            static_argnames=("T", "static_top_k", "ragged", "use_presence",
-                             "win_pad"),
-            donate_argnums=(1, 2),  # donate kv cache
-            donate_argnames=("cache_scale", "win_cache"),
-        )
         # windowed-short decode caches (sync path): static layer split for
         # sliding-window stacks — full-attention layers keep full-S panels,
         # windowed layers get a short (Wpad + decode-budget)-column stack
@@ -232,27 +273,36 @@ class Engine:
                 tuple(l for l, w in enumerate(lw) if not w),   # full layers
                 tuple(l for l, w in enumerate(lw) if w),       # windowed
                 max(lw))
-        # no donation: every output is transposed/gathered, so the inputs
-        # can never alias (donating just warns)
-        self._install_win_jit = jax.jit(
-            self._install_win_impl, static_argnames=("Sw", "Wpad"))
-        self._decode_spec_jit = jax.jit(
-            self._decode_spec_impl,
-            static_argnames=("T", "K", "M", "static_top_k"),
-            donate_argnums=(1, 2),
-            donate_argnames=("cache_scale",),  # int8-KV scale planes
-        )
-        self._quantize_cache_jit = jax.jit(self._quantize_cache_impl,
-                                           donate_argnums=(0, 1))
+        # jit wrappers are SHARED across engines with equal statics
+        # (_EngineStatics): a second engine over the same model config —
+        # the trainer's vs a dedicated eval engine, or a test file's many
+        # tiny engines — reuses the first's compiled programs instead of
+        # re-tracing and re-compiling every program shape.
+        self._es = _EngineStatics(
+            mod=_mod, cfg=cfg, collect_h0=self.collect_h0,
+            eos_token_ids=tuple(self.eos_token_ids), seq_mesh=seq_mesh,
+            approx_top_k=self.approx_top_k, win_split=self._win_split)
+        jits = _shared_engine_jits(self._es)
+        self._prefill_jit = jits["prefill"]
+        self._prefill_seq_jit = jits["prefill_seq"]
+        self._suffix_batch_jit = jits["suffix"]
+        self._decode_jit = jits["decode"]
+        # no donation on install_win: every output is transposed/gathered,
+        # so the inputs can never alias (donating just warns)
+        self._install_win_jit = jits["install_win"]
+        self._decode_spec_jit = jits["decode_spec"]
+        self._write_prefix_jit = _WRITE_PREFIX_JIT
+        self._quantize_cache_jit = _QUANT_CACHE_JIT
 
-    def _install_win_impl(self, ck, cv, lens, slab, *, Sw: int, Wpad: int):
+    @staticmethod
+    def _install_win_impl(es, ck, cv, lens, slab, *, Sw: int, Wpad: int):
         """Prefill-layout caches (L, B, S, nkv, dh) -> the windowed-short
         decode install: full-attention layers transpose to the decode
         layout as usual; windowed layers keep only each row's prompt TAIL
         ([lens-Wpad, lens), gathered per row with clipped indices — cols
         before slot 0 are masked invalid by decode_step) plus Sw - Wpad
         empty decode columns. Returns (full_k, full_v, win_cache dict)."""
-        full_idx, win_idx, _ = self._win_split
+        full_idx, win_idx, _ = es.win_split
         S = ck.shape[2]
         woff = lens - Wpad
         idx = jnp.clip(woff[:, None] + jnp.arange(Wpad)[None, :], 0, S - 1)
@@ -292,33 +342,35 @@ class Engine:
 
     # ------------------------------------------------------------------ jit bodies
 
-    def _prefill_impl(self, params, ids, mask, plen, S: int):
+    @staticmethod
+    def _prefill_impl(es, params, ids, mask, plen, S: int):
         """ids/mask (P, Lp) RIGHT-padded; plen (P,) real lengths.
 
         Returns (last_logits (P, V) at each row's final real token,
         kv (L, P, S, nkv, dh))."""
         P, Lp = ids.shape
-        cache = self._mod.init_kv_cache(self.cfg, P, S)
+        cache = es.mod.init_kv_cache(es.cfg, P, S)
         kv_valid = jnp.zeros((P, S), jnp.bool_).at[:, :Lp].set(mask > 0)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, hidden, cache = self._mod.forward(
-            params, self.cfg, ids,
+        logits, hidden, cache = es.mod.forward(
+            params, es.cfg, ids,
             positions=positions,
             kv_cache=cache,
             cache_pos=0,
             kv_valid=kv_valid,
-            return_hidden=self.collect_h0,
+            return_hidden=es.collect_h0,
         )
         last = jnp.take_along_axis(
             logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0, :]
-        if self.collect_h0:
+        if es.collect_h0:
             h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
                                mask.astype(jnp.float32))
         else:
-            h_sum = jnp.zeros((P, self.cfg.hidden_size), jnp.float32)
+            h_sum = jnp.zeros((P, es.cfg.hidden_size), jnp.float32)
         return last, cache, h_sum
 
-    def _prefill_seq_impl(self, params, ids, mask, plen, S: int):
+    @staticmethod
+    def _prefill_seq_impl(es, params, ids, mask, plen, S: int):
         """Sequence-SHARDED prefill (engine-side SP): the whole prompt
         forward runs ring-sharded over the seq_mesh (qwen2_seq.forward_seq)
         and the per-layer post-RoPE K/V seed a prefill-layout cache whose
@@ -330,24 +382,25 @@ class Engine:
 
         P_, Lp = ids.shape
         logits, hidden, (ks, vs) = qwen2_seq.forward_seq(
-            params, self.cfg, ids, attention_mask=mask, mesh=self.seq_mesh,
-            return_hidden=self.collect_h0, return_kv=True)
+            params, es.cfg, ids, attention_mask=mask, mesh=es.seq_mesh,
+            return_hidden=es.collect_h0, return_kv=True)
         last = jnp.take_along_axis(
             logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0, :]
         # (L, P, Lp, nkv, dh) -> slot-padded prefill layout (L, P, S, nkv, dh)
         ks = jnp.pad(ks, ((0, 0), (0, 0), (0, S - Lp), (0, 0), (0, 0)))
         vs = jnp.pad(vs, ((0, 0), (0, 0), (0, S - Lp), (0, 0), (0, 0)))
-        spec = NamedSharding(self.seq_mesh, PSpec(None, None, "sequence", None, None))
+        spec = NamedSharding(es.seq_mesh, PSpec(None, None, "sequence", None, None))
         ks = jax.lax.with_sharding_constraint(ks, spec)
         vs = jax.lax.with_sharding_constraint(vs, spec)
-        if self.collect_h0:
+        if es.collect_h0:
             h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
                                mask.astype(jnp.float32))
         else:
-            h_sum = jnp.zeros((P_, self.cfg.hidden_size), jnp.float32)
+            h_sum = jnp.zeros((P_, es.cfg.hidden_size), jnp.float32)
         return last, (ks, vs), h_sum
 
-    def _write_prefix_impl(self, cache_k, cache_v, pk, pv, row):
+    @staticmethod
+    def _write_prefix_impl(cache_k, cache_v, pk, pv, row):
         """Copy one row's reused prefix KV (bucket-padded (L, Pb, nkv, dh))
         into the batch cache at row ``row`` (traced scalar — one compile per
         padded-prefix bucket, not per exact length)."""
@@ -355,52 +408,54 @@ class Engine:
         cache_v = jax.lax.dynamic_update_slice(cache_v, pv[:, None], (0, row, 0, 0, 0))
         return cache_k, cache_v
 
-    def _suffix_batch_impl(self, params, cache_k, cache_v, ids, mask, starts, real_lens):
+    @staticmethod
+    def _suffix_batch_impl(es, params, cache_k, cache_v, ids, mask, starts, real_lens):
         """Batched prefix-hit prefill: row i's reused prefix KV already sits
         at [0, starts[i]); the right-padded suffixes (Hn, Ls) forward in ONE
         pass with per-row offsets (replaces the one-row-at-a-time host loop
         that serialized device calls exactly in the deep-tree MCTS case).
 
         Returns (last_logits (Hn, V), (cache_k, cache_v), h_sum (Hn, H))."""
-        if self.seq_mesh is not None:
+        if es.seq_mesh is not None:
             from ..models import qwen2_seq
 
             logits, hidden, (ck, cv) = qwen2_seq.suffix_seq(
-                params, self.cfg, ids, mask, starts, cache_k, cache_v,
-                mesh=self.seq_mesh, return_hidden=self.collect_h0)
+                params, es.cfg, ids, mask, starts, cache_k, cache_v,
+                mesh=es.seq_mesh, return_hidden=es.collect_h0)
             last = jnp.take_along_axis(
                 logits, jnp.maximum(real_lens - 1, 0)[:, None, None],
                 axis=1)[:, 0, :]
-            if self.collect_h0:
+            if es.collect_h0:
                 h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
                                    mask.astype(jnp.float32))
             else:
-                h_sum = jnp.zeros((ids.shape[0], self.cfg.hidden_size),
+                h_sum = jnp.zeros((ids.shape[0], es.cfg.hidden_size),
                                   jnp.float32)
             return last, (ck, cv), h_sum
         S = cache_k.shape[2]
         ar = jnp.arange(S)[None, :]
         kv_valid = ar < (starts + real_lens)[:, None]
         positions = starts[:, None] + jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        logits, hidden, (ck, cv) = self._mod.forward(
-            params, self.cfg, ids,
+        logits, hidden, (ck, cv) = es.mod.forward(
+            params, es.cfg, ids,
             positions=positions,
             kv_cache=(cache_k, cache_v),
             cache_pos=starts,
             kv_valid=kv_valid,
-            return_hidden=self.collect_h0,
+            return_hidden=es.collect_h0,
         )
         last = jnp.take_along_axis(
             logits, jnp.maximum(real_lens - 1, 0)[:, None, None], axis=1)[:, 0, :]
-        if self.collect_h0:
+        if es.collect_h0:
             h_sum = jnp.einsum("plh,pl->ph", hidden.astype(jnp.float32),
                                mask.astype(jnp.float32))
         else:
-            h_sum = jnp.zeros((ids.shape[0], self.cfg.hidden_size), jnp.float32)
+            h_sum = jnp.zeros((ids.shape[0], es.cfg.hidden_size), jnp.float32)
         return last, (ck, cv), h_sum
 
+    @staticmethod
     def _decode_impl(
-        self, params, cache_k, cache_v, presence, last_logits,
+        es, params, cache_k, cache_v, presence, last_logits,
         lens, dstart, positions_next, slot_next, finished,
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
@@ -432,11 +487,11 @@ class Engine:
         rows emit pad(0) tokens with logprob 0 and stop updating presence.
         ``cache_scale`` echoes the updated int8-KV scales (() when the cache
         is bf16) so persistent-batch callers can carry them across chunks."""
-        eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        eos_arr = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]
         toks0 = jnp.zeros((B, T), jnp.int32)
         lps0 = jnp.zeros((B, T), jnp.float32)
-        h0 = jnp.zeros((B, self.cfg.hidden_size), jnp.float32)
+        h0 = jnp.zeros((B, es.cfg.hidden_size), jnp.float32)
 
         def cond(st):
             i = st[0]
@@ -456,7 +511,7 @@ class Engine:
                 top_p=top_p,
                 min_p=min_p,
                 static_top_k=static_top_k,
-                approx_top_k=self.approx_top_k,
+                approx_top_k=es.approx_top_k,
             )
             is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
             emit = jnp.where(fin, 0, tok)
@@ -466,24 +521,24 @@ class Engine:
 
             if use_presence:
                 pres = pres.at[jnp.arange(B), tok].max((~fin).astype(jnp.int8))
-            if self.seq_mesh is not None:
+            if es.seq_mesh is not None:
                 from ..models import qwen2_seq
 
                 if cache_scale is not None:
                     new_logits, hidden, ck, cv, scl = qwen2_seq.decode_step_seq(
-                        params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                        mesh=self.seq_mesh, return_hidden=self.collect_h0,
+                        params, es.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                        mesh=es.seq_mesh, return_hidden=es.collect_h0,
                         cache_scale=scl,
                     )
                 else:
                     new_logits, hidden, ck, cv = qwen2_seq.decode_step_seq(
-                        params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                        mesh=self.seq_mesh, return_hidden=self.collect_h0,
+                        params, es.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                        mesh=es.seq_mesh, return_hidden=es.collect_h0,
                     )
             elif win_cache is not None:
-                out = self._mod.decode_step(
-                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                    return_hidden=self.collect_h0, ragged=ragged,
+                out = es.mod.decode_step(
+                    params, es.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=es.collect_h0, ragged=ragged,
                     cache_scale=(scl if cache_scale is not None else None),
                     win_cache=wc, win_pad=win_pad,
                 )
@@ -492,17 +547,17 @@ class Engine:
                 else:
                     new_logits, hidden, ck, cv, wc = out
             elif cache_scale is not None:
-                new_logits, hidden, ck, cv, scl = self._mod.decode_step(
-                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                    return_hidden=self.collect_h0, ragged=ragged,
+                new_logits, hidden, ck, cv, scl = es.mod.decode_step(
+                    params, es.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=es.collect_h0, ragged=ragged,
                     cache_scale=scl,
                 )
             else:
-                new_logits, hidden, ck, cv = self._mod.decode_step(
-                    params, self.cfg, tok, pos, ck, cv, slot, lens, dstart,
-                    return_hidden=self.collect_h0, ragged=ragged,
+                new_logits, hidden, ck, cv = es.mod.decode_step(
+                    params, es.cfg, tok, pos, ck, cv, slot, lens, dstart,
+                    return_hidden=es.collect_h0, ragged=ragged,
                 )
-            if self.collect_h0:
+            if es.collect_h0:
                 # the token sampled this step is forwarded this step; pool it
                 # iff it was emitted (fin False on entry — includes the EOS)
                 hs = hs + hidden.astype(jnp.float32) * (~fin)[:, None]
@@ -524,8 +579,9 @@ class Engine:
         return (toks, lps, fin, (ck, cv), pres, pos, slot, em, logits, hs,
                 scl, wc)
 
+    @staticmethod
     def _decode_spec_impl(
-        self, params, cache_k, cache_v, presence, last_logits,
+        es, params, cache_k, cache_v, presence, last_logits,
         lens, seq0, positions_next, slot_next, finished,
         row_budget, emitted, key,
         temperature, top_k, top_p, min_p, rep_pen,
@@ -552,13 +608,13 @@ class Engine:
         from ..models import qwen2 as _q
         from . import spec
 
-        eos_arr = jnp.asarray(self.eos_token_ids or [-1], jnp.int32)
+        eos_arr = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]
         S = cache_k.shape[3]
         W = K + 1
         toks0 = jnp.zeros((B, T), jnp.int32)
         lps0 = jnp.zeros((B, T), jnp.float32)
-        h00 = jnp.zeros((B, self.cfg.hidden_size), jnp.float32)
+        h00 = jnp.zeros((B, es.cfg.hidden_size), jnp.float32)
         arB = jnp.arange(B)
 
         def is_eos(t):
@@ -567,7 +623,7 @@ class Engine:
         pick_kw = dict(repetition_penalty=rep_pen, temperature=temperature,
                        top_k=top_k, top_p=top_p, min_p=min_p,
                        static_top_k=static_top_k,
-                       approx_top_k=self.approx_top_k)
+                       approx_top_k=es.approx_top_k)
 
         # pre-step: emit token0 from the prefill logits (the normal loop's
         # first sample); it is forwarded as iteration 1's t0
@@ -641,7 +697,7 @@ class Engine:
                 unp_new = jnp.where(e > 0, ~last_pooled, unp0)
 
                 hs_n = hs0
-                if self.collect_h0:
+                if es.collect_h0:
                     hs_n = hs_n + (hidden[:, 0].astype(jnp.float32)
                                    * active[:, None])
                     for i in range(Wb - 1):
@@ -660,13 +716,13 @@ class Engine:
                 positions = pos0_[:, None] + jnp.arange(W)[None, :]
                 if cache_scale is not None:
                     logits_w, hidden, ck, cv, scl = _q.decode_step_multi(
-                        params, self.cfg, toks_in, positions, ck0, cv0,
-                        slot0, valid0_, return_hidden=self.collect_h0,
+                        params, es.cfg, toks_in, positions, ck0, cv0,
+                        slot0, valid0_, return_hidden=es.collect_h0,
                         cache_scale=scl0)
                 else:
                     logits_w, hidden, ck, cv = _q.decode_step_multi(
-                        params, self.cfg, toks_in, positions, ck0, cv0,
-                        slot0, valid0_, return_hidden=self.collect_h0)
+                        params, es.cfg, toks_in, positions, ck0, cv0,
+                        slot0, valid0_, return_hidden=es.collect_h0)
                     scl = ()
                 pres_i, em_run, active_i = pres0, em0, active
                 tok_l, lp_l, emit_l, pool_l = [], [], [], []
@@ -706,13 +762,13 @@ class Engine:
                 sampler chain + (B, W, V) logits are far from free)."""
                 if cache_scale is not None:
                     logits_1, hidden, ck, cv, scl = _q.decode_step_multi(
-                        params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
-                        cv0, slot0, valid0_, return_hidden=self.collect_h0,
+                        params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
+                        cv0, slot0, valid0_, return_hidden=es.collect_h0,
                         cache_scale=scl0)
                 else:
                     logits_1, hidden, ck, cv = _q.decode_step_multi(
-                        params, self.cfg, lt0[:, None], pos0_[:, None], ck0,
-                        cv0, slot0, valid0_, return_hidden=self.collect_h0)
+                        params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
+                        cv0, slot0, valid0_, return_hidden=es.collect_h0)
                     scl = ()
                 t0_, l0_ = spec.pick_with_draft(
                     logits_1[:, 0], subs[0], jnp.zeros((B,), jnp.int32),
@@ -733,19 +789,19 @@ class Engine:
         (it, ck, cv, scl, pres, pos, slot, _k, fin, em, valid, _seq, _cur,
          lt, unp, hs, toks, lps, act) = st
 
-        if self.collect_h0:
+        if es.collect_h0:
             # rows whose LAST emitted token was a bonus (never forwarded):
             # one extra 1-token forward collects its hidden. Its KV lands
             # at the reserved column `slot` (never marked valid, never read
             # again — the sync engine discards the cache after decode).
             if cache_scale is not None:
                 _lg, hid1, ck, cv, scl = _q.decode_step_multi(
-                    params, self.cfg, lt[:, None], pos[:, None], ck, cv,
+                    params, es.cfg, lt[:, None], pos[:, None], ck, cv,
                     jnp.minimum(slot, S - 1), valid, return_hidden=True,
                     cache_scale=scl)
             else:
                 _lg, hid1, ck, cv = _q.decode_step_multi(
-                    params, self.cfg, lt[:, None], pos[:, None], ck, cv,
+                    params, es.cfg, lt[:, None], pos[:, None], ck, cv,
                     jnp.minimum(slot, S - 1), valid, return_hidden=True)
             hs = hs + hid1[:, 0].astype(jnp.float32) * unp[:, None]
 
@@ -1173,3 +1229,9 @@ class Engine:
             results.append(RequestOutput(outputs=outs, prompt=prompts[p],
                                          prompt_token_ids=list(enc[p])))
         return results
+
+
+# statics-free programs: one module-level wrapper each, shared by every
+# engine instance (same sharing rationale as _shared_engine_jits)
+_WRITE_PREFIX_JIT = jax.jit(Engine._write_prefix_impl, donate_argnums=(0, 1))
+_QUANT_CACHE_JIT = jax.jit(Engine._quantize_cache_impl, donate_argnums=(0, 1))
