@@ -135,17 +135,25 @@ def test_sampled_tokens_respect_truncation(tiny):
     for ro in outs:
         prompt_ids = ro.prompt_token_ids
         for o in ro.outputs:
-            ids = list(prompt_ids)
+            # ONE forward over prompt+stream checks every position: token t
+            # was sampled from the processed distribution at index Lp-1+t.
+            # (The old per-token replay re-ran forward on a GROWING length
+            # — a fresh compile per token, ~60 compiles = minutes on CPU.)
+            ids = list(prompt_ids) + list(o.token_ids)
+            T = len(o.token_ids)
+            if not T:
+                continue
+            Lp = len(prompt_ids)
+            logits, _, _ = qwen2.forward(
+                params, cfg, jnp.asarray([ids], jnp.int32))
+            rows = logits[0, Lp - 1:Lp - 1 + T].astype(jnp.float32)
+            proc = sampling.process_logits(
+                rows, top_k=jnp.full((T,), 12), top_p=jnp.full((T,), 0.9),
+                temperature=jnp.full((T,), 0.8))
+            keep = np.asarray(proc) > sampling.NEG_INF / 2
             for t, tok in enumerate(o.token_ids):
-                logits, _, _ = qwen2.forward(
-                    params, cfg, jnp.asarray([ids], jnp.int32))
-                proc = sampling.process_logits(
-                    logits[:, -1].astype(jnp.float32),
-                    top_k=jnp.asarray([12]), top_p=jnp.asarray([0.9]),
-                    temperature=jnp.asarray([0.8]))
-                keep = np.asarray(proc)[0] > sampling.NEG_INF / 2
-                assert keep[tok], f"token {tok} at pos {t} outside nucleus"
-                ids.append(tok)
+                assert keep[t, tok], \
+                    f"token {tok} at pos {t} outside nucleus"
 
 
 def test_int8_kv_greedy_matches_nonspec_int8(tiny):
