@@ -311,6 +311,30 @@ def loss_and_metrics(
     return loss, metrics
 
 
+_UPDATE_FN_CACHE: dict = {}
+
+
+def make_update_fn_cached(model_cfg, build_optimizer, *, opt_key: tuple,
+                          loss_kwargs: dict):
+    """Memoized (optimizer, update_fn) keyed by everything the closures
+    read: trainers with equal (model_cfg, optimizer config, loss kwargs)
+    share ONE jitted update step — and the one optimizer object whose
+    pytree the cached step was traced with — instead of re-tracing and
+    re-compiling the full fwd+bwd+optimizer program per trainer instance
+    (same sharing rationale as engine._shared_engine_jits).
+
+    ``build_optimizer`` is a zero-arg factory, only called on a miss."""
+    key = (model_cfg, opt_key,
+           tuple(sorted(loss_kwargs.items(), key=lambda kv: kv[0])))
+    hit = _UPDATE_FN_CACHE.get(key)
+    if hit is None:
+        optimizer = build_optimizer()
+        hit = _UPDATE_FN_CACHE[key] = (
+            optimizer, make_update_fn(model_cfg, optimizer,
+                                      loss_kwargs=loss_kwargs))
+    return hit
+
+
 def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict):
     """Build the jitted (params, head, opt_state, batch) -> updated step.
 
@@ -348,6 +372,9 @@ def make_update_fn(model_cfg: qwen2.Qwen2Config, optimizer, *, loss_kwargs: dict
                    static_argnames=("value_w_override",))
 
 
+_SUMSQ_FN_CACHE: dict = {}
+
+
 def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
                              value_activation="sigmoid", remat=True,
                              attn_impl: str | None = None, seq_mesh=None,
@@ -357,7 +384,15 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
     Per-chunk SUM of squared value errors (not mean) so micro-batch grads
     accumulate exactly: d(mean)/dθ = Σ_chunks d(sum)/dθ / Σ count.
     Used by the num_trees all-nodes MSE mode (reference 2171-2296).
+
+    Memoized on every argument (all hashable): equal-config trainers share
+    one compiled program (see make_update_fn_cached).
     """
+    key = (model_cfg, no_head_scale, value_activation, remat, attn_impl,
+           seq_mesh, seq_axis)
+    hit = _SUMSQ_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
     import dataclasses as _dc
 
     cfg = (_dc.replace(model_cfg, attn_impl=attn_impl)
@@ -391,7 +426,8 @@ def make_value_sumsq_grad_fn(model_cfg: qwen2.Qwen2Config, *, no_head_scale=0.0,
         (sum_sq, count), grads = jax.value_and_grad(lfn, has_aux=True)((params, head))
         return sum_sq, count, grads
 
-    return jax.jit(fn)
+    _SUMSQ_FN_CACHE[key] = jax.jit(fn)
+    return _SUMSQ_FN_CACHE[key]
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "temperature"))

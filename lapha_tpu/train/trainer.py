@@ -173,38 +173,48 @@ class MTPOTrainer:
         # ---- optimizer ----
         total_steps = args.max_steps if args.max_steps > 0 else 1000
         warmup = max(1, int(args.warmup_ratio * total_steps))
-        if args.lr_scheduler_type == "cosine":
-            sched = optax.warmup_cosine_decay_schedule(
-                0.0, args.learning_rate, warmup, max(total_steps, warmup + 1))
-        elif args.lr_scheduler_type == "linear":
-            # transformers-style: warmup to lr, linear decay to 0
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, args.learning_rate, warmup),
-                 optax.linear_schedule(args.learning_rate, 0.0,
-                                       max(1, total_steps - warmup))],
-                [warmup])
-        else:  # "constant" and anything else: flat lr after warmup
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, args.learning_rate, warmup),
-                 optax.constant_schedule(args.learning_rate)],
-                [warmup])
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(args.max_grad_norm),
-            optax.scale_by_adam(b1=args.adam_beta1, b2=args.adam_beta2,
-                                mu_dtype=jnp.float32),
-            optax.add_decayed_weights(args.weight_decay) if args.weight_decay > 0
-            else optax.identity(),
-            optax.scale_by_learning_rate(sched),
-        )
-        if args.gradient_accumulation_steps > 1:
-            # HF-Trainer semantics: each train_step (one rollout batch)
-            # contributes grads; the optimizer applies every N steps
-            self.optimizer = optax.MultiSteps(
-                self.optimizer, every_k_schedule=args.gradient_accumulation_steps)
-        self.opt_state = self.optimizer.init((self.params, self.head))
 
-        self._update = losses.make_update_fn(
-            self.model_cfg, self.optimizer,
+        def build_optimizer():
+            if args.lr_scheduler_type == "cosine":
+                sched = optax.warmup_cosine_decay_schedule(
+                    0.0, args.learning_rate, warmup,
+                    max(total_steps, warmup + 1))
+            elif args.lr_scheduler_type == "linear":
+                # transformers-style: warmup to lr, linear decay to 0
+                sched = optax.join_schedules(
+                    [optax.linear_schedule(0.0, args.learning_rate, warmup),
+                     optax.linear_schedule(args.learning_rate, 0.0,
+                                           max(1, total_steps - warmup))],
+                    [warmup])
+            else:  # "constant" and anything else: flat lr after warmup
+                sched = optax.join_schedules(
+                    [optax.linear_schedule(0.0, args.learning_rate, warmup),
+                     optax.constant_schedule(args.learning_rate)],
+                    [warmup])
+            opt = optax.chain(
+                optax.clip_by_global_norm(args.max_grad_norm),
+                optax.scale_by_adam(b1=args.adam_beta1, b2=args.adam_beta2,
+                                    mu_dtype=jnp.float32),
+                optax.add_decayed_weights(args.weight_decay)
+                if args.weight_decay > 0 else optax.identity(),
+                optax.scale_by_learning_rate(sched),
+            )
+            if args.gradient_accumulation_steps > 1:
+                # HF-Trainer semantics: each train_step (one rollout batch)
+                # contributes grads; the optimizer applies every N steps
+                opt = optax.MultiSteps(
+                    opt, every_k_schedule=args.gradient_accumulation_steps)
+            return opt
+
+        # every scalar the optimizer factory closes over — the memo key
+        # (losses.make_update_fn_cached) so equal-config trainers share
+        # one compiled update step
+        opt_key = (args.learning_rate, args.lr_scheduler_type, total_steps,
+                   warmup, args.max_grad_norm, args.adam_beta1,
+                   args.adam_beta2, args.weight_decay,
+                   args.gradient_accumulation_steps)
+        self.optimizer, self._update = losses.make_update_fn_cached(
+            self.model_cfg, build_optimizer, opt_key=opt_key,
             loss_kwargs=dict(
                 temperature=args.temperature,
                 eps_low=args.epsilon, eps_high=args.epsilon_high,
@@ -223,6 +233,7 @@ class MTPOTrainer:
                           and self.mesh.shape["sequence"] > 1 else None),
             ),
         )
+        self.opt_state = self.optimizer.init((self.params, self.head))
         self.ref_params = None  # set lazily if beta > 0
         self._value_sumsq_grad = losses.make_value_sumsq_grad_fn(
             self.model_cfg, no_head_scale=args.no_head_scale,
