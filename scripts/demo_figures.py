@@ -145,6 +145,52 @@ def main():
         fig.savefig(os.path.join(outdir, "demo_fig4_pruning_effect.png"),
                     facecolor=SURFACE)
 
+    # ---- fig2 (training-time): pass@1 vs avgAcc per RL step — the
+    # reference's actual fig2_pass1_vs_avgacc curve (README.md:54-58):
+    # pass@1 = argmax-v_pred over ANSWERED leaves of each training tree
+    # (mtpo_trainer.py:2884-2888), avgAcc = correct terminal leaves /
+    # ALL terminal leaves. Rendered when the run recorded rl_metrics.jsonl.
+    rl_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                           "rl_metrics.jsonl")
+    if os.path.exists(rl_path):
+        steps, p1, aa = [], [], []
+        with open(rl_path) as f:
+            for line in f:
+                m = json.loads(line)
+                if "pass_at_1" in m and "avg_acc" in m:
+                    steps.append(int(m["step"]))
+                    p1.append(float(m["pass_at_1"]))
+                    aa.append(float(m["avg_acc"]))
+        if steps:
+            fig, ax = plt.subplots(figsize=(5.2, 3.4), dpi=160)
+            fig.patch.set_facecolor(SURFACE)
+            style(ax)
+            ax.plot(steps, p1, color=BLUE, linewidth=1.2, alpha=0.45)
+            ax.plot(steps, aa, color=ORANGE, linewidth=1.2, alpha=0.45)
+
+            def runmean(ys, k=5):
+                out = []
+                for i in range(len(ys)):
+                    lo = max(0, i - k + 1)
+                    out.append(sum(ys[lo:i + 1]) / (i + 1 - lo))
+                return out
+
+            ax.plot(steps, runmean(p1), color=BLUE, linewidth=2.2,
+                    label="pass@1 (value-head top-1, answered leaves)")
+            ax.plot(steps, runmean(aa), color=ORANGE, linewidth=2.2,
+                    label="avgAcc (all terminal leaves)")
+            ax.set_ylim(0, 1.02)
+            ax.set_xlabel("MTPO training step", color=INK2, fontsize=9)
+            ax.set_ylabel("accuracy on training trees", color=INK2,
+                          fontsize=9)
+            ax.set_title("Training-time top-1 selection vs average leaf",
+                         color=INK, fontsize=11, loc="left")
+            ax.legend(frameon=False, fontsize=8, labelcolor=INK2)
+            fig.tight_layout()
+            fig.savefig(os.path.join(outdir,
+                                     "demo_fig2_pass1_vs_avgacc.png"),
+                        facecolor=SURFACE)
+
     print(f"figures written to {outdir}/")
 
 

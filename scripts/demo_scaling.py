@@ -661,6 +661,13 @@ def main():
     else:
         t0 = time.time()
         rl_lo, rl_hi = (int(x) for x in os.getenv("RL_OPS", "3,5").split(","))
+        # fig2 is a TRAINING-TIME curve in the reference (README.md:54-58,
+        # assets/fig2_pass1_vs_avgacc.png): per-step pass@1 (argmax-v_pred
+        # over ANSWERED leaves, mtpo_trainer.py:2884-2888 — the docstring's
+        # greedy-descent wording at 2471-2473 is not what the code does)
+        # vs avgAcc (correct terminal leaves / ALL terminal leaves).
+        # Persist every step's scalars so the curve can be rendered.
+        rl_metrics_path = os.path.join(out_dir, "rl_metrics.jsonl")
         for it in range(rl_steps):
             # 3-5 ops default: with a ~0.9-facts policy, 2-op chains clear
             # the trainer's avgAcc>=0.8 stability skip and would be dropped;
@@ -669,11 +676,18 @@ def main():
             batch = [sample_fn(rng, rng.randint(rl_lo, rl_hi))
                      for _ in range(4)]
             m = trainer.train_step(batch)
+            with open(rl_metrics_path, "a") as f:
+                f.write(json.dumps(
+                    {"step": it + 1,
+                     **{k: float(v) for k, v in m.items()
+                        if isinstance(v, (int, float))},
+                     **({"skipped": m["skipped"]} if m.get("skipped")
+                        else {})}) + "\n")
             parts = [f"{k}={v:.4g}" for k, v in sorted(m.items())
                      if isinstance(v, (int, float)) and (
                          k.startswith("rej_") or k in (
                              "loss", "value_loss", "value_loss_all_nodes",
-                             "policy_loss", "avgAcc", "pass@1",
+                             "policy_loss", "avg_acc", "pass_at_1",
                              "reward_mean"))]
             if m.get("skipped"):
                 parts.append(f"skipped={m['skipped']}")
