@@ -200,20 +200,18 @@ class Engine:
         if spec_decode is not None and seq_mesh is not None:
             raise ValueError("spec_decode does not compose with seq_mesh "
                              "yet (the validity bitmap is unsharded)")
-        # Sliding-window checkpoints (cfg.sliding_window > 0) run the sync
-        # dense/flash prefill + the banded 1-token decode_step. The two
-        # optional paths whose validity model has no banding yet reject
-        # loudly instead of silently attending over the full context:
-        if int(getattr(cfg, "max_window_", 0) or 0):
-            if spec_decode is not None:
-                raise ValueError(
-                    "spec_decode does not support sliding-window models "
-                    "yet (decode_step_multi's bitmap validity is unbanded)")
-        if getattr(cfg, "attn_sinks", False):
-            if spec_decode is not None:
-                raise ValueError(
-                    "spec_decode does not support attention-sink models "
-                    "yet (decode_step_multi has no sink column)")
+        # spec verify (decode_step_multi) supports windows (per-column
+        # position map — bitmap holes break the affine column->position
+        # map, so the spec loop threads stored-KV positions alongside
+        # validity) and attention sinks (_sink_softmax fold); gemma's
+        # sandwich norms / softcap / dual rope are not threaded there:
+        if spec_decode is not None and (
+                getattr(cfg, "sandwich_norms", False)
+                or getattr(cfg, "attn_softcap", 0)
+                or getattr(cfg, "rope_local_theta", 0)):
+            raise ValueError(
+                "spec_decode does not support gemma-family stacks "
+                "(decode_step_multi lacks sandwich norms/softcap/dual rope)")
         # seq_mesh composes with every qwen2-family layer structure:
         # sinks fold into the ring/distributed softmax, heterogeneous
         # layer_windows thread per-layer (scanned through the ring,
@@ -640,6 +638,11 @@ class Engine:
         seq = spec.scatter_emit(seq0, lens, tok0[:, None], emit0[:, None])
         cur = lens + emit0.astype(jnp.int32)
         valid0 = jnp.arange(S)[None, :] < lens[:, None]
+        # stored-KV positions per column (windowed masking in
+        # decode_step_multi): prompt columns hold position == column;
+        # invalid columns' values are never read (masked by valid)
+        posm = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
         # unp: lt was emitted but its hidden is not pooled yet
         unp = emit0
 
@@ -650,7 +653,7 @@ class Engine:
         st0 = (jnp.asarray(0, jnp.int32), cache_k, cache_v,
                cache_scale if cache_scale is not None else (),
                presence, positions_next, slot_next, key, fin, em, valid0,
-               seq, cur, tok0, unp, h00, toks, lps,
+               posm, seq, cur, tok0, unp, h00, toks, lps,
                jnp.sum(emit0.astype(jnp.int32)))
 
         def cond(st):
@@ -660,7 +663,8 @@ class Engine:
 
         def body(st):
             (it, ck0, cv0, scl0, pres0, pos0_, slot0, k0_, fin0, em0,
-             valid0_, seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_, act0) = st
+             valid0_, posm0_, seq0_, cur0, lt0, unp0, hs0, toks0_, lps0_,
+             act0) = st
             draft, dl = spec.ngram_propose(seq0_, cur0, K, M)
             k_next, *subs = jax.random.split(k0_, W + 1)
             active = ~fin0
@@ -686,6 +690,10 @@ class Engine:
                     col_new, jnp.broadcast_to(rel, (B, S)), axis=1)
                 in_w = (arS >= slot0) & (arS < slot0 + Wb)
                 valid_n = jnp.where(in_w, gathered, valid0_)
+                # column slot0+j held a token forwarded at position
+                # pos0_+j this iteration (valid or hole alike)
+                posm_n = jnp.where(in_w, pos0_[:, None] + (arS - slot0),
+                                   posm0_)
 
                 lt_new, last_pooled = lt0, ~unp0
                 for i in range(Wb):
@@ -706,8 +714,8 @@ class Engine:
                 # act counts per-ROW active iterations so the acceptance
                 # stat is immune to finish-time skew across rows
                 return (it + 1, ck, cv, scl, pres_i, pos0_ + e, slot0 + Wb,
-                        k_next, new_fin, em_run, valid_n, seq_n, cur0 + e,
-                        lt_new, unp_new, hs_n, toks_n, lps_n,
+                        k_next, new_fin, em_run, valid_n, posm_n, seq_n,
+                        cur0 + e, lt_new, unp_new, hs_n, toks_n, lps_n,
                         act0 + jnp.sum(active.astype(jnp.int32)))
 
             def verify_iter(_):
@@ -718,11 +726,12 @@ class Engine:
                     logits_w, hidden, ck, cv, scl = _q.decode_step_multi(
                         params, es.cfg, toks_in, positions, ck0, cv0,
                         slot0, valid0_, return_hidden=es.collect_h0,
-                        cache_scale=scl0)
+                        cache_scale=scl0, pos_map=posm0_)
                 else:
                     logits_w, hidden, ck, cv = _q.decode_step_multi(
                         params, es.cfg, toks_in, positions, ck0, cv0,
-                        slot0, valid0_, return_hidden=es.collect_h0)
+                        slot0, valid0_, return_hidden=es.collect_h0,
+                        pos_map=posm0_)
                     scl = ()
                 pres_i, em_run, active_i = pres0, em0, active
                 tok_l, lp_l, emit_l, pool_l = [], [], [], []
@@ -764,11 +773,12 @@ class Engine:
                     logits_1, hidden, ck, cv, scl = _q.decode_step_multi(
                         params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
                         cv0, slot0, valid0_, return_hidden=es.collect_h0,
-                        cache_scale=scl0)
+                        cache_scale=scl0, pos_map=posm0_)
                 else:
                     logits_1, hidden, ck, cv = _q.decode_step_multi(
                         params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
-                        cv0, slot0, valid0_, return_hidden=es.collect_h0)
+                        cv0, slot0, valid0_, return_hidden=es.collect_h0,
+                        pos_map=posm0_)
                     scl = ()
                 t0_, l0_ = spec.pick_with_draft(
                     logits_1[:, 0], subs[0], jnp.zeros((B,), jnp.int32),
@@ -786,8 +796,8 @@ class Engine:
                                 operand=None)
 
         st = jax.lax.while_loop(cond, body, st0)
-        (it, ck, cv, scl, pres, pos, slot, _k, fin, em, valid, _seq, _cur,
-         lt, unp, hs, toks, lps, act) = st
+        (it, ck, cv, scl, pres, pos, slot, _k, fin, em, valid, posm, _seq,
+         _cur, lt, unp, hs, toks, lps, act) = st
 
         if es.collect_h0:
             # rows whose LAST emitted token was a bonus (never forwarded):
@@ -798,11 +808,12 @@ class Engine:
                 _lg, hid1, ck, cv, scl = _q.decode_step_multi(
                     params, es.cfg, lt[:, None], pos[:, None], ck, cv,
                     jnp.minimum(slot, S - 1), valid, return_hidden=True,
-                    cache_scale=scl)
+                    cache_scale=scl, pos_map=posm)
             else:
                 _lg, hid1, ck, cv = _q.decode_step_multi(
                     params, es.cfg, lt[:, None], pos[:, None], ck, cv,
-                    jnp.minimum(slot, S - 1), valid, return_hidden=True)
+                    jnp.minimum(slot, S - 1), valid, return_hidden=True,
+                    pos_map=posm)
             hs = hs + hid1[:, 0].astype(jnp.float32) * unp[:, None]
 
         # scl is returned (then dropped by the caller) so the donated int8

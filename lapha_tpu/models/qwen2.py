@@ -1739,6 +1739,7 @@ def decode_step_multi(
     valid_map: jax.Array,  # (B, S) bool — per-row stored-KV validity bitmap
     return_hidden: bool = False,
     cache_scale: tuple[jax.Array, jax.Array] | None = None,
+    pos_map: jax.Array | None = None,  # (B, S) int32 — stored-KV positions
 ):
     """T-token verify step for speculative decoding (engine spec mode).
 
@@ -1762,7 +1763,18 @@ def decode_step_multi(
       :func:`decode_step`: the T new K/V vectors quantize per (b, t, h)
       vector — identical values to quantizing them one step at a time —
       and reads fold the K scale into the logits / V scale into the
-      probabilities, so spec decode composes with ``kv_quant="int8"``.
+      probabilities, so spec decode composes with ``kv_quant="int8"``;
+    - sliding-window stacks (uniform ``sliding_window`` or per-layer
+      ``layer_windows``, e.g. gpt_oss's alternating pattern) mask by
+      POSITION, not column: the bitmap's permanent holes break
+      decode_step's affine column->position map, so the engine threads a
+      per-column position map (``pos_map``) alongside ``valid_map`` and a
+      key is in-window iff ``key_pos > query_pos - W`` — the same
+      convention as decode_step's banded validity. New columns j take
+      ``positions[:, j]``. Per-layer windows are static (the layer loop is
+      unrolled), so full-attention layers skip the band entirely;
+    - gpt_oss attention sinks fold into the softmax denominator
+      (_sink_softmax), exactly as in decode_step's dense path.
 
     Returns (logits (B, T, V) f32, hidden (B, T, H)|None, cache_k, cache_v)
     — plus the updated ``cache_scale`` tuple appended when quantized.
@@ -1774,11 +1786,15 @@ def decode_step_multi(
     group = nh // nkv
     B, T = toks.shape
     S = cache_k.shape[3]
-    # Engine guards reject spec_decode for windowed stacks (bitmap
-    # validity is unbanded); the remaining gemma-isms cannot silently
-    # produce wrong streams here either:
-    assert not (cfg.sandwich_norms or cfg.attn_softcap or cfg.layer_windows), \
+    # Engine guards reject spec_decode for gemma stacks (sandwich norms /
+    # softcap / dual rope thetas are not threaded here); windows + sinks
+    # ARE supported (see docstring):
+    assert not (cfg.sandwich_norms or cfg.attn_softcap
+                or cfg.rope_local_theta), \
         "decode_step_multi does not support gemma-family stacks"
+    W_layers = [cfg.window_for_layer(l) for l in range(L)]
+    assert not any(W_layers) or pos_map is not None, \
+        "windowed stacks need the engine's per-column position map"
     scale = cfg.attn_scale_
 
     x = _embed(params, cfg, toks)  # (B, T, H)
@@ -1797,6 +1813,19 @@ def decode_step_multi(
     new_rel = ar - slot                       # new columns are 0..T-1
     causal_new = (new_rel >= 0) & (new_rel <= jnp.arange(T)[None, :, None])
     valid = valid_map[:, None, :] | causal_new  # (B, T, S)
+    win_valid = {}
+    if any(W_layers):
+        # per-column key positions: stored columns from the engine's
+        # pos_map, this block's new columns j at positions[:, j]
+        ar1 = jnp.arange(S)[None, :]
+        in_new = (ar1 >= slot) & (ar1 < slot + T)
+        rel = jnp.clip(ar1 - slot, 0, T - 1)
+        new_pos = jnp.take_along_axis(
+            positions, jnp.broadcast_to(rel, (B, S)), axis=1)
+        pos_col = jnp.where(in_new, new_pos, pos_map)  # (B, S)
+        for Wl in sorted({w for w in W_layers if w}):
+            win_valid[Wl] = valid & (
+                pos_col[:, None, :] > positions[:, :, None] - Wl)
     neg = jnp.float32(-1e30)
     if cache_scale is not None:
         ks_all, vs_all = cache_scale
@@ -1843,22 +1872,33 @@ def decode_step_multi(
 
         k_all, v_all = cache_k[l], cache_v[l]  # (B, nkv, S, dh) static views
         qg = q.reshape(B, T, nkv, group, dh)
+        # static per layer (unrolled loop): banded validity + sink fold
+        valid_l = win_valid[W_layers[l]] if W_layers[l] else valid
+        if cfg.attn_sinks:
+            sinks_l = p["attn"]["sinks"].astype(jnp.float32).reshape(
+                nkv, group)[None, :, None, :, None]
+
+            def _softmax(a):
+                return _sink_softmax(a, sinks_l)
+        else:
+            def _softmax(a):
+                return jax.nn.softmax(a, axis=-1)
         if cache_scale is not None:
             # int8 reads: cast in registers, fold scales outside the dots
             # (same order as decode_step so greedy streams stay bit-equal)
             att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all.astype(x.dtype),
                              preferred_element_type=jnp.float32) * scale
             att = att * ks_all[l][:, :, None, None, :]
-            att = jnp.where(valid[:, None, :, None, :], att, neg)
-            probs = jax.nn.softmax(att, axis=-1)
+            att = jnp.where(valid_l[:, None, :, None, :], att, neg)
+            probs = _softmax(att)
             pv = (probs * vs_all[l][:, :, None, None, :]).astype(x.dtype)
             o = jnp.einsum("bktgs,bksd->bktgd", pv, v_all.astype(x.dtype),
                            preferred_element_type=jnp.float32)
         else:
             att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all,
                              preferred_element_type=jnp.float32) * scale
-            att = jnp.where(valid[:, None, :, None, :], att, neg)
-            probs = jax.nn.softmax(att, axis=-1)
+            att = jnp.where(valid_l[:, None, :, None, :], att, neg)
+            probs = _softmax(att)
             o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
                            preferred_element_type=jnp.float32)
         o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, T, nh * dh).astype(x.dtype)

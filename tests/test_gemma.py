@@ -240,7 +240,7 @@ def test_gemma_rejects_seq_and_spec(tiny_gemma2_dir):
     from lapha_tpu.engine import Engine
 
     params, cfg = loader.load_params(tiny_gemma2_dir, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="sliding-window"):
+    with pytest.raises(ValueError, match="gemma-family"):
         Engine(params, cfg, object(), max_model_len=64, max_batch=2,
                spec_decode="pld")
 

@@ -139,12 +139,39 @@ def test_sharded_forward_matches(mesh8, tiny_hf_gptoss_dir):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_engine_rejects_unsupported_modes(tiny_hf_gptoss_dir):
-    from lapha_tpu.engine import Engine
+def test_spec_greedy_bit_identical(tiny_hf_gptoss_dir):
+    """Spec-decode verify carries the gpt_oss layer structure: per-head
+    sinks fold into decode_step_multi's softmax denominator and the
+    alternating sliding layers band by position via the engine's pos_map.
+    Greedy spec streams == non-spec greedy (itself HF-pinned above),
+    decoding past the 16-token window so the band is live."""
+    from lapha_tpu.engine import Engine, SamplingParams
 
     params, cfg = loader.load_params(tiny_hf_gptoss_dir, dtype=jnp.float32)
-    with pytest.raises(ValueError):
-        Engine(params, cfg, object(), max_batch=2, spec_decode="pld")
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(**kw):
+        return Engine(params, cfg, IdTok(), max_model_len=128, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0, **kw)
+
+    base = [int(i) for i in rng.integers(2, 512, 12)]
+    prompts = [" ".join(map(str, base + base[-4:] + base[-4:]))]
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=20, seed=5)
+    ref = mk().generate(prompts, sp)
+    out = mk(spec_decode="pld", spec_k=3).generate(prompts, sp)
+    for r, o in zip(ref, out):
+        for a, b in zip(r.outputs, o.outputs):
+            assert a.token_ids == b.token_ids
 
 
 def test_moe_impls_agree_gptoss(tiny_hf_gptoss_dir):

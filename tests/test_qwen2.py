@@ -471,18 +471,41 @@ def test_qwen2_sliding_window_ignored_without_flag(tiny_hf_dir, tmp_path):
     assert loader.load_config(str(d)).sliding_window == 0
 
 
-def test_sliding_window_rejects_spec(tiny_mistral_sw_dir):
-    """Unbanded optional paths reject loudly instead of mis-attending.
-
-    (seq_mesh is no longer in this list: uniform sliding windows compose
-    with sequence parallelism — banded ring attention, see
-    test_qwen2_seq.test_forward_seq_windowed_matches_dense.)"""
-    from lapha_tpu.engine import Engine
+def test_sliding_window_spec_greedy_bit_identical(tiny_mistral_sw_dir):
+    """Spec-decode verify (decode_step_multi) bands by POSITION via the
+    engine's per-column pos_map (bitmap holes break decode_step's affine
+    column->position map), so windowed models compose with spec decode:
+    greedy streams bit-identical to the banded non-spec engine. W=8 with a
+    repetitive 20-token prompt + 24 steps: drafts get accepted AND the
+    window leaves the prompt mid-run, exercising both the hole bookkeeping
+    and the band."""
+    from lapha_tpu.engine import Engine, SamplingParams
 
     params, cfg = loader.load_params(tiny_mistral_sw_dir, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="sliding-window"):
-        Engine(params, cfg, None, max_model_len=64, max_batch=2,
-               spec_decode="pld")
+
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(int(i)) for i in ids)
+
+    def mk(**kw):
+        return Engine(params, cfg, IdTok(), max_model_len=128, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0, **kw)
+
+    base = [5, 6, 7, 8, 9, 10]
+    prompts = [" ".join(map(str, base + base[-4:] + base[-4:])),
+               " ".join(map(str, range(20, 31)))]
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=24, seed=5)
+    ref = mk().generate(prompts, sp)
+    out = mk(spec_decode="pld", spec_k=3).generate(prompts, sp)
+    for r, o in zip(ref, out):
+        assert o.outputs[0].token_ids == r.outputs[0].token_ids
 
 
 # --------------------------------------------------------------- qwen3 family

@@ -223,6 +223,23 @@ def test_pick_with_draft_marginal_exact():
     np.testing.assert_allclose(f_with, f_no, atol=0.015)
 
 
+def test_greedy_bit_identical_mixed_layer_windows_int8_kv():
+    """Per-layer windows (one banded layer, one full) through the spec
+    verify forward, composed with the int8 KV cache: rejected-draft holes
+    make column != position, so the banding must ride the engine's
+    pos_map — greedy streams stay bit-identical to the non-spec banded
+    engine."""
+    cfg = Qwen2Config.tiny(vocab_size=300, layer_windows=(8, 0))
+    params = qwen2.init_params(cfg, jax.random.key(13))
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=32, seed=5)
+    ref = make_engine(params, cfg, kv_quant="int8").generate(_prompts(), sp)
+    out = make_engine(params, cfg, kv_quant="int8", spec_decode="pld",
+                      spec_k=3).generate(_prompts(), sp)
+    for r, o in zip(ref, out):
+        for a, b in zip(r.outputs, o.outputs):
+            assert a.token_ids == b.token_ids
+
+
 def test_greedy_bit_identical_olmo2_and_starcoder2_styles():
     """Spec-decode verify forward supports the olmo2 (post-norms-only,
     full-width qk norms) and starcoder2 (biased LayerNorm, plain FFN,
