@@ -57,6 +57,10 @@ Env knobs (defaults = the committed run):
                   high enough that chain errors are SAMPLING noise the
                   representation can flag, not missing knowledge)
   SFT_MAX_STEPS   SFT step cap (12000)
+  SFT_DECAY       cosine-decay horizon in steps (0 = SFT_MAX_STEPS, the
+                  committed runs); < max_steps holds a low stable LR for
+                  the long grind toward CHOICE_TARGET (peak-LR grinds
+                  diverge — run 5 attempt 1 went NaN at ~step 3800)
   CHOICE_TARGET   also require the CHOICE probe (nav lookahead op) to
                   reach this before SFT stops (0 = committed runs 2/3;
                   run 5 uses 0.9 so the latent encodes the decision)
@@ -354,7 +358,7 @@ def expert_pairs(tok: DemoTok, ex: dict, depth: int):
 # --------------------------------------------------------------- SFT warmup
 def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
                sample_fn=None, len_lo=2, len_hi=4, choice_target=0.0,
-               batch=64, seqlen=224, lr=3e-3, log=print):
+               batch=64, seqlen=224, lr=3e-3, decay_steps=0, log=print):
     """Teacher-forced CE on expert traces; stop at target per-fact holdout
     accuracy so the policy is deliberately imperfect.
 
@@ -378,8 +382,13 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
     params = jax.tree.map(lambda x: x.astype(jnp.float32)
                           if x.dtype == model_dtype else x, params)
     warm = min(100, max(1, max_steps // 10))
-    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm,
-                                               max(max_steps, warm + 2),
+    # decay_steps < max_steps decouples the LR horizon from the step cap:
+    # cosine to lr*0.03 by `decay_steps`, then HOLD there — long grinds
+    # toward a hard probe target (run 5's choice_target) train the tail
+    # at a stable low LR instead of thousands of steps at peak LR (run
+    # 5's first attempt diverged to NaN at ~step 3800 exactly that way)
+    decay = max(min(int(decay_steps) or max_steps, max_steps), warm + 2)
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warm, decay,
                                                end_value=lr * 0.03)
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -459,17 +468,38 @@ def sft_warmup(tok, cfg, params, rng, *, target_acc, max_steps, depth,
 
         return hit(jnp.asarray(p_pos)), hit(jnp.asarray(p_posop))
 
+    def score(a, c):
+        # progress toward BOTH targets, each capped at met
+        s = min(a / max(target_acc, 1e-9), 1.0)
+        if choice_target:
+            s += min(c / choice_target, 1.0)
+        return s
+
     acc = choice = 0.0
+    best = (-1.0, params, 0.0, 0.0)  # (score, params ref, fact, choice)
     for it in range(max_steps):
         ids, attn, mask = make_batch(batch)
         params, opt_state, loss = step(params, opt_state, ids, attn, mask)
         if (it + 1) % 50 == 0:
+            lf = float(loss)
+            if not math.isfinite(lf):
+                # divergence guard: a NaN loss never recovers (and NaN
+                # accs would spin the stop rule to the cap — run 5's
+                # first attempt burned 16k steps that way). jax arrays
+                # are immutable, so the best-probe snapshot is a free ref.
+                log(f"[sft {it + 1}] loss={lf} — DIVERGED, restoring best "
+                    f"probe (fact={best[2]:.3f} choice={best[3]:.3f})")
+                break
             a, c = probe_acc(params)
             acc, choice = float(a), float(c)
-            log(f"[sft {it + 1}] loss={float(loss):.4f} "
+            log(f"[sft {it + 1}] loss={lf:.4f} "
                 f"fact_acc={acc:.3f} choice_acc={choice:.3f}")
+            if score(acc, choice) > best[0]:
+                best = (score(acc, choice), params, acc, choice)
             if acc >= target_acc and choice >= choice_target:
                 break
+    if best[0] > score(acc, choice):
+        _, params, acc, choice = best
     params = jax.tree.map(lambda x: x.astype(model_dtype)
                           if x.dtype == jnp.float32 else x, params)
     return params, acc, choice
@@ -611,6 +641,7 @@ def main():
             max_steps=int(os.getenv("SFT_MAX_STEPS", "12000")),
             depth=depth, sample_fn=sample_fn, len_lo=sft_lo,
             len_hi=sft_hi, log=log,
+            decay_steps=int(os.getenv("SFT_DECAY", "0")),
             choice_target=float(os.getenv("CHOICE_TARGET", "0")))
         log(f"[demo] SFT done in {time.time() - t0:.0f}s "
             f"fact_acc={fact_acc:.3f} choice_acc={choice_acc:.3f}")
