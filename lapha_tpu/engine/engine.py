@@ -144,9 +144,10 @@ class Engine:
 
         _mod = model_module(cfg)
         if _mod is not qwen2:
-            if spec_decode is not None:
-                raise ValueError("spec_decode does not support deepseek yet "
-                                 "(decode_step_multi is qwen2-family)")
+            # spec_decode COMPOSES with deepseek (round 5):
+            # deepseek.decode_step_multi — the weight-absorbed T-token
+            # verify; the single latent stream makes the verify read the
+            # same S*cache_width bytes as one token
             if seq_mesh is not None:
                 raise ValueError(
                     "seq_mesh does not support deepseek (the ring/"
@@ -603,8 +604,9 @@ class Engine:
         slot, emitted, h_sum, iterations, active_row_iterations,
         cache_scale) — cache_scale echoes the int8-KV scales (() when the
         cache is bf16)."""
-        from ..models import qwen2 as _q
         from . import spec
+
+        _q = es.mod  # family dispatch: qwen2 or deepseek decode_step_multi
 
         eos_arr = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]

@@ -687,6 +687,112 @@ def decode_step(
     return logits, (hidden if return_hidden else None), cache_k, cache_v
 
 
+def decode_step_multi(
+    params: dict,
+    cfg: DeepseekConfig,
+    toks: jax.Array,       # (B, T) int32 — [last_emitted, draft_1..draft_{T-1}]
+    positions: jax.Array,  # (B, T) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, 1, S, cache_width) — decode layout
+    cache_v: jax.Array,    # carried inert (see init_kv_cache)
+    slot: jax.Array,       # scalar int32 — first cache column for this block
+    valid_map: jax.Array,  # (B, S) bool — per-row stored-latent validity
+    return_hidden: bool = False,
+    cache_scale=None,
+    pos_map: jax.Array | None = None,  # accepted for engine-contract parity
+):
+    """T-token MLA verify step for speculative decoding (engine spec mode)
+    — the weight-absorbed analogue of :func:`qwen2.decode_step_multi`,
+    same contract (bitmap validity with permanent holes at rejected draft
+    columns; new columns attend causally within the block; int8 latent
+    scales quantize per (b, t) vector exactly as the 1-token loop).
+    ``pos_map`` is accepted and unused: MLA stacks have no sliding
+    windows, and the single latent stream already makes the T-token read
+    the same S * cache_width bytes as one token — exactly the property
+    that makes speculation nearly free on an HBM-bound decode.
+    Capability beyond the reference: its vLLM config runs no speculative
+    decoding on any family (vllm_start.sh)."""
+    from .qwen2 import _embed, _lm_head, _quantize_kv
+
+    del pos_map
+    q8 = cache_scale is not None
+    if q8:
+        ks_all, vs_all = cache_scale
+    B, T = toks.shape
+    nh, r = cfg.num_attention_heads, cfg.kv_lora_rank
+    S = cache_k.shape[3]
+    x = _embed(params, cfg, toks)  # (B, T, H)
+    cos, sin = rope_freqs(positions, cfg.qk_rope_head_dim,
+                          cfg.rope_theta, cfg.rope_scaling)  # (B, T, p/2)
+    ar = jnp.arange(S)[None, None, :]
+    new_rel = ar - slot                       # new columns are 0..T-1
+    causal_new = (new_rel >= 0) & (new_rel <= jnp.arange(T)[None, :, None])
+    valid = valid_map[:, None, :] | causal_new  # (B, T, S)
+
+    for l in range(cfg.num_hidden_layers):
+        p = _layer_slice(params, cfg, l)
+        h = rms_norm(x, p["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        q = _q_heads(cfg, p["attn"], h)                 # (B, T, nh, dq)
+        q_nope, q_pe = jnp.split(q, [cfg.qk_nope_head_dim], axis=-1)
+        q_pe = _apply_rope_ds(q_pe, cos, sin, cfg.rope_interleave)
+        c1, kpe1 = _latent(cfg, p["attn"], h, cos, sin)  # (B,T,r),(B,T,1,p)
+        lat = jnp.concatenate([c1, kpe1[:, :, 0, :]], axis=-1)  # (B, T, W)
+
+        if q8:
+            lat_q, s_vec = _quantize_kv(lat)            # (B,T,W) i8, (B,T)
+            layer_cache = jax.lax.dynamic_update_slice(
+                cache_k[l], lat_q[:, None, :, :], (0, 0, slot, 0))
+            ks_l = jax.lax.dynamic_update_slice(
+                ks_all[l], s_vec[:, None, :], (0, 0, slot))
+            ks_all = ks_all.at[l].set(ks_l)
+        else:
+            layer_cache = jax.lax.dynamic_update_slice(
+                cache_k[l], lat[:, None, :, :], (0, 0, slot, 0))
+        cache_k = cache_k.at[l].set(layer_cache)
+
+        wk, wv = _split_kv_b(cfg, p["attn"], x.dtype)
+        q_lat = jnp.einsum("bthd,rhd->bthr", q_nope, wk,
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+        cc = layer_cache[:, 0, :, :r]                   # (B, S, r)
+        kp = layer_cache[:, 0, :, r:]                   # (B, S, rope)
+        if q8:
+            cc = cc.astype(x.dtype)
+            kp = kp.astype(x.dtype)
+        scores = (jnp.einsum("bthr,bsr->bths", q_lat, cc,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bthp,bsp->bths", q_pe, kp,
+                               preferred_element_type=jnp.float32))
+        if q8:  # one shared per-vector scale for both segments
+            scores = scores * ks_l[:, 0, None, None, :]
+        scores = scores * cfg.attn_scale_
+        scores = jnp.where(valid[:, :, None, :], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if q8:  # fold the value-side scale into the weights pre-combine
+            attn = (attn * ks_l[:, 0, None, None, :]).astype(x.dtype)
+        else:
+            attn = attn.astype(x.dtype)
+        ctx = jnp.einsum("bths,bsr->bthr", attn, cc,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.einsum("bthr,rhd->bthd", ctx, wv,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        att = jnp.einsum("btd,dh->bth",
+                         out.reshape(B, T, nh * cfg.v_head_dim),
+                         dequant(p["attn"]["o"]["w"], x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        xb = x + att
+        h2 = rms_norm(xb, p["post_attention_layernorm"]["scale"],
+                      cfg.rms_norm_eps)
+        ffn = _moe_ffn(cfg, p, h2) if "moe" in p else _dense_ffn(p, h2)
+        x = xb + ffn.astype(xb.dtype)
+
+    hidden = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    logits = _lm_head(params, cfg, hidden)
+    if q8:
+        return (logits, (hidden if return_hidden else None), cache_k,
+                cache_v, (ks_all, vs_all))
+    return logits, (hidden if return_hidden else None), cache_k, cache_v
+
+
 # --------------------------------------------------------------- init /
 # loading
 

@@ -236,12 +236,30 @@ def test_engine_prefix_hit_matches_hf(tiny_hf_v3_dir):
     assert got == _hf_greedy(hf, torch, ext, 5)
 
 
-def test_engine_rejects_unsupported_modes(tiny_hf_v2_dir):
-    from lapha_tpu.engine import Engine
+def test_spec_greedy_bit_identical(tiny_hf_v2_dir):
+    """Spec decode on the MLA family: deepseek.decode_step_multi (the
+    weight-absorbed T-token verify over the bitmap-validity latent cache)
+    produces greedy streams bit-identical to the non-spec engine (itself
+    HF-pinned above), for both the bf16 and int8 latent planes."""
+    from lapha_tpu.engine import Engine, SamplingParams
 
     params, cfg = loader.load_params(tiny_hf_v2_dir, dtype=jnp.float32)
-    with pytest.raises(ValueError):
-        Engine(params, cfg, _IdTok(), max_batch=2, spec_decode="pld")
+
+    def mk(**kw):
+        return Engine(params, cfg, _IdTok(), max_model_len=128, max_batch=2,
+                      decode_chunk=4, pad_multiple=16, batch_bucket=1,
+                      eos_token_ids=[], prefix_cache_bytes=0, seed=0, **kw)
+
+    base = [5, 6, 7, 8, 9, 10]
+    prompts = [" ".join(map(str, base + base[-4:] + base[-4:]))]
+    sp = SamplingParams(n=2, temperature=0.0, max_tokens=20, seed=5)
+    for q in (None, "int8"):
+        ref = mk(kv_quant=q).generate(prompts, sp)
+        out = mk(kv_quant=q, spec_decode="pld", spec_k=3).generate(
+            prompts, sp)
+        for r, o in zip(ref, out):
+            for a, b in zip(r.outputs, o.outputs):
+                assert a.token_ids == b.token_ids, q
 
 
 def test_int8_latent_cache_tracks_bf16(tiny_hf_v3_dir):
