@@ -294,12 +294,14 @@ def test_prefix_reuse_under_seq_mesh_gptoss_style():
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
-    cfg = Qwen2Config.tiny(vocab_size=300, num_hidden_layers=4,
+    # 2 layers (one windowed, one full): per-layer coverage is identical
+    # and the unrolled suffix/decode programs compile in half the time
+    cfg = Qwen2Config.tiny(vocab_size=300,
                            attn_sinks=True, o_proj_bias=True)
-    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
+    object.__setattr__(cfg, "layer_windows", (8, 0))
     params = qwen2.init_params(cfg, jax.random.key(8))
     params["layers"]["attn"]["sinks"] = jax.random.normal(
-        jax.random.key(88), (4, cfg.num_attention_heads), jnp.float32)
+        jax.random.key(88), (2, cfg.num_attention_heads), jnp.float32)
     mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
 
     def mk(cache_bytes, seq_mesh):

@@ -509,22 +509,24 @@ def _family_cfgs():
     """Tiny configs for every layer structure the seq paths now serve —
     parity closes the seq_mesh exclusion matrix (round-3 verdict weak #3:
     vLLM holds these features simultaneously)."""
-    gptoss = Qwen2Config.tiny(num_hidden_layers=4, attn_sinks=True,
-                              o_proj_bias=True)
-    object.__setattr__(gptoss, "layer_windows", (8, 0, 8, 0))
+    # 2 layers everywhere: one of each per-layer branch (windowed+full,
+    # rope+NoPE) is what the parity needs, and the decode_step_seq
+    # programs unroll layers — on the 1-core suite box the compile IS the
+    # test cost, so layers beyond coverage pay pure wall-clock
+    gptoss = Qwen2Config.tiny(attn_sinks=True, o_proj_bias=True)
+    object.__setattr__(gptoss, "layer_windows", (8, 0))
     gemma = Qwen2Config.tiny(
-        num_hidden_layers=4, sandwich_norms=True,
+        sandwich_norms=True,
         hidden_act="gelu_pytorch_tanh", embed_normalizer=True,
         query_pre_attn_scalar=24.0, attn_softcap=50.0, final_softcap=30.0,
         rope_local_theta=5000.0)  # != rope_theta so the dual rope bites
-    object.__setattr__(gemma, "layer_windows", (8, 0, 8, 0))
+    object.__setattr__(gemma, "layer_windows", (8, 0))
     olmo2 = Qwen2Config.tiny(post_norms_only=True, qk_norm_full=True,
                              tie_word_embeddings=False,
                              attention_bias=False)
     starcoder2 = Qwen2Config.tiny(norm_style="layernorm", mlp_style="plain",
                                   o_proj_bias=True)
-    smollm3 = Qwen2Config.tiny(num_hidden_layers=4,
-                               nope_layers=(0, 0, 0, 1),
+    smollm3 = Qwen2Config.tiny(nope_layers=(0, 1),
                                tie_word_embeddings=False,
                                attention_bias=False)
     return {"gptoss": gptoss, "gemma": gemma, "olmo2": olmo2,
@@ -746,14 +748,15 @@ def test_seq_paths_gptoss_moe_match_dense():
     vs the dense paths with sinks + alternating windows + experts at once."""
     from lapha_tpu.models.qwen2_seq import decode_step_seq
 
-    cfg = Qwen2Config.tiny(num_hidden_layers=4, attn_sinks=True,
+    cfg = Qwen2Config.tiny(attn_sinks=True,
                            o_proj_bias=True, num_experts=4,
                            num_experts_per_tok=2, moe_intermediate_size=32,
                            moe_style="gptoss")
-    object.__setattr__(cfg, "layer_windows", (8, 0, 8, 0))
+    object.__setattr__(cfg, "layer_windows", (8, 0))
     params = qwen2.init_params(cfg, jax.random.key(31))
     params["layers"]["attn"]["sinks"] = jax.random.normal(
-        jax.random.key(32), (4, cfg.num_attention_heads), jnp.float32)
+        jax.random.key(32), (cfg.num_hidden_layers, cfg.num_attention_heads),
+        jnp.float32)
     rng = np.random.default_rng(33)
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 32)))
 
