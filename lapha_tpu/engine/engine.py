@@ -204,15 +204,9 @@ class Engine:
         # spec verify (decode_step_multi) supports windows (per-column
         # position map — bitmap holes break the affine column->position
         # map, so the spec loop threads stored-KV positions alongside
-        # validity) and attention sinks (_sink_softmax fold); gemma's
-        # sandwich norms / softcap / dual rope are not threaded there:
-        if spec_decode is not None and (
-                getattr(cfg, "sandwich_norms", False)
-                or getattr(cfg, "attn_softcap", 0)
-                or getattr(cfg, "rope_local_theta", 0)):
-            raise ValueError(
-                "spec_decode does not support gemma-family stacks "
-                "(decode_step_multi lacks sandwich norms/softcap/dual rope)")
+        # validity), attention sinks (_sink_softmax fold), and gemma
+        # stacks (sandwich norms, attn_softcap, dual-theta rope — all
+        # static per-layer choices in the unrolled verify loop).
         # seq_mesh composes with every qwen2-family layer structure:
         # sinks fold into the ring/distributed softmax, heterogeneous
         # layer_windows thread per-layer (scanned through the ring,

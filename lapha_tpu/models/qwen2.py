@@ -1774,7 +1774,10 @@ def decode_step_multi(
       ``positions[:, j]``. Per-layer windows are static (the layer loop is
       unrolled), so full-attention layers skip the band entirely;
     - gpt_oss attention sinks fold into the softmax denominator
-      (_sink_softmax), exactly as in decode_step's dense path.
+      (_sink_softmax), exactly as in decode_step's dense path;
+    - gemma stacks ride the same static per-layer dispatch as decode_step:
+      sandwich norms in the residual, attn_softcap after the k-scale fold
+      (true logits), dual-theta rope (local theta on windowed layers).
 
     Returns (logits (B, T, V) f32, hidden (B, T, H)|None, cache_k, cache_v)
     — plus the updated ``cache_scale`` tuple appended when quantized.
@@ -1786,12 +1789,6 @@ def decode_step_multi(
     group = nh // nkv
     B, T = toks.shape
     S = cache_k.shape[3]
-    # Engine guards reject spec_decode for gemma stacks (sandwich norms /
-    # softcap / dual rope thetas are not threaded here); windows + sinks
-    # ARE supported (see docstring):
-    assert not (cfg.sandwich_norms or cfg.attn_softcap
-                or cfg.rope_local_theta), \
-        "decode_step_multi does not support gemma-family stacks"
     W_layers = [cfg.window_for_layer(l) for l in range(L)]
     assert not any(W_layers) or pos_map is not None, \
         "windowed stacks need the engine's per-column position map"
@@ -1801,9 +1798,14 @@ def decode_step_multi(
 
     cos, sin = rope_freqs(positions, dh, cfg.rope_theta,
                           cfg.rope_scaling)  # (B, T, dh/2)
+    # gemma3 dual rope: windowed (local) layers use rope_local_theta with
+    # no scaling — same static per-layer choice as decode_step
+    cos_loc = sin_loc = None
+    if cfg.rope_local_theta and any(W_layers):
+        cos_loc, sin_loc = rope_freqs(positions, dh, cfg.rope_local_theta, ())
 
-    def rope2(v):  # (B, T, n, dh)
-        c, s_ = cos[:, :, None, :], sin[:, :, None, :]
+    def rope2(v, c, s_):  # (B, T, n, dh)
+        c, s_ = c[:, :, None, :], s_[:, :, None, :]
         v1 = v[..., : dh // 2].astype(jnp.float32)
         v2 = v[..., dh // 2 :].astype(jnp.float32)
         return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
@@ -1847,11 +1849,14 @@ def decode_step_multi(
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
         q, k = q.reshape(B, T, nh, dh), k.reshape(B, T, nkv, dh)
-        if cfg.qk_norm:  # qwen3
+        if cfg.qk_norm:  # qwen3 / gemma3
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
         if not (cfg.nope_layers and cfg.nope_layers[l]):  # smollm3 NoPE
-            q, k = rope2(q), rope2(k)
+            cos_l, sin_l = ((cos_loc, sin_loc)
+                            if (W_layers[l] and cos_loc is not None)
+                            else (cos, sin))
+            q, k = rope2(q, cos_l, sin_l), rope2(k, cos_l, sin_l)
 
         if cache_scale is not None:
             kq, sk = _quantize_kv(k)  # (B, T, nkv, dh) -> int8 + (B, T, nkv)
@@ -1889,6 +1894,8 @@ def decode_step_multi(
             att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all.astype(x.dtype),
                              preferred_element_type=jnp.float32) * scale
             att = att * ks_all[l][:, :, None, None, :]
+            if cfg.attn_softcap:  # gemma2 (true logits: after k-scale fold)
+                att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
             att = jnp.where(valid_l[:, None, :, None, :], att, neg)
             probs = _softmax(att)
             pv = (probs * vs_all[l][:, :, None, None, :]).astype(x.dtype)
@@ -1897,6 +1904,8 @@ def decode_step_multi(
         else:
             att = jnp.einsum("btkgd,bksd->bktgs", qg, k_all,
                              preferred_element_type=jnp.float32) * scale
+            if cfg.attn_softcap:  # gemma2: soft-clamp logits pre-mask
+                att = jnp.tanh(att / cfg.attn_softcap) * cfg.attn_softcap
             att = jnp.where(valid_l[:, None, :, None, :], att, neg)
             probs = _softmax(att)
             o = jnp.einsum("bktgs,bksd->bktgd", probs.astype(v_all.dtype), v_all,
@@ -1905,7 +1914,12 @@ def decode_step_multi(
         att_out = proj(o, p["attn"]["o_proj"]["w"],
                        p["attn"]["o_proj"]["b"] if cfg.o_proj_bias else None)
 
-        if cfg.post_norms_only:  # olmo2: norm sublayer outputs only
+        if cfg.sandwich_norms:  # gemma: norm sublayer outputs too
+            x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+            h2 = _norm(x, p["pre_feedforward_layernorm"], cfg)
+            x = x + _norm(_mlp(cfg, p, h2), p["post_feedforward_layernorm"],
+                          cfg)
+        elif cfg.post_norms_only:  # olmo2: norm sublayer outputs only
             x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
             x = x + _norm(_mlp(cfg, p, x), p["post_feedforward_layernorm"],
                           cfg)

@@ -236,13 +236,47 @@ def test_gemma2_export_roundtrip(tiny_gemma2_dir, tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_gemma_rejects_seq_and_spec(tiny_gemma2_dir):
+def _spec_engines(params, cfg):
     from lapha_tpu.engine import Engine
 
-    params, cfg = loader.load_params(tiny_gemma2_dir, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="gemma-family"):
-        Engine(params, cfg, object(), max_model_len=64, max_batch=2,
-               spec_decode="pld")
+    class IdTok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=True, **kw):
+            return {"input_ids": [int(w) for w in text.split()]}
+
+        def decode(self, ids, **kw):
+            return ""
+
+    kw = dict(max_model_len=96, max_batch=2, decode_chunk=4,
+              pad_multiple=16, batch_bucket=1, eos_token_ids=[],
+              prefix_cache_bytes=0)
+    ref = Engine(params, cfg, IdTok(), **kw)
+    spec = Engine(params, cfg, IdTok(), spec_decode="pld", spec_k=3, **kw)
+    return ref, spec
+
+
+@pytest.mark.parametrize("which", ["gemma2", "gemma3"])
+def test_gemma_spec_greedy_bit_identical(which, tiny_gemma2_dir,
+                                         tiny_gemma3_dir):
+    """Spec-decode verify forward supports the gemma bodies: gemma2's
+    sandwich norms + attn/final softcaps and gemma3's qk norms +
+    dual-theta rope, both over heterogeneous sliding/full layer stacks
+    (the per-column pos_map bands the windowed layers) — greedy streams
+    stay bit-identical to the non-spec engine. The repetitive prompt
+    provokes n-gram draft hits so accepted-draft columns are exercised."""
+    from lapha_tpu.engine import SamplingParams
+
+    d = tiny_gemma2_dir if which == "gemma2" else tiny_gemma3_dir
+    params, cfg = loader.load_params(d, dtype=jnp.float32)
+    ref, spec = _spec_engines(params, cfg)
+    prompts = ["5 6 7 8 5 6 7 8 5 6", "9 10 11 9 10 11 9 10"]
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=20)
+    a = ref.generate(prompts, sp)
+    b = spec.generate(prompts, sp)
+    for r, o in zip(a, b):
+        assert r.outputs[0].token_ids == o.outputs[0].token_ids
 
 
 def test_gemma2_int8_quantized_decode_runs(tiny_gemma2_dir):
