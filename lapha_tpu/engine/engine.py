@@ -198,9 +198,10 @@ class Engine:
         # so the decode cache region is sized (K+1)x the token budget.
         if spec_decode not in (None, "pld"):
             raise ValueError(f"unsupported spec_decode={spec_decode!r}")
-        if spec_decode is not None and seq_mesh is not None:
-            raise ValueError("spec_decode does not compose with seq_mesh "
-                             "yet (the validity bitmap is unsharded)")
+        # spec_decode composes with seq_mesh: the verify forward runs
+        # qwen2_seq.decode_step_multi_seq (T-token distributed softmax,
+        # owner-shard writes) and the validity bitmap / position map
+        # shard over the slot axis inside its shard_map.
         # spec verify (decode_step_multi) supports windows (per-column
         # position map — bitmap holes break the affine column->position
         # map, so the spec loop threads stored-KV positions alongside
@@ -600,7 +601,19 @@ class Engine:
         cache is bf16)."""
         from . import spec
 
-        _q = es.mod  # family dispatch: qwen2 or deepseek decode_step_multi
+        if es.seq_mesh is not None:
+            # seq-sharded verify: the same spec loop drives
+            # qwen2_seq.decode_step_multi_seq (identical signature) — the
+            # (B, S) validity bitmap and position map shard over the slot
+            # axis inside its shard_map; deepseek is already rejected
+            # under seq_mesh, so the family here is always qwen2-shaped
+            from functools import partial
+
+            from ..models import qwen2_seq
+
+            _dsm = partial(qwen2_seq.decode_step_multi_seq, mesh=es.seq_mesh)
+        else:
+            _dsm = es.mod.decode_step_multi  # qwen2 or deepseek
 
         eos_arr = jnp.asarray(es.eos_token_ids or [-1], jnp.int32)
         B = last_logits.shape[0]
@@ -719,12 +732,12 @@ class Engine:
                 toks_in = jnp.concatenate([lt0[:, None], draft], axis=1)
                 positions = pos0_[:, None] + jnp.arange(W)[None, :]
                 if cache_scale is not None:
-                    logits_w, hidden, ck, cv, scl = _q.decode_step_multi(
+                    logits_w, hidden, ck, cv, scl = _dsm(
                         params, es.cfg, toks_in, positions, ck0, cv0,
                         slot0, valid0_, return_hidden=es.collect_h0,
                         cache_scale=scl0, pos_map=posm0_)
                 else:
-                    logits_w, hidden, ck, cv = _q.decode_step_multi(
+                    logits_w, hidden, ck, cv = _dsm(
                         params, es.cfg, toks_in, positions, ck0, cv0,
                         slot0, valid0_, return_hidden=es.collect_h0,
                         pos_map=posm0_)
@@ -766,12 +779,12 @@ class Engine:
                 is paid ONLY when drafts exist; measured on v5e the W-token
                 sampler chain + (B, W, V) logits are far from free)."""
                 if cache_scale is not None:
-                    logits_1, hidden, ck, cv, scl = _q.decode_step_multi(
+                    logits_1, hidden, ck, cv, scl = _dsm(
                         params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
                         cv0, slot0, valid0_, return_hidden=es.collect_h0,
                         cache_scale=scl0, pos_map=posm0_)
                 else:
-                    logits_1, hidden, ck, cv = _q.decode_step_multi(
+                    logits_1, hidden, ck, cv = _dsm(
                         params, es.cfg, lt0[:, None], pos0_[:, None], ck0,
                         cv0, slot0, valid0_, return_hidden=es.collect_h0,
                         pos_map=posm0_)
@@ -801,12 +814,12 @@ class Engine:
             # at the reserved column `slot` (never marked valid, never read
             # again — the sync engine discards the cache after decode).
             if cache_scale is not None:
-                _lg, hid1, ck, cv, scl = _q.decode_step_multi(
+                _lg, hid1, ck, cv, scl = _dsm(
                     params, es.cfg, lt[:, None], pos[:, None], ck, cv,
                     jnp.minimum(slot, S - 1), valid, return_hidden=True,
                     cache_scale=scl, pos_map=posm)
             else:
-                _lg, hid1, ck, cv = _q.decode_step_multi(
+                _lg, hid1, ck, cv = _dsm(
                     params, es.cfg, lt[:, None], pos[:, None], ck, cv,
                     jnp.minimum(slot, S - 1), valid, return_hidden=True,
                     pos_map=posm)

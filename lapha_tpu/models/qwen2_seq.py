@@ -629,3 +629,252 @@ def suffix_seq(
                              cos_g, sin_g, cos_lg, sin_lg)
     logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
     return logits, hidden, (cache_k, cache_v)
+
+
+def decode_step_multi_seq(
+    params: dict,
+    cfg: Qwen2Config,
+    toks: jax.Array,       # (B, T) int32 — [last_emitted, draft_1..draft_{T-1}]
+    positions: jax.Array,  # (B, T) int32 — true sequence positions (RoPE)
+    cache_k: jax.Array,    # (L, B, nkv, S, dh) decode layout, S sharded
+    cache_v: jax.Array,
+    slot: jax.Array,       # scalar int32 — first cache column for this block
+    valid_map: jax.Array,  # (B, S) bool — stored-KV validity bitmap, S sharded
+    return_hidden: bool = False,
+    cache_scale=None,      # (ks, vs) each (L, B, nkv, S) f32, S sharded
+    pos_map: jax.Array | None = None,  # (B, S) int32 — stored-KV positions
+    *,
+    mesh: Mesh,
+    seq_axis: str = "sequence",
+):
+    """T-token speculative-decoding verify step with the KV cache SHARDED
+    over ``seq_axis`` — spec decode under engine-side sequence parallelism.
+
+    The seq-sharded analogue of :func:`qwen2.decode_step_multi`: same
+    signature (plus the mesh kwargs), same semantics — the engine's spec
+    loop (engine._decode_spec_impl) dispatches here unchanged when
+    ``Engine(seq_mesh=…, spec_decode="pld")``. Structure combines
+    :func:`suffix_seq`'s T-token owner-shard writes (each local column c
+    with global slot ``idx·Sl + c`` in [slot, slot+T) gathers its token's
+    K/V via ``j_global − slot``; the spec block is slot-uniform so the map
+    is row-independent) with :func:`decode_step_multi`'s per-row validity
+    BITMAP (rejected-draft columns are permanent holes — each shard sees
+    its local (B, Sl) slice via shard_map in_specs) and per-column
+    position map (windowed stacks band by STORED position, not column).
+    Attention is the flash-style distributed softmax of
+    :func:`decode_step_seq` with a T query dim: local masked logits →
+    ``pmax`` → rescaled exp-sums / weighted-V partials → ``psum`` —
+    per-layer comms O(B·nh·T·dh), never O(B·nh·S).
+
+    Layer-structure coverage matches the single-chip verify forward:
+    attention sinks (denominator fold after the psum), heterogeneous
+    ``layer_windows`` (position-banded via pos_map), gemma sandwich
+    norms / softcaps / dual-theta rope, olmo2 / starcoder2 / smollm3
+    bodies, int8 KV (``cache_scale`` planes shard with the slots; the T
+    new vectors quantize identically on every shard, each shard writes
+    only its owned columns).
+
+    Returns (logits (B, T, V) f32 replicated, hidden|None, cache_k,
+    cache_v) — plus the updated ``(ks, vs)`` appended when quantized.
+    """
+    L = cfg.num_hidden_layers
+    nh, nkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    group = nh // nkv
+    B, T = toks.shape
+    S = cache_k.shape[3]
+    n = mesh.shape[seq_axis]
+    assert S % n == 0, (S, n)
+    Sl = S // n
+    assert T <= Sl, (
+        f"spec window T={T} exceeds per-shard slots Sl={Sl}; "
+        f"lower spec_k or the sequence-shard count")
+
+    scale = cfg.attn_scale_
+    softcap = float(cfg.attn_softcap or 0.0)
+    W_layers = [cfg.window_for_layer(l) for l in range(L)]
+
+    cos_g, sin_g = rope_freqs(positions, dh, cfg.rope_theta,
+                              cfg.rope_scaling)  # (B, T, dh/2)
+    cos_lg, sin_lg = ((rope_freqs(positions, dh, cfg.rope_local_theta, ()))
+                      if (cfg.rope_local_theta and any(W_layers))
+                      else (cos_g, sin_g))
+
+    quantized = cache_scale is not None
+    if pos_map is None:  # unwindowed standalone use; never read when all
+        # layers are full-attention (masked by valid)
+        pos_map = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+
+    def local(params, toks, ck, cv, ks_all, vs_all, cos, sin, cos_lt,
+              sin_lt, slot, valid_loc, posm_loc, positions):
+        idx = jax.lax.axis_index(seq_axis)
+        j_global = idx * Sl + jnp.arange(Sl)          # (Sl,)
+        # which new token (if any) each local column receives — the spec
+        # block is slot-uniform, so the map is row-independent
+        t_of_col = j_global - slot                    # (Sl,)
+        col_written = (t_of_col >= 0) & (t_of_col < T)
+        t_idx = jnp.clip(t_of_col, 0, T - 1)
+        # query i additionally attends causally to new columns j <= i
+        causal_new = ((t_of_col[None, :] >= 0)
+                      & (t_of_col[None, :] <= jnp.arange(T)[:, None]))  # (T,Sl)
+        valid = valid_loc[:, None, :] | causal_new[None]  # (B, T, Sl)
+        win_valid = {}
+        if any(W_layers):
+            # per-column key positions: stored columns from the engine's
+            # pos_map, this block's new columns from `positions`
+            new_pos = jnp.take_along_axis(
+                positions, jnp.broadcast_to(t_idx[None, :], (B, Sl)), axis=1)
+            pos_col = jnp.where(col_written[None, :], new_pos, posm_loc)
+            for Wl in sorted({w for w in W_layers if w}):
+                win_valid[Wl] = valid & (
+                    pos_col[:, None, :] > positions[:, :, None] - Wl)
+
+        def ropeT(v, c, s_):
+            c, s_ = c[:, :, None, :], s_[:, :, None, :]
+            v1 = v[..., : dh // 2].astype(jnp.float32)
+            v2 = v[..., dh // 2 :].astype(jnp.float32)
+            return jnp.concatenate([v1 * c - v2 * s_, v2 * c + v1 * s_],
+                                   -1).astype(v.dtype)
+
+        x = _embed(params, cfg, toks)  # (B, T, H)
+
+        def proj(h, w, b=None):
+            y = jnp.einsum("bth,hd->btd", h, dequant(w, h.dtype),
+                           preferred_element_type=jnp.float32)
+            if b is not None:
+                y = y + b.astype(jnp.float32)
+            return y.astype(h.dtype)
+
+        for l in range(L):
+            Wl = W_layers[l]
+            p = _layer_params(params, l)
+            sinks_l = p["attn"]["sinks"] if cfg.attn_sinks else None
+            cos_l, sin_l = ((cos_lt, sin_lt)
+                            if (Wl and cfg.rope_local_theta) else (cos, sin))
+            h = (x if cfg.post_norms_only
+                 else _norm(x, p["input_layernorm"], cfg))
+            q = proj(h, p["attn"]["q_proj"]["w"], p["attn"]["q_proj"]["b"])
+            k = proj(h, p["attn"]["k_proj"]["w"], p["attn"]["k_proj"]["b"])
+            v = proj(h, p["attn"]["v_proj"]["w"],
+                     p["attn"]["v_proj"]["b"]).reshape(B, T, nkv, dh)
+            if cfg.qk_norm_full:  # olmo2: full projection width
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            q = q.reshape(B, T, nh, dh)
+            k = k.reshape(B, T, nkv, dh)
+            if cfg.qk_norm:  # qwen3 / gemma3
+                q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_norm_eps)
+            if not (cfg.nope_layers and cfg.nope_layers[l]):  # static skip
+                q, k = ropeT(q, cos_l, sin_l), ropeT(k, cos_l, sin_l)
+
+            # owner-shard writes: local column c takes new token t_of_col[c]
+            if quantized:
+                def q8(y):  # (B, T, nkv, dh) -> int8 + (B, T, nkv) scale
+                    yf = y.astype(jnp.float32)
+                    s_ = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1) / 127.0,
+                                     1e-12)
+                    return (jnp.clip(jnp.round(yf / s_[..., None]), -127, 127)
+                            .astype(jnp.int8), s_)
+
+                k, sk = q8(k)
+                v, sv = q8(v)
+                # scale rows: (B, T, nkv) -> per local column (B, nkv, Sl)
+                sk_col = jnp.transpose(jnp.take(sk, t_idx, axis=1), (0, 2, 1))
+                sv_col = jnp.transpose(jnp.take(sv, t_idx, axis=1), (0, 2, 1))
+                wrs = col_written[None, None, :]
+                ks_all = ks_all.at[l].set(
+                    jnp.where(wrs, sk_col, ks_all[l]))
+                vs_all = vs_all.at[l].set(
+                    jnp.where(wrs, sv_col, vs_all[l]))
+            k_col = jnp.transpose(jnp.take(k, t_idx, axis=1), (0, 2, 1, 3))
+            v_col = jnp.transpose(jnp.take(v, t_idx, axis=1), (0, 2, 1, 3))
+            wr = col_written[None, None, :, None]
+            k_loc = jnp.where(wr, k_col.astype(ck.dtype), ck[l])
+            v_loc = jnp.where(wr, v_col.astype(cv.dtype), cv[l])
+            ck = ck.at[l].set(k_loc)
+            cv = cv.at[l].set(v_loc)
+
+            # flash-style distributed softmax, T query columns
+            qg = q.reshape(B, T, nkv, group, dh)
+            if quantized:  # int8 reads: cast in registers, fold scales
+                att = jnp.einsum("btkgd,bksd->bktgs", qg,
+                                 k_loc.astype(x.dtype),
+                                 preferred_element_type=jnp.float32) * scale
+                att = att * ks_all[l][:, :, None, None, :]
+            else:
+                att = jnp.einsum("btkgd,bksd->bktgs", qg, k_loc,
+                                 preferred_element_type=jnp.float32) * scale
+            if softcap:  # gemma2 (true logits: after the k-scale fold)
+                att = jnp.tanh(att / softcap) * softcap
+            vl = win_valid[Wl] if Wl else valid
+            att = jnp.where(vl[:, None, :, None, :], att, -jnp.inf)
+            m_loc = jnp.max(att, axis=-1)                 # (B, nkv, T, g)
+            m = jax.lax.pmax(m_loc, seq_axis)
+            if sinks_l is not None:  # same fold as decode_step_seq
+                sk_h = sinks_l.astype(jnp.float32).reshape(
+                    nkv, group)[None, :, None, :]
+                m = jnp.maximum(m, sk_h)
+            pexp = jnp.exp(att - m[..., None])
+            pexp = jnp.where(vl[:, None, :, None, :], pexp, 0.0)
+            den = jax.lax.psum(jnp.sum(pexp, axis=-1), seq_axis)
+            if sinks_l is not None:
+                den = den + jnp.exp(sk_h - m)
+            if quantized:
+                pv = (pexp * vs_all[l][:, :, None, None, :]).astype(x.dtype)
+                num = jax.lax.psum(
+                    jnp.einsum("bktgs,bksd->bktgd", pv,
+                               v_loc.astype(x.dtype),
+                               preferred_element_type=jnp.float32), seq_axis)
+            else:
+                num = jax.lax.psum(
+                    jnp.einsum("bktgs,bksd->bktgd", pexp.astype(v_loc.dtype),
+                               v_loc, preferred_element_type=jnp.float32),
+                    seq_axis)
+            o = num / jnp.maximum(den, 1e-30)[..., None]  # (B, nkv, T, g, dh)
+            o = jnp.transpose(o, (0, 2, 1, 3, 4)).reshape(B, T, nh * dh)
+            att_out = proj(o.astype(x.dtype), p["attn"]["o_proj"]["w"],
+                           p["attn"]["o_proj"]["b"] if cfg.o_proj_bias
+                           else None)
+
+            if cfg.sandwich_norms:  # gemma
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                h2 = _norm(x, p["pre_feedforward_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, h2),
+                              p["post_feedforward_layernorm"], cfg)
+            elif cfg.post_norms_only:  # olmo2
+                x = x + _norm(att_out, p["post_attention_layernorm"], cfg)
+                x = x + _norm(_mlp(cfg, p, x),
+                              p["post_feedforward_layernorm"], cfg)
+            else:
+                x = x + att_out
+                h2 = _norm(x, p["post_attention_layernorm"], cfg)
+                x = x + _mlp(cfg, p, h2)
+
+        x = _norm(x, params["norm"], cfg)
+        return x, ck, cv, ks_all, vs_all
+
+    cache_spec = P(None, None, None, seq_axis, None)
+    scale_spec = P(None, None, None, seq_axis)
+    map_spec = P(None, seq_axis)
+    if quantized:
+        ks_in, vs_in = cache_scale
+    else:  # tiny placeholders keep one shard_map signature (never read)
+        ks_in = jnp.zeros((1, 1, 1, n), jnp.float32)
+        vs_in = ks_in
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), cache_spec, cache_spec,
+                                 scale_spec, scale_spec,
+                                 P(), P(), P(), P(), P(),
+                                 map_spec, map_spec, P()),
+                       out_specs=(P(), cache_spec, cache_spec,
+                                  scale_spec, scale_spec),
+                       axis_names={seq_axis})
+    x, cache_k, cache_v, ks_out, vs_out = fn(
+        params, toks, cache_k, cache_v, ks_in, vs_in,
+        cos_g, sin_g, cos_lg, sin_lg, jnp.asarray(slot, jnp.int32),
+        valid_map, pos_map, jnp.asarray(positions, jnp.int32))
+    logits, hidden, _ = _head(params, cfg, x, return_hidden, True)
+    if quantized:
+        return logits, hidden, cache_k, cache_v, (ks_out, vs_out)
+    return logits, hidden, cache_k, cache_v

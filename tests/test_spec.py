@@ -240,6 +240,94 @@ def test_greedy_bit_identical_mixed_layer_windows_int8_kv():
             assert a.token_ids == b.token_ids
 
 
+def test_greedy_bit_identical_under_seq_mesh(tiny):
+    """spec_decode x seq_mesh (round 5, the last spec composition cell):
+    the verify forward runs qwen2_seq.decode_step_multi_seq — T-token
+    distributed softmax with owner-shard writes; the rejected-draft
+    validity bitmap and per-column position map shard over the slot axis
+    inside its shard_map. Greedy streams must stay bit-identical to the
+    unsharded non-spec engine, with AND without the int8 KV cache (whose
+    scale planes shard with the slots)."""
+    from jax.sharding import Mesh
+
+    params, cfg = tiny
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sequence",))
+    sp = SamplingParams(n=1, temperature=0.0, max_tokens=16)
+    for q in (None, "int8"):
+        ref = make_engine(params, cfg, kv_quant=q).generate(_prompts(), sp)
+        eng = make_engine(params, cfg, kv_quant=q, seq_mesh=mesh,
+                          spec_decode="pld", spec_k=3)
+        out = eng.generate(_prompts(), sp)
+        for r, o in zip(ref, out):
+            for a, b in zip(r.outputs, o.outputs):
+                assert a.token_ids == b.token_ids, q
+    assert eng.last_spec_stats["tokens_per_iteration"] >= 1.0
+
+
+def test_decode_step_multi_seq_structure_matrix():
+    """decode_step_multi_seq == decode_step_multi on sharded-awkward
+    inputs: a bitmap with decode-region holes, a position map with
+    reused-prefix offsets, a spec block spanning a shard boundary —
+    across the two layer structures that exercise every seq-threaded
+    knob (per-layer windows + sinks + o-proj bias; gemma sandwich norms
+    + softcaps + dual-theta rope), each in bf16 and int8-KV."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sequence",))
+    for kw in (dict(layer_windows=(8, 0), attn_sinks=True, o_proj_bias=True),
+               dict(sandwich_norms=True, attn_softcap=30.0,
+                    final_softcap=20.0, layer_windows=(8, 0),
+                    rope_local_theta=5000.0)):
+        from lapha_tpu.models import qwen2_seq
+
+        cfg = Qwen2Config.tiny(vocab_size=128, **kw)
+        params = qwen2.init_params(cfg, jax.random.key(3))
+        B, T, S = 2, 4, 32
+        L, nkv, dh = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                      cfg.head_dim_)
+        toks = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+        lens = jnp.asarray([10, 7], jnp.int32)
+        slot = jnp.asarray(14, jnp.int32)  # block [14,18) spans shards 1|2
+        vm = (jnp.arange(S)[None, :] < lens[:, None]).at[:, 12].set(True)
+        positions = (lens + jnp.asarray([3, 2]))[:, None] + jnp.arange(T)[None]
+        posm = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        posm = posm.at[0, 12].set(11).at[1, 12].set(8)
+        ck = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)) * 0.3,
+                         jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(L, B, nkv, S, dh)) * 0.3,
+                         jnp.float32)
+        ref = qwen2.decode_step_multi(params, cfg, toks, positions, ck, cv,
+                                      slot, vm, pos_map=posm)
+        got = qwen2_seq.decode_step_multi_seq(
+            params, cfg, toks, positions, ck, cv, slot, vm, pos_map=posm,
+            mesh=mesh)
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
+                                   rtol=1e-5, atol=1e-5)
+        ks = jnp.abs(jnp.asarray(rng.normal(size=(L, B, nkv, S)),
+                                 jnp.float32)) * 0.01 + 0.001
+        vs = jnp.abs(jnp.asarray(rng.normal(size=(L, B, nkv, S)),
+                                 jnp.float32)) * 0.01 + 0.001
+        ck8 = jnp.asarray(rng.integers(-127, 127, (L, B, nkv, S, dh)),
+                          jnp.int8)
+        cv8 = jnp.asarray(rng.integers(-127, 127, (L, B, nkv, S, dh)),
+                          jnp.int8)
+        ref8 = qwen2.decode_step_multi(params, cfg, toks, positions, ck8,
+                                       cv8, slot, vm, cache_scale=(ks, vs),
+                                       pos_map=posm)
+        got8 = qwen2_seq.decode_step_multi_seq(
+            params, cfg, toks, positions, ck8, cv8, slot, vm,
+            cache_scale=(ks, vs), pos_map=posm, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(ref8[0]), np.asarray(got8[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ref8[4][0]),
+                                   np.asarray(got8[4][0]),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_greedy_bit_identical_olmo2_and_starcoder2_styles():
     """Spec-decode verify forward supports the olmo2 (post-norms-only,
     full-width qk norms) and starcoder2 (biased LayerNorm, plain FFN,
